@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** One oracle-checked query: a Spark builder plus (optionally) the
+  * equivalent DuckDB SQL the driver runs for the t2 correctness gate.
+  * Queries without SQL (sketches, LSH, …) get a rows-only check and a
+  * ScalaTest oracle instead.
+  */
+final case class GraftQuery(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Shared helpers for the query suite.
+  *
+  * Cross-engine determinism rules (Spark vs DuckDB 1.0, see SURVEY §5.2):
+  *   - Never hash-compare a naively summed DOUBLE: sum order differs across
+  *     engines/partitionings. Sum in DECIMAL(18,2) (exact, associative) and
+  *     cast the final value to DOUBLE — `dsum`.
+  *   - Averages = exact decimal sum / count in one double division.
+  *   - Every query ends in a total ORDER BY so row order is identical.
+  *   - DuckDB counts/length return BIGINT vs Spark's INT where noted; the
+  *     oracle SQL casts to match Spark's schema.
+  */
+object Q {
+  def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** Exact, order-insensitive sum of a monetary/quantity double column. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Cast a RAW 2-decimal column to exact decimal. Only raw columns: a
+    * computed double cast to decimal can land on a .xx5 rounding tie whose
+    * direction differs between Spark (HALF_UP on the exact binary value)
+    * and DuckDB (round on the scaled double) — multiply decimals instead.
+    */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact revenue sum: extendedprice * (1 - discount) in decimal. */
+  def discSum(price: Column, discount: Column): Column =
+    sum(dec(price) * (lit(1).cast(DecimalType(18, 2)) - dec(discount)))
+      .cast("double")
+
+  /** Exact average: decimal sum over count, single double division. */
+  def davg(c: Column): Column =
+    (sum(c.cast(DecimalType(18, 2))).cast("double") / count(lit(1))).as("avg")
+}
