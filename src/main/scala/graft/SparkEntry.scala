@@ -14,7 +14,8 @@ import graft.operators._
 object SparkEntry {
 
   private def registry: Seq[GraftQuery] =
-    RelationalQueries.all ++ PipelineQueries.all
+    RelationalQueries.all ++ PipelineQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all ++ TextQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

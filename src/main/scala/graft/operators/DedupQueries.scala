@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q._
+import graft.functions.MockScorers.{normalize, normalizeSql}
+
+/** Deduplication operators (north-star X6/X15): exact content dedup,
+  * deterministic keep-first keyed dedup, and n-gram Jaccard near-dup.
+  * MinHash-LSH and SimHash live in [[graft.operators.SketchDedup]] (no SQL
+  * oracle — verified against brute force in ScalaTest).
+  *
+  * Scale notes: exact dedup is a hash-aggregate on a content digest (one
+  * shuffle of digests, never full text, at 100 TB); jaccard runs on an
+  * inverted shingle index (shuffle ∝ shingle rows, AQE handles the skewed
+  * common-shingle buckets).
+  */
+object DedupQueries {
+
+  /** Exact content dedup via md5 digest (md5 is identical across engines):
+    * one group per distinct content, keep-lowest doc_id as survivor.
+    */
+  val q40 = GraftQuery(
+    "q40_dedup_exact",
+    (s, d) =>
+      t(s, d, "documents")
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("survivor_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("content_hash")),
+    Some("""
+      SELECT md5(text) AS content_hash,
+             MIN(doc_id) AS survivor_id,
+             COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY 1
+      ORDER BY content_hash
+    """))
+
+  /** Keyed keep-first dedup: one row per l_orderkey, deterministic winner
+    * (lowest linenumber) — the well-defined form of dropDuplicates(keys).
+    */
+  val q41 = GraftQuery(
+    "q41_dedup_keep_first",
+    (s, d) => {
+      // l_linenumber is NOT unique per orderkey in this synthetic data —
+      // tiebreak down to a total order so the kept row is well-defined.
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+      t(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"))
+        .orderBy(col("l_orderkey"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+      FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+                   ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_linenumber, l_partkey,
+                                               l_suppkey, l_quantity) AS rn
+            FROM lineitem)
+      WHERE rn = 1
+      ORDER BY l_orderkey
+    """))
+
+  /** Near-dup pairs by word-3-gram Jaccard ≥ 0.5, computed on an inverted
+    * shingle index: explode distinct shingles, self-join on shingle
+    * (doc_a < doc_b), count intersections, join per-doc shingle counts,
+    * jaccard = |∩| / (|A|+|B|-|∩|).
+    */
+  val q42 = GraftQuery(
+    "q42_ngram_jaccard_pairs",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(normalize(col("text")), " ").as("words"))
+        .filter(size(col("words")) >= 3)
+      val shingles = docs
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, size(words) - 2), " +
+              "i -> concat_ws(' ', words[i-1], words[i], words[i+1]))"))
+            .as("shingle"))
+        .distinct()
+      val sizes = shingles.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"))
+      val a = shingles.select(col("doc_id").as("doc_a"), col("shingle"))
+      val b = shingles.select(col("doc_id").as("doc_b"), col("shingle"))
+      val inter = a.join(b,
+          a("shingle") === b("shingle") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("jaccard",
+          round(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id,
+               string_split(${normalizeSql("text")}, ' ') AS words
+        FROM documents),
+      word_rows AS (
+        SELECT doc_id, unnest(words) AS w,
+               generate_subscripts(words, 1) AS i
+        FROM docs WHERE len(words) >= 3),
+      shingles AS (
+        SELECT DISTINCT a.doc_id,
+               a.w || ' ' || b.w || ' ' || c.w AS shingle
+        FROM word_rows a
+        JOIN word_rows b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        JOIN word_rows c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_inter,
+             round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+      ORDER BY doc_a, doc_b
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q40, q41, q42)
+}

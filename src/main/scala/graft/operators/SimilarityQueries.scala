@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Similarity search over the embedding column (north-star X16).
+  *
+  * q45 is the exact brute-force baseline: query set broadcast against the
+  * corpus, cosine via sequential left-fold dot products (identical
+  * float64 op order in Spark's `aggregate` and DuckDB's `list_reduce`, so
+  * the scores hash-match exactly). The LSH-bucketed scale path lives in
+  * [[graft.operators.SketchSimilarity]] (ScalaTest recall oracle).
+  *
+  * At scale: the corpus stays partitioned, only the k query vectors move
+  * (broadcast); top-k per query is a partial top-k then merge (window over
+  * qid after a shuffle of ≤ corpus rows × |Q| candidate rows — for large
+  * |Q| switch to the LSH variant).
+  */
+object SimilarityQueries {
+
+  /** Sequential-fold dot product of two double arrays (codegen'd higher-
+    * order functions; no UDF).
+    */
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+
+  private def sqNorm(a: String) =
+    expr(s"aggregate(transform($a, x -> x * x), 0D, (acc, v) -> acc + v)")
+
+  /** Exact top-5 cosine neighbors for query vectors vec_id < 10. */
+  val q45 = GraftQuery(
+    "q45_knn_bruteforce",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", sqrt(sqNorm("emb")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+          col("nrm").as("qnrm"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cosine",
+          dot("qemb", "emb") / (col("qnrm") * col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+          round(col("cosine"), 6).as("cosine_r"))
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(embedding::DOUBLE[], x -> x * x)),
+                 (acc, v) -> acc + v)) AS nrm
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm
+            FROM e WHERE vec_id < 10),
+      scored AS (
+        SELECT q.qid, e.vec_id,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(q.qemb, (x, i) -> x * e.emb[i])),
+                 (acc, v) -> acc + v) / (q.qnrm * e.nrm) AS cosine
+        FROM e CROSS JOIN q
+        WHERE e.vec_id <> q.qid),
+      ranked AS (
+        SELECT qid, vec_id,
+               cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+      SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id,
+             round(cosine, 6) AS cosine_r
+      FROM ranked
+      WHERE rank <= 5
+      ORDER BY qid, rank
+    """))
+
+  /** Per-label centroid similarity structure: average pairwise cosine
+    * within each label vs the global average — an aggregate over the same
+    * exact dot-product kernel, exercising agg-over-join at similarity
+    * scale. Restricted to vec_id < 200 to bound the pair count.
+    */
+  val q46 = GraftQuery(
+    "q46_label_cohesion",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+        .filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", sqrt(sqNorm("emb")))
+      val a = e.select(col("vec_id").as("ia"), col("label").as("la"),
+        col("emb").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("ib"), col("label").as("lb"),
+        col("emb").as("eb"), col("nrm").as("nb"))
+      a.join(b, col("ia") < col("ib"))
+        .withColumn("cosine", dot("ea", "eb") / (col("na") * col("nb")))
+        .groupBy((col("la") === col("lb")).as("same_label"))
+        .agg(count(lit(1)).as("n_pairs"),
+          // exact decimal sum of rounded cosines: avg of raw doubles would
+          // depend on partition/accumulation order
+          round(sum(round(col("cosine"), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+            .cast("double") / count(lit(1)), 6).as("avg_cosine"),
+          round(max(col("cosine")), 6).as("max_cosine"))
+        .orderBy(col("same_label"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(embedding::DOUBLE[], x -> x * x)),
+                 (acc, v) -> acc + v)) AS nrm
+        FROM embeddings WHERE vec_id < 200),
+      pairs AS (
+        SELECT a.label = b.label AS same_label,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(a.emb, (x, i) -> x * b.emb[i])),
+                 (acc, v) -> acc + v) / (a.nrm * b.nrm) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT same_label, COUNT(*) AS n_pairs,
+             round(CAST(SUM(CAST(round(cosine, 6) AS DECIMAL(20,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_cosine,
+             round(MAX(cosine), 6) AS max_cosine
+      FROM pairs
+      GROUP BY 1
+      ORDER BY same_label
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q45, q46)
+}
