@@ -39,17 +39,26 @@ object MockScorers {
 
   /** Per-aspect 4-class prediction ∈ {0,1,2,3} (semantics of the
     * reference's per-aspect argmax, `spark_kafka_consumer_dag.py:127-134`):
-    * a frozen integer hash of (normalized length, token count, aspect).
+    * a frozen integer hash of (normalized length, token count, codepoint
+    * sum, aspect). The codepoint sum multiplies the aspect index so
+    * aspects vary independently per document, not as rotations of one
+    * scalar.
     */
   def aspectPred(norm: Column, aspectIdx: Int): Column = {
     val len = length(norm)
     val words = size(split(norm, " "))
-    pmod(len * 31 + words * 7 + lit(aspectIdx * 13), lit(4))
+    val charsum = aggregate(
+      transform(split(norm, ""), c => ascii(c)), lit(0), (a, b) => a + b)
+    pmod(len * 31 + words * 7 + charsum * (2 * aspectIdx + 1)
+      + lit(aspectIdx * 13), lit(4))
   }
 
   /** Same prediction as DuckDB SQL over a normalized-text expression. */
   def aspectPredSql(normExpr: String, aspectIdx: Int): String =
-    s"CAST((length($normExpr) * 31 + len(string_split($normExpr, ' ')) * 7 + ${aspectIdx * 13}) % 4 AS INTEGER)"
+    s"""CAST((length($normExpr) * 31 + len(string_split($normExpr, ' ')) * 7
+       + CAST(list_sum(list_transform(string_split($normExpr, ''), c -> ascii(c))) AS INTEGER) * ${2 * aspectIdx + 1}
+       + ${aspectIdx * 13}) % 4 AS INTEGER)""".linesIterator
+      .map(_.trim).mkString(" ")
 
   /** Normalization as DuckDB SQL over a raw text expression. */
   def normalizeSql(textExpr: String): String =

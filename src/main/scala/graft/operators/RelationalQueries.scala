@@ -58,7 +58,7 @@ object RelationalQueries {
         .filter(
           col("p_size").between(10, 25) &&
             col("p_brand").isin("Brand#1", "Brand#7", "Brand#13", "Brand#25") &&
-            col("p_name").like("%re%") &&
+            col("p_name").like("%e%") &&
             col("p_type") =!= "ECONOMY" &&
             col("p_retailprice") < 1800.0)
         .select(col("p_partkey"), col("p_name"), col("p_brand"),
@@ -69,7 +69,7 @@ object RelationalQueries {
       FROM part
       WHERE p_size BETWEEN 10 AND 25
         AND p_brand IN ('Brand#1','Brand#7','Brand#13','Brand#25')
-        AND p_name LIKE '%re%'
+        AND p_name LIKE '%e%'
         AND p_type <> 'ECONOMY'
         AND p_retailprice < 1800.0
       ORDER BY p_partkey

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.Row
+
+import graft.functions.MockScorers
+
+/** ABSA streaming pipeline (SURVEY.md §3.2 — the distributed-UDF variant is
+  * the blueprint; the driver-collect variant's anti-pattern is deliberately
+  * NOT reproduced, §4.2).
+  *
+  * Stages: Kafka-shaped source → cast value to string (S10) → from_json +
+  * flatten (S11) → normalize (S15) → executor-side scoring (S20/S22
+  * semantics via the frozen mock, pure Column arithmetic — stays in
+  * whole-stage codegen) → model_version stamp (S24) → foreachBatch sink
+  * with JDBC-style append + graceful console fallback (S5/S6/S31).
+  */
+object AbsaPipeline {
+
+  /** Kafka JSON value schema (`spark_kafka_consumer_dag.py:49-52`). */
+  val reviewSchema: StructType = StructType(Seq(
+    StructField("id", StringType), StructField("review", StringType)))
+
+  /** Kafka source wiring (S1/S28). Requires the spark-sql-kafka connector
+    * on the cluster classpath; in tests MemoryStream replaces it.
+    */
+  def fromKafka(spark: SparkSession, bootstrap: String, topic: String,
+      startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Long = 50L): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
+      .load()
+
+  /** S10+S11: binary kafka value → parsed review columns. Works on any
+    * DataFrame bearing a `value` column (kafka, memory stream, files).
+    */
+  def parse(raw: DataFrame): DataFrame =
+    raw
+      .selectExpr("CAST(value AS STRING) AS json")
+      .select(from_json(col("json"), reviewSchema).as("d"))
+      .select(col("d.id").as("id"), col("d.review").as("review"))
+
+  /** S15+S16+S20/S22+S24: normalize, score all 8 aspects, stamp version.
+    * Null reviews are scored as empty text (reference fillna("")).
+    */
+  def score(parsed: DataFrame, modelVersion: String): DataFrame = {
+    val withNorm = parsed
+      .withColumn("review_text", coalesce(col("review"), lit("")))
+      .withColumn("norm", MockScorers.normalize(col("review_text")))
+    MockScorers.aspects.zipWithIndex
+      .foldLeft(withNorm) { case (df, (a, i)) =>
+        df.withColumn(s"${a}_pred", MockScorers.aspectPred(col("norm"), i))
+      }
+      .withColumn("model_version", lit(modelVersion))
+      .drop("norm", "review")
+  }
+
+  /** Sink stage (S5/S6/S31): per micro-batch, re-score with the provider's
+    * current version (hot reload checked once per batch) and append to the
+    * primary sink; on failure, degrade to a console/log dump instead of
+    * failing the query. `writePrimary` stands in for the JDBC append —
+    * parquet in tests, `DataFrameWriter.jdbc` in production wiring.
+    */
+  def sink(parsed: DataFrame, provider: ScorerProvider,
+      writePrimary: (DataFrame, Long) => Unit,
+      onFallback: (DataFrame, Long, Throwable) => Unit,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+      : DataStreamWriter[Row] =
+    parsed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val version = provider.reloadIfUpdated()
+        val scored = score(batch, version)
+        try writePrimary(scored, batchId)
+        catch {
+          case e: Throwable => onFallback(scored, batchId, e)
+        }
+      }
+
+  /** Production-shaped JDBC append (S5). Unexercised in the test container
+    * (no Postgres); the foreachBatch/fallback path around it is tested
+    * with a parquet stand-in.
+    */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+      user: String, password: String): Unit =
+    df.write
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+      .mode("append")
+      .save()
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming aggregations — the Spark-native upgrade of the
+  * reference's dashboard-side binning (SURVEY.md §2.7: the reference never
+  * windows in Spark; D4's "1 phút/lần" chart bins in pandas). Here the
+  * engine owns them: watermarked tumbling windows, session windows, and
+  * custom per-key running state.
+  *
+  * At scale these are the stateful operators that need RocksDB state store
+  * + watermark-bounded retention (SURVEY §7.4); the semantics below are
+  * standard Spark event-time, so that swap is pure configuration.
+  */
+object StreamingAggregates {
+
+  /** Watermarked per-minute vehicle trend (D4 upgrade): tumbling 1-minute
+    * event-time windows, late frames beyond the watermark dropped.
+    */
+  def vehicleTrend(shaped: DataFrame, watermark: String = "2 minutes")
+      : DataFrame =
+    shaped
+      .withWatermark("frame_time", watermark)
+      .groupBy(window(col("frame_time"), "1 minute"), col("vehicle_type"))
+      .agg(sum(col("count")).as("total"), count(lit(1)).as("n_frames"))
+      .select(col("window.start").as("bucket_start"), col("vehicle_type"),
+        col("total"), col("n_frames"))
+
+  /** Session windows per camera: a camera's frames group into sessions
+    * closed by a 30s gap of silence.
+    */
+  def cameraSessions(shaped: DataFrame, gap: String = "30 seconds",
+      watermark: String = "2 minutes"): DataFrame =
+    shaped
+      .withWatermark("frame_time", watermark)
+      .groupBy(session_window(col("frame_time"), gap), col("camera_id"))
+      .agg(sum(col("count")).as("total"), count(lit(1)).as("n_frames"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("camera_id"), col("total"), col("n_frames"))
+
+  final case class CameraEvent(camera_id: String, count: Int)
+  final case class CameraRunning(camera_id: String, total_vehicles: Long,
+      n_frames: Long)
+
+  /** Custom keyed state (flatMapGroupsWithState): per-camera running totals
+    * emitted on every update — the stateful form of D5's dashboard tiles.
+    */
+  def runningCameraTotals(events: Dataset[CameraEvent])
+      : Dataset[CameraRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.camera_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (camera: String, rows: Iterator[CameraEvent],
+            state: GroupState[CameraRunning]) => {
+          val prev = state.getOption
+            .getOrElse(CameraRunning(camera, 0L, 0L))
+          var total = prev.total_vehicles
+          var n = prev.n_frames
+          rows.foreach { e => total += e.count; n += 1 }
+          val next = CameraRunning(camera, total, n)
+          state.update(next)
+          Iterator.single(next)
+        })
+  }
+}

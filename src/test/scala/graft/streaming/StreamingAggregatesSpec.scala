@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+class StreamingAggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int, second: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$second%02d")
+
+  final case class ShapedFrame(camera_id: String, vehicle_type: String,
+      count: Int, frame_time: Timestamp)
+
+  test("watermarked tumbling window: late data beyond watermark is dropped") {
+    val input = MemoryStream[ShapedFrame](spark)
+    val q = StreamingAggregates
+      .vehicleTrend(input.toDF(), watermark = "2 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trend")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+
+    input.addData(
+      ShapedFrame("CAM_1", "car", 2, ts(0, 10)),
+      ShapedFrame("CAM_1", "car", 3, ts(0, 40)),
+      ShapedFrame("CAM_2", "bus", 1, ts(1, 5)))
+    q.processAllAvailable()
+    // advance watermark far past minute 0-1 so those windows close
+    input.addData(ShapedFrame("CAM_1", "car", 1, ts(10, 0)))
+    q.processAllAvailable()
+    // this arrives 10 min late — beyond the 2-min watermark → dropped
+    input.addData(ShapedFrame("CAM_1", "car", 99, ts(0, 50)))
+    q.processAllAvailable()
+    input.addData(ShapedFrame("CAM_1", "car", 1, ts(20, 0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("trend")
+      .selectExpr("cast(bucket_start as string)", "vehicle_type", "total", "n_frames")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(rows.contains(("2024-01-01 10:00:00", "car", 5L, 2L)),
+      s"minute-0 car window wrong: $rows")
+    assert(rows.contains(("2024-01-01 10:01:00", "bus", 1L, 1L)))
+    assert(!rows.exists { case (_, _, total, _) => total >= 99 },
+      "late row must have been dropped by the watermark")
+  }
+
+  test("session windows close after the gap") {
+    val input = MemoryStream[ShapedFrame](spark)
+    val q = StreamingAggregates
+      .cameraSessions(input.toDF(), gap = "30 seconds", watermark = "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .start()
+    // two bursts 10:00:00-10:00:20 and 10:02:00, gap > 30s splits them
+    input.addData(
+      ShapedFrame("CAM_1", "car", 1, ts(0, 0)),
+      ShapedFrame("CAM_1", "car", 2, ts(0, 20)),
+      ShapedFrame("CAM_1", "bus", 4, ts(2, 0)))
+    q.processAllAvailable()
+    input.addData(ShapedFrame("CAM_1", "car", 1, ts(30, 0))) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sessions")
+      .selectExpr("cast(session_start as string)", "cast(session_end as string)",
+        "camera_id", "total", "n_frames")
+      .as[(String, String, String, Long, Long)].collect().toSet
+    assert(rows.contains(
+      ("2024-01-01 10:00:00", "2024-01-01 10:00:50", "CAM_1", 3L, 2L)),
+      s"first session wrong: $rows")
+    assert(rows.exists(r => r._1 == "2024-01-01 10:02:00" && r._4 == 4L))
+  }
+
+  test("flatMapGroupsWithState: per-camera running totals across batches") {
+    import StreamingAggregates._
+    val input = MemoryStream[CameraEvent](spark)
+    val q = runningCameraTotals(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("running")
+      .start()
+    input.addData(CameraEvent("CAM_1", 2), CameraEvent("CAM_1", 3),
+      CameraEvent("CAM_2", 5))
+    q.processAllAvailable()
+    input.addData(CameraEvent("CAM_1", 10))
+    q.processAllAvailable()
+    q.stop()
+
+    val totals = spark.table("running")
+      .as[CameraRunning].collect()
+      .groupBy(_.camera_id).view.mapValues(_.maxBy(_.n_frames)).toMap
+    assert(totals("CAM_1").total_vehicles === 15L)
+    assert(totals("CAM_1").n_frames === 3L)
+    assert(totals("CAM_2").total_vehicles === 5L)
+  }
+}
