@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.MockScorers.normalize
+
+/** Approximate near-dup detection (north-star X15): MinHash + LSH banding
+  * and SimHash. No SQL oracle (engine-specific hashes); verified against
+  * brute-force Jaccard in ScalaTest.
+  *
+  * Scale design: the only shuffles are (a) shingle-rows → per-doc
+  * signature aggregation and (b) the band-bucket self-join, whose fan-out
+  * is bounded by band width; candidate verification joins back bounded
+  * shingle-set arrays, never full text. At 100 TB this is the standard
+  * shingle → signature → band → verify pipeline (MMDS ch. 3 shape).
+  */
+object MinHashDedup {
+
+  val NumHashes = 32
+  val Bands = 16 // 2 rows per band: P(candidate | s) = 1-(1-s^2)^16
+  val RowsPerBand: Int = NumHashes / Bands
+  private val P = 2147483647L // 2^31 - 1
+
+  // fixed permutation constants, seeded for reproducibility
+  private val perms: Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(42)
+    Seq.fill(NumHashes)(
+      (1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+        rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** doc_id + distinct 3-word shingles. */
+  def shingles(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"), split(normalize(col(textCol)), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(words) - 2), " +
+            "i -> concat_ws(' ', words[i-1], words[i], words[i+1]))"))
+          .as("shingle"))
+      .distinct()
+
+  /** doc_id + sig_0..sig_31 (min of permuted 31-bit shingle hashes). */
+  def signatures(sh: DataFrame): DataFrame = {
+    val base = pmod(xxhash64(col("shingle")), lit(P))
+    val hashed = perms.zipWithIndex.foldLeft(sh) {
+      case (df, ((a, b), i)) =>
+        df.withColumn(s"h_$i", pmod(lit(a) * base + lit(b), lit(P)))
+    }
+    hashed.groupBy(col("doc_id"))
+      .agg(min(col("h_0")).as("sig_0"),
+        (1 until NumHashes).map(i => min(col(s"h_$i")).as(s"sig_$i")): _*)
+  }
+
+  /** Candidate pairs: docs sharing any LSH band bucket. */
+  def candidatePairs(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand)
+        .map(r => col(s"sig_${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"),
+        hash(rows: _*).as("bucket"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full pipeline: LSH candidates verified with exact Jaccard over the
+    * bounded per-doc shingle sets (array_intersect on collect_set arrays).
+    */
+  def nearDuplicates(docs: DataFrame, threshold: Double,
+      textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, textCol).cache()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("shset"))
+    val cand = candidatePairs(signatures(sh))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")),
+        "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - col("n_inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}
+
+/** 64-bit SimHash near-dup sketch: signature = sign-vector of weighted
+  * word-hash bits; near pairs via 16-bit chunk banding + Hamming filter.
+  */
+object SimHash {
+
+  /** doc_id + simhash: Long. */
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(split(normalize(col(textCol)), " "))
+        .as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("word")))
+    val bitSums = words.groupBy(col("doc_id")).agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as("b_0"),
+      (1 until 64).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("tf"))
+          .otherwise(-col("tf"))).as(s"b_$j")): _*)
+    val packed = (0 until 64)
+      .map(j => when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    bitSums.select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** Pairs with Hamming(simhash) ≤ maxHamming, found by requiring an
+    * exact match on ≥1 of the 4 16-bit chunks (guaranteed complete for
+    * maxHamming ≤ 3 by pigeonhole).
+    */
+  def nearPairs(docs: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding is only complete up to 3")
+    val sigs = simhash(docs, textCol)
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("k"),
+          shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL)
+            .as("chunk"))): _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.k"), col("c.chunk"))
+    chunks.alias("a")
+      .join(chunks.alias("b"),
+        col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -11,7 +11,8 @@ class QueriesSmokeSpec extends SparkSpec {
 
   // pair-similarity queries can legitimately return zero rows on the
   // near-orthogonal synthetic corpus
-  private val mayBeEmpty = Set("q42_ngram_jaccard_pairs")
+  private val mayBeEmpty = Set("q42_ngram_jaccard_pairs",
+    "q43_minhash_lsh_pairs", "q44_simhash_pairs")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, build) =>
     test(s"$name runs at sf0.001") {

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Brute-force oracles for the sketch operators (the driver only rows-
+  * checks these — correctness is proven here).
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Corpus with planted near-duplicates. */
+  private lazy val corpus: DataFrame = {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest chasing small animals all day long"
+    val words = base.split(" ")
+    def mutate(drop: Int): String =
+      words.zipWithIndex.filter(_._2 % 37 != drop * 5 + 1).map(_._1).mkString(" ")
+    val rows = Seq(
+      (0L, base), (1L, base), // exact dup
+      (2L, mutate(0)), // near dup of 0
+      (3L, words.reverse.mkString(" ")), // same bag, different order
+      (4L, "completely different content about database engines and query planners optimizing joins"),
+      (5L, "another unrelated text mentioning vehicles cameras frames detection counting"),
+      (6L, base + " extra trailing tokens appended here")) // near dup of 0
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Brute-force 3-gram Jaccard over all pairs. */
+  private def bruteJaccard(df: DataFrame): Map[(Long, Long), Double] = {
+    val sh = MinHashDedup.shingles(df)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      inter = sh(a).intersect(sh(b)).size
+      if inter > 0
+    } yield (a, b) ->
+      inter.toDouble / (sh(a).size + sh(b).size - inter)).toMap
+  }
+
+  test("minhash-lsh pairs match brute-force jaccard at threshold 0.5") {
+    val got = MinHashDedup.nearDuplicates(corpus, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val expected = bruteJaccard(corpus).filter(_._2 >= 0.5)
+    // verification step makes precision exact
+    got.keys.foreach { p =>
+      assert(expected.contains(p), s"false positive pair $p")
+      assert(math.abs(got(p) - expected(p)) < 1e-3)
+    }
+    // 16 bands × 2 rows: recall at s≥0.5 is ≥ 0.99 per pair; on this
+    // corpus every true pair must be found
+    assert(got.keySet === expected.keySet,
+      s"missed pairs: ${expected.keySet -- got.keySet}")
+    assert(got.contains((0L, 1L)), "exact dup must be found")
+    assert(got((0L, 1L)) === 1.0)
+  }
+
+  test("minhash-lsh on the real corpus: subset of brute force, high recall") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val got = MinHashDedup.nearDuplicates(docs, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = bruteJaccard(docs).filter(_._2 >= 0.3).keySet
+    assert(got.subsetOf(expected), "verified candidates can't be false positives")
+    if (expected.nonEmpty) {
+      val recall = got.size.toDouble / expected.size
+      info(f"recall@0.3 = $recall%.2f over ${expected.size} true pairs")
+      assert(recall >= 0.5)
+    }
+  }
+
+  test("simhash: exact dup hamming 0, near dup small, unrelated large") {
+    val sig = SimHash.simhash(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int =
+      java.lang.Long.bitCount(sig(a) ^ sig(b))
+    assert(ham(0, 1) === 0, "identical docs must collide")
+    assert(ham(0, 3) === 0, "simhash is order-insensitive over bags")
+    assert(ham(0, 2) <= 16, s"near dup too far: ${ham(0, 2)}")
+    assert(ham(0, 4) > 16, s"unrelated too close: ${ham(0, 4)}")
+
+    val pairs = SimHash.nearPairs(corpus, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 0 && p._2 == 1 && p._3 == 0))
+    // banding is complete for hamming ≤ 3: every qualifying pair appears
+    val all = for {
+      a <- sig.keys; b <- sig.keys if a < b && ham(a, b) <= 3
+    } yield (a, b)
+    assert(pairs.map(p => (p._1, p._2)).toSet === all.toSet)
+  }
+
+  test("ann-lsh: high recall vs brute-force top-5, bounded candidate set") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val brute = SimilarityQueries.q45.build(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = AnnLsh.topK(emb, 0L to 9L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // keysIterator, not keys: Set.map would dedup equal per-query counts
+    val hits = brute.keysIterator.map(q =>
+      (approx.getOrElse(q, Set.empty) intersect brute(q)).size).sum
+    val recall = hits.toDouble / (brute.size * 5)
+    info(f"ann recall@5 = $recall%.2f")
+    // random near-orthogonal vectors are LSH's worst case; measured 0.90
+    // at 16 tables × 4 bits on this corpus
+    assert(recall >= 0.7, f"recall too low: $recall%.2f")
+  }
+}
