@@ -512,8 +512,16 @@ object RelationalQueries {
     """))
 
   /** Range (non-equi) join: pairs of events by the same user within 10
-    * minutes — equi key on user_id plus a range predicate, which Spark
-    * plans as a sort-merge join with the range as join condition. [X10]
+    * minutes. [X10]
+    *
+    * Scale design: a plain (user_id, range) join degenerates to all-pairs
+    * per user (sort-merge join + residual filter — quadratic in events per
+    * user). Instead, band the time axis into 10-minute buckets, replicate
+    * the left side into buckets {b, b+1} (which provably cover every
+    * in-range partner), and equi-join on (user_id, bucket) with the exact
+    * range as a residual predicate — the standard banded interval-join
+    * rewrite; pairs examined drop from O(n²/user) to O(n × bucket
+    * occupancy).
     */
   val q20 = GraftQuery(
     "q20_range_join",
@@ -521,11 +529,16 @@ object RelationalQueries {
       val e1 = t(s, d, "events").select(
         col("user_id").as("u"), col("event_id").as("id1"),
         col("ts").as("ts1"), col("event_type").as("type1"))
+        .withColumn("b0", expr("unix_timestamp(ts1) div 600"))
+        .withColumn("bucket", explode(array(col("b0"), col("b0") + 1)))
+        .drop("b0")
       val e2 = t(s, d, "events").select(
         col("user_id").as("u2"), col("event_id").as("id2"),
         col("ts").as("ts2"))
+        .withColumn("bucket2", expr("unix_timestamp(ts2) div 600"))
       e1.join(e2,
-          col("u") === col("u2") && col("id1") < col("id2") &&
+          col("u") === col("u2") && col("bucket") === col("bucket2") &&
+            col("id1") < col("id2") &&
             col("ts2") >= col("ts1") &&
             col("ts2") <= col("ts1") + expr("INTERVAL 10 MINUTES"))
         .groupBy(col("type1"))

@@ -21,14 +21,14 @@ import Q._
   */
 object SimilarityQueries {
 
-  /** Sequential-fold dot product of two double arrays (codegen'd higher-
-    * order functions; no UDF).
+  /** Native fused-loop dot product (graft.functions.expressions.DotProduct)
+    * — bit-identical to the sequential fold and to DuckDB's list_reduce.
     */
   private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    graft.functions.expressions.VectorFunctions.dot(col(a), col(b))
 
   private def sqNorm(a: String) =
-    expr(s"aggregate(transform($a, x -> x * x), 0D, (acc, v) -> acc + v)")
+    graft.functions.expressions.VectorFunctions.sqNorm(col(a))
 
   /** Exact top-5 cosine neighbors for query vectors vec_id < 10. */
   val q45 = GraftQuery(

@@ -24,7 +24,7 @@ object AnnLsh {
   }
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, v) => acc + v)
+    graft.functions.expressions.VectorFunctions.dot(a, b)
 
   /** (vec_id, table, bucket) rows for every vector. */
   def buckets(vecs: DataFrame, tables: Int, bits: Int, dim: Int): DataFrame = {
@@ -48,8 +48,7 @@ object AnnLsh {
     val vecs = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm",
-        sqrt(aggregate(transform(col("emb"), x => x * x), lit(0d),
-          (acc, v) => acc + v)))
+        sqrt(graft.functions.expressions.VectorFunctions.sqNorm(col("emb"))))
     val b = buckets(vecs.select("vec_id", "emb"), tables, bits, dim)
     val qb = b.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("table"), col("bucket"))
