@@ -47,8 +47,9 @@ object MockScorers {
   def aspectPred(norm: Column, aspectIdx: Int): Column = {
     val len = length(norm)
     val words = size(split(norm, " "))
-    val charsum = aggregate(
-      transform(split(norm, ""), c => ascii(c)), lit(0), (a, b) => a + b)
+    // native expression: the aggregate/transform fold is CodegenFallback
+    // and would knock the scorer projection out of whole-stage codegen
+    val charsum = graft.functions.expressions.CharSum(norm)
     pmod(len * 31 + words * 7 + charsum * (2 * aspectIdx + 1)
       + lit(aspectIdx * 13), lit(4))
   }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (north-star X17): media payloads as opaque binary
+  * columns with typed metadata, and executor-side decode / feature
+  * extraction with per-partition amortized initialization.
+  *
+  * The vehicle pipeline's base64-JPEG frames (S4/S17,
+  * `vehicle_producer.py:23-56`) are the prototype: payload bytes travel as
+  * `BinaryType`, metadata as a typed struct, and any expensive codec work
+  * happens in `mapPartitions` so decoder init is paid once per partition,
+  * not per row — the JVM analog of the pandas-UDF batch pattern.
+  *
+  * The actual image decode is a STUB (`StubImageDecoder`): this container
+  * has no image codec, so it derives deterministic fake dimensions /
+  * channel stats from the payload bytes. The Spark-side plumbing — schema,
+  * batch shape, partition-level lifecycle, feature output — is real and
+  * tested; a production codec implements [[ImageDecoder]] and slots in
+  * unchanged.
+  */
+object Multimodal {
+
+  /** A decoded image surface. */
+  final case class DecodedImage(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte])
+
+  /** Codec boundary. Implementations must be Serializable (shipped to
+    * executors) and are initialized lazily per partition.
+    */
+  trait ImageDecoder extends Serializable {
+    def decode(payload: Array[Byte]): DecodedImage
+  }
+
+  /** STUB decoder — deterministic fake in place of a real JPEG codec.
+    * Dimensions and "pixels" are pure functions of the payload bytes, so
+    * tests are reproducible and the full pipeline exercises realistic
+    * shapes (a real codec would replace exactly this class).
+    */
+  object StubImageDecoder extends ImageDecoder {
+    override def decode(payload: Array[Byte]): DecodedImage = {
+      val h = java.util.Arrays.hashCode(payload)
+      val width = 16 + math.floorMod(h, 16) // 16..31
+      val height = 16 + math.floorMod(h >> 8, 16)
+      val channels = 3
+      // fake pixel plane: repeating payload bytes (empty payload → zeros)
+      val n = width * height * channels
+      val pixels = new Array[Byte](n)
+      if (payload.nonEmpty) {
+        var i = 0
+        while (i < n) { pixels(i) = payload(i % payload.length); i += 1 }
+      }
+      DecodedImage(width, height, channels, pixels)
+    }
+  }
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  final case class MediaFeatures(doc_id: Long, width: Int, height: Int,
+      channels: Int, n_bytes: Long, mean_intensity: Double,
+      thumb_8x8: Array[Double])
+
+  /** Ingest: attach typed metadata to a binary payload column — the
+    * schema every media table carries (FIXTURES §4 frame records land
+    * here after unbase64).
+    */
+  def withMetadata(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    df.withColumn("meta", struct(
+      octet_length(col(payloadCol)).as("n_bytes"),
+      sha2(col(payloadCol), 256).as("sha256"),
+      lit("image/jpeg").as("mime_type")))
+
+  /** Decode + feature-extract, executor-side, decoder init amortized per
+    * partition. Output: fixed-shape feature rows (dims, intensity, 8×8
+    * grayscale thumbnail) — the batch shape a training pipeline consumes.
+    */
+  def extractFeatures(media: Dataset[MediaRow],
+      decoder: ImageDecoder = StubImageDecoder): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init: a real codec allocates native context here
+      val codec = decoder
+      rows.map { m =>
+        val img = codec.decode(m.payload)
+        val px = img.pixels
+        var sum = 0L
+        var i = 0
+        while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+        val mean = if (px.length == 0) 0d else sum.toDouble / px.length
+        // 8×8 average-pool thumbnail over the first channel
+        val thumb = new Array[Double](64)
+        if (px.length > 0) {
+          val cellW = math.max(1, img.width / 8)
+          val cellH = math.max(1, img.height / 8)
+          var ty = 0
+          while (ty < 8) {
+            var tx = 0
+            while (tx < 8) {
+              var acc = 0L; var n = 0
+              var y = ty * cellH
+              while (y < math.min((ty + 1) * cellH, img.height)) {
+                var x = tx * cellW
+                while (x < math.min((tx + 1) * cellW, img.width)) {
+                  acc += px((y * img.width + x) * img.channels) & 0xff
+                  n += 1; x += 1
+                }
+                y += 1
+              }
+              thumb(ty * 8 + tx) = if (n == 0) 0d else acc.toDouble / n
+              tx += 1
+            }
+            ty += 1
+          }
+        }
+        MediaFeatures(m.doc_id, img.width, img.height, img.channels,
+          m.payload.length.toLong, mean, thumb)
+      }
+    }
+  }
+
+  /** Frame sampling: keep every k-th frame per camera (deterministic,
+    * executor-side) — the video analog of record sampling.
+    */
+  def sampleFrames(frames: DataFrame, every: Int,
+      orderCol: String = "event_id"): DataFrame =
+    frames.filter(pmod(col(orderCol), lit(every)) === 0)
+}

@@ -23,5 +23,24 @@ object SketchQueries {
     (s, d) => AnnLsh.topK(t(s, d, "embeddings"), 0L to 9L, k = 5),
     None)
 
-  val all: Seq[GraftQuery] = Seq(q43, q44, q52)
+  /** Multimodal decode/feature plumbing over binary payloads (stub codec,
+    * real batch shape). Rows-only; determinism proven in MultimodalSpec.
+    */
+  val q53 = GraftQuery(
+    "q53_multimodal_features",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media)
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("n_bytes"), round(col("mean_intensity"), 4).as("mean_intensity"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q43, q44, q52, q53)
 }

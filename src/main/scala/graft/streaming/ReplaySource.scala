@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Rate-limited corpus replay source (S3): the reference's producers
+  * replay a CSV corpus into Kafka at a fixed rate (1 msg/s,
+  * `producer.py:19,48-53`; 5 fps/cam `vehicle_producer.py:21`). The
+  * Spark-native equivalent needs no external broker: the built-in `rate`
+  * source drives a broadcast join against the indexed corpus, emitting
+  * `rowsPerSecond` corpus rows per second (cycling when exhausted).
+  *
+  * At scale the corpus side stays a broadcast only while small (like the
+  * reference's 2340-row corpus); a large corpus would instead be a
+  * `rate-micro-batch`-keyed shuffle join — same plan shape.
+  */
+object ReplaySource {
+
+  /** Streaming DataFrame replaying `corpus` rows (with monotonically
+    * increasing replay ids) at the given rate. The corpus gets a dense
+    * 0-based `corpus_idx` via a window-free zipWithIndex-style rank over
+    * a stable key column.
+    */
+  def fromRate(spark: SparkSession, corpus: DataFrame, keyCol: String,
+      rowsPerSecond: Int): DataFrame = {
+    val n = corpus.count()
+    val indexed = corpus.orderBy(col(keyCol))
+      .withColumn("corpus_idx",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col(keyCol))) - 1)
+    val rate = spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load() // columns: timestamp, value
+    rate
+      .withColumn("corpus_idx", pmod(col("value"), lit(n)))
+      .join(broadcast(indexed), "corpus_idx")
+      .withColumn("replay_id", col("value"))
+      .drop("corpus_idx", "value")
+  }
+}
