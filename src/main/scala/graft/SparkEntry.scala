@@ -14,8 +14,9 @@ import graft.operators._
 object SparkEntry {
 
   private def registry: Seq[GraftQuery] =
-    RelationalQueries.all ++ PipelineQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ TextQueries.all ++ SketchQueries.all
+    RelationalQueries.all ++ PipelineQueries.all ++ AdvancedQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
+      SketchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

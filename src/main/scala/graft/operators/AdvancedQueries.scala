@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q._
+import graft.functions.MockScorers.{vehicleCountSql, vehicleType, vehicleTypeSql}
+import graft.functions.ModeAggregator
+
+/** Remaining declared surface: typed UDAF (X3), as-of join (X11), cube
+  * (X5), approximate distinct (D5 scale path).
+  */
+object AdvancedQueries {
+
+  /** Custom typed UDAF: most common vehicle type per camera, deterministic
+    * tiebreak. Oracle mirrors the mode with a window over counts.
+    */
+  val q31 = GraftQuery(
+    "q31_mode_udaf",
+    (s, d) =>
+      t(s, d, "events")
+        .select(concat(lit("CAM_"), pmod(col("user_id"), lit(3)))
+          .as("camera_id"),
+          vehicleType(col("event_id")).as("vehicle_type"))
+        .groupBy(col("camera_id"))
+        .agg(ModeAggregator.modeOf(col("vehicle_type")).as("top_type"),
+          count(lit(1)).as("n_frames"))
+        .orderBy(col("camera_id")),
+    Some(s"""
+      WITH frames AS (
+        SELECT 'CAM_' || CAST(user_id % 3 AS VARCHAR) AS camera_id,
+               ${vehicleTypeSql("event_id")} AS vehicle_type
+        FROM events),
+      counts AS (
+        SELECT camera_id, vehicle_type, COUNT(*) AS n
+        FROM frames GROUP BY 1, 2),
+      ranked AS (
+        SELECT camera_id, vehicle_type,
+               ROW_NUMBER() OVER (PARTITION BY camera_id
+                                  ORDER BY n DESC, vehicle_type) AS rn
+        FROM counts)
+      SELECT r.camera_id, r.vehicle_type AS top_type, f.n_frames
+      FROM ranked r
+      JOIN (SELECT camera_id, COUNT(*) AS n_frames FROM frames GROUP BY 1) f
+        ON f.camera_id = r.camera_id
+      WHERE rn = 1
+      ORDER BY r.camera_id
+    """))
+
+  /** As-of join (X11): for every error event, the most recent signup by
+    * the same user at-or-before it.
+    *
+    * Spark-first formulation: tag + union both sides, one window pass per
+    * user ordered by (ts, tag, id) carrying `last(signup, ignoreNulls)` —
+    * a single shuffle on user_id, no row explosion, no range join. This is
+    * the merge-join shape an as-of join compiles to on any scale.
+    */
+  val q32 = GraftQuery(
+    "q32_asof_join",
+    (s, d) => {
+      val e = t(s, d, "events")
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(0).as("tag"), col("event_id").as("signup_id"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(1).as("tag"), lit(null).cast("long").as("signup_id"))
+      // tag=0 sorts signups first at equal ts (at-or-before semantics)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      signups.union(errors)
+        .withColumn("asof_signup_id",
+          last(col("signup_id"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("asof_signup_id"))
+        .orderBy(col("error_id"))
+    },
+    Some("""
+      WITH tagged AS (
+        SELECT user_id, ts, event_id, 0 AS tag, event_id AS signup_id
+        FROM events WHERE event_type = 'signup'
+        UNION ALL
+        SELECT user_id, ts, event_id, 1 AS tag, NULL AS signup_id
+        FROM events WHERE event_type = 'error')
+      SELECT event_id AS error_id, user_id, asof_signup_id
+      FROM (
+        SELECT user_id, event_id, tag,
+               LAST_VALUE(signup_id IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, tag, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS asof_signup_id
+        FROM tagged)
+      WHERE tag = 1
+      ORDER BY error_id
+    """))
+
+  /** Cube (X5): all grouping-set combinations of type × hour-of-day. */
+  val q33 = GraftQuery(
+    "q33_cube",
+    (s, d) =>
+      t(s, d, "events")
+        .cube(col("event_type"), hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("hod")),
+    Some("""
+      SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events
+      GROUP BY CUBE (event_type, hour(ts))
+      ORDER BY event_type ASC NULLS FIRST, hod ASC NULLS FIRST
+    """))
+
+  /** HLL approximate distinct (D5 scale path). HLL sketches are
+    * engine-specific → rows-only check; ±5%-of-exact tolerance is
+    * asserted in AdvancedSpec.
+    */
+  val q34 = GraftQuery(
+    "q34_approx_distinct",
+    (s, d) =>
+      t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34)
+}

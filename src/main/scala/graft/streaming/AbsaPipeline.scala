@@ -79,13 +79,24 @@ object AbsaPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val version = provider.reloadIfUpdated()
-        val scored = score(batch, version)
-        try writePrimary(scored, batchId)
-        catch {
-          case e: Throwable => onFallback(scored, batchId, e)
+        // S26: empty-batch gate (reference counts before writing)
+        if (!batch.isEmpty) {
+          val version = provider.reloadIfUpdated()
+          val scored = score(batch, version)
+          try writePrimary(scored, batchId)
+          catch {
+            case e: Throwable => onFallback(scored, batchId, e)
+          }
         }
       }
+
+  /** Kafka producer sink serialization (S8): rows → JSON values. The
+    * write itself needs the spark-sql-kafka connector
+    * (`.writeStream.format("kafka")`); the serialization contract is
+    * engine-side and tested.
+    */
+  def toKafkaValue(df: DataFrame): DataFrame =
+    df.selectExpr("to_json(struct(*)) AS value")
 
   /** Production-shaped JDBC append (S5). Unexercised in the test container
     * (no Postgres); the foreachBatch/fallback path around it is tested
