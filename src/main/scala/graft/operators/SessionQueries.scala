@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q._
+import graft.functions.MockScorers.{aspects, sentiments, decodeSentiment}
+
+/** Sessionization, pivot, and embedding near-dup — the remaining
+  * dashboard/pipeline shapes, all with exact oracles.
+  */
+object SessionQueries {
+
+  /** Batch sessionization (gaps-and-islands): per-user sessions split by
+    * >30-minute silences; one row per session. Same shape the streaming
+    * `session_window` produces, formulated as two window passes so the
+    * DuckDB oracle is exact.
+    */
+  val q35 = GraftQuery(
+    "q35_sessionize",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val newSession = when(
+        col("ts").cast("double") -
+          lag(col("ts"), 1).over(byUser).cast("double") > 1800d ||
+          lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0)
+      t(s, d, "events")
+        .withColumn("is_new", newSession)
+        .withColumn("session_id",
+          sum(col("is_new")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch(ts) - epoch(LAG(ts, 1) OVER w) > 1800
+                      OR LAG(ts, 1) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id,
+             MIN(ts) AS session_start,
+             MAX(ts) AS session_end,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM sessions
+      GROUP BY 1, 2
+      ORDER BY user_id, session_id
+    """))
+
+  /** Pivot: sentiment × aspect matrix (D2's wide dashboard form). The
+    * oracle mirrors with CASE sums, so column names line up exactly.
+    */
+  val q36 = GraftQuery(
+    "q36_pivot",
+    (s, d) => {
+      val stackExpr = "stack(8, " + aspects
+        .map(a => s"'$a', ${a.toLowerCase}_pred").mkString(", ") +
+        ") AS (aspect, pred)"
+      val scored = aspects.zipWithIndex.foldLeft(
+        t(s, d, "documents").select(col("doc_id"),
+          graft.functions.MockScorers.normalize(col("text")).as("norm"))) {
+        case (df, (a, i)) =>
+          df.withColumn(a.toLowerCase + "_pred",
+            graft.functions.MockScorers.aspectPred(col("norm"), i))
+      }
+      scored
+        .select(expr(stackExpr))
+        .select(col("aspect"), decodeSentiment(col("pred")).as("sentiment"))
+        .groupBy(col("sentiment"))
+        .pivot("aspect", aspects)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("sentiment"))
+    },
+    Some {
+      val caseCols = aspects.zipWithIndex.map { case (a, i) =>
+        s"CAST(COUNT(*) FILTER (WHERE aspect = '$a') AS BIGINT) AS $a"
+      }.mkString(",\n             ")
+      s"""
+      WITH norm_docs AS (
+        SELECT doc_id, ${graft.functions.MockScorers.normalizeSql("text")} AS norm
+        FROM documents),
+      melted AS (
+        ${aspects.zipWithIndex.map { case (a, i) =>
+          s"SELECT '$a' AS aspect, ${graft.functions.MockScorers
+            .aspectPredSql("norm", i)} AS pred FROM norm_docs"
+        }.mkString("\n        UNION ALL ")})
+      SELECT ${graft.functions.MockScorers.decodeSentimentSql("pred")} AS sentiment,
+             $caseCols
+      FROM melted
+      GROUP BY 1
+      ORDER BY sentiment
+    """
+    })
+
+  /** Embedding-cosine near-dup pairs (the dedup family's vector member):
+    * exact pairwise cosine ≥ 0.35 over a bounded id range, via the native
+    * DotProduct kernel — oracle-exact like q45/q46.
+    */
+  val q54 = GraftQuery(
+    "q54_embedding_near_dup",
+    (s, d) => {
+      import graft.functions.expressions.VectorFunctions
+      val e = t(s, d, "embeddings")
+        .filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", sqrt(VectorFunctions.sqNorm(col("emb"))))
+      val a = e.select(col("vec_id").as("ia"), col("emb").as("ea"),
+        col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("ib"), col("emb").as("eb"),
+        col("nrm").as("nb"))
+      a.join(b, col("ia") < col("ib"))
+        .withColumn("cosine",
+          VectorFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cosine") >= 0.35)
+        .select(col("ia"), col("ib"), round(col("cosine"), 6).as("cosine_r"))
+        .orderBy(col("ia"), col("ib"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(embedding::DOUBLE[], x -> x * x)),
+                 (acc, v) -> acc + v)) AS nrm
+        FROM embeddings WHERE vec_id < 300)
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(a.emb, (x, i) -> x * b.emb[i])),
+               (acc, v) -> acc + v) / (a.nrm * b.nrm), 6) AS cosine_r
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(a.emb, (x, i) -> x * b.emb[i])),
+              (acc, v) -> acc + v) / (a.nrm * b.nrm) >= 0.35
+      ORDER BY ia, ib
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q35, q36, q54)
+}
