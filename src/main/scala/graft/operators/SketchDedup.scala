@@ -102,15 +102,22 @@ object MinHashDedup {
     // int signatures (hashes < 2^31) keep the broadcast small: the sig
     // table is ~NumHashes × 4 bytes/doc, broadcastable far beyond this SF;
     // past broadcast size AQE falls back to a shuffle join on doc_id
+    val sizesBySig = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"))
     val sigs = sigTable
       .withColumn("sig",
         array((0 until NumHashes).map(i => col(s"sig_$i").cast("int")): _*))
       .select(col("doc_id"), col("sig"))
+      .join(sizesBySig, "doc_id")
     val cand = bandPairs(sigTable)
       .join(broadcast(sigs.select(col("doc_id").as("doc_a"),
-        col("sig").as("sig_a"))), "doc_a")
+        col("sig").as("sig_a"), col("n_sh").as("n_a"))), "doc_a")
       .join(broadcast(sigs.select(col("doc_id").as("doc_b"),
-        col("sig").as("sig_b"))), "doc_b")
+        col("sig").as("sig_b"), col("n_sh").as("n_b"))), "doc_b")
+      // J ≥ t bounds set sizes within factor 1/t: max·t ≤ min — a cheap
+      // cut before the signature comparison
+      .filter(greatest(col("n_a"), col("n_b")) * threshold <=
+        least(col("n_a"), col("n_b")))
       .withColumn("est",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           m => m)).cast("double") / NumHashes)
