@@ -15,6 +15,7 @@ object GraftSession {
   def builder(cpus: Int = 32): SparkSession.Builder =
     SparkSession
       .builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus.toString)

@@ -28,14 +28,30 @@ object MockScorers {
     */
   val sentiments: Seq[String] = Seq("ABSENT", "NEG", "NEU", "POS")
 
-  /** Text normalization (reference `spark_kafka_consumer_dag.py:104-108`):
-    * lowercase, strip non-alphanumerics to spaces, collapse whitespace,
-    * trim. Explicit ASCII character classes so Java and DuckDB regex agree
+  /** Text normalization for the oracle-checked corpus queries: lowercase,
+    * strip non-alphanumerics to spaces, collapse whitespace, trim.
+    * Explicit ASCII character classes so Java and DuckDB regex agree
     * byte-for-byte (SURVEY §7.4 charset risk).
     */
   def normalize(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Faithful reference normalization (`spark_kafka_consumer_dag.py:
+    * 104-108`): lower + strip FIRST, then replace any char outside
+    * `[\w\s` + Vietnamese letters`]` with a space, then collapse runs of
+    * whitespace — reproducing two reference quirks exactly: Python's
+    * unicode `\w` (Java needs the `(?U)` flag, SURVEY §7.4) and the
+    * missing final trim (punctuation at the edges leaves one leading/
+    * trailing space). Used by the ABSA pipeline; the oracle corpus is
+    * ASCII-only where this coincides with [[normalize]] up to `_`.
+    */
+  def normalizeVi(text: Column): Column =
+    regexp_replace(
+      regexp_replace(trim(lower(text)),
+        "(?U)[^\\w\\sáàảãạăắằẳẵặâấầẩẫậéèẻẽẹêếềểễệíìỉĩịóòỏõọôốồổỗộơớờởỡợúùủũụưứừửữựýỳỷỹỵđ]",
+        " "),
+      "\\s+", " ")
 
   /** Per-aspect 4-class prediction ∈ {0,1,2,3} (semantics of the
     * reference's per-aspect argmax, `spark_kafka_consumer_dag.py:127-134`):

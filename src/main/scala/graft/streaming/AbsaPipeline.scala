@@ -53,7 +53,8 @@ object AbsaPipeline {
   def score(parsed: DataFrame, modelVersion: String): DataFrame = {
     val withNorm = parsed
       .withColumn("review_text", coalesce(col("review"), lit("")))
-      .withColumn("norm", MockScorers.normalize(col("review_text")))
+      // faithful Vietnamese-aware normalization (S15)
+      .withColumn("norm", MockScorers.normalizeVi(col("review_text")))
     MockScorers.aspects.zipWithIndex
       .foldLeft(withNorm) { case (df, (a, i)) =>
         df.withColumn(s"${a}_pred", MockScorers.aspectPred(col("norm"), i))
