@@ -32,7 +32,58 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // streaming-parity rates vs BASELINE.md (ABSA 10 rows/s cap, vehicle
+    // 8 fps detector): drive each pipeline end-to-end through a real
+    // StreamingQuery / the full transform chain and report sustained
+    // throughput alongside the batch timings.
+    val (absaRate, vehicleRate) = streamingRates(spark)
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate}""")
     spark.stop()
+  }
+
+  private def streamingRates(spark: SparkSession): (Double, Double) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+
+    // ABSA: n reviews through parse → normalizeVi → score → sink
+    val n = 20000
+    val input = MemoryStream[String](spark)
+    input.addData((0 until n).map(i =>
+      s"""{"id": "$i", "review": "Hang ve dep lam nha ship than thien so $i"}"""))
+    val artifact = java.nio.file.Files
+      .createTempDirectory("bench-model").resolve("model.bin")
+    java.nio.file.Files.writeString(artifact, "w")
+    val provider = new graft.streaming.ScorerProvider(artifact)
+    val counted = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t0 = System.nanoTime()
+    val q = graft.streaming.AbsaPipeline
+      .sink(graft.streaming.AbsaPipeline.parse(input.toDF()), provider,
+        writePrimary = (df, _) => counted.addAndGet(df.count()),
+        onFallback = (_, _, e) => throw e,
+        checkpointDir = java.nio.file.Files
+          .createTempDirectory("bench-ckpt").toString,
+        trigger = Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    val absaSecs = (System.nanoTime() - t0) / 1e9
+    val absaRate = if (counted.get() == n) n / absaSecs else -1.0
+
+    // vehicle: m frames through parse → detect → shape
+    val m = 50000
+    val payload = java.util.Base64.getEncoder.encodeToString(
+      Array.tabulate[Byte](512)(_.toByte))
+    val frames = spark.range(m).select(
+      concat(lit("""{"camera_id": "CAM_"""), col("id") % 3,
+        lit("""", "timestamp": """), col("id").cast("double"),
+        lit(""", "frame_data": """"), lit(payload), lit("\"}")).as("value"))
+    val t1 = System.nanoTime()
+    val cnt = graft.streaming.VehiclePipeline.transformAll(frames, None).count()
+    val vehSecs = (System.nanoTime() - t1) / 1e9
+    val vehicleRate = if (cnt == m) m / vehSecs else -1.0
+    (math.rint(absaRate * 10) / 10, math.rint(vehicleRate * 10) / 10)
   }
 }
