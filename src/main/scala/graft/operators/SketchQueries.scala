@@ -42,5 +42,13 @@ object SketchQueries {
     },
     None)
 
-  val all: Seq[GraftQuery] = Seq(q43, q44, q52, q53)
+  /** IVF-partitioned ANN (the nprobe/nlist scale path next to sign-LSH
+    * q52). Rows-only; recall oracle in SketchSpec.
+    */
+  val q55 = GraftQuery(
+    "q55_ann_ivf_topk",
+    (s, d) => AnnIvf.topK(t(s, d, "embeddings"), 0L to 9L, k = 5),
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q43, q44, q52, q53, q55)
 }

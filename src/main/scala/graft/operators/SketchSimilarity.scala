@@ -73,3 +73,128 @@ object AnnLsh {
       .orderBy(col("qid"), col("rank"))
   }
 }
+
+/** IVF (inverted-file) approximate nearest neighbors — the second scale
+  * path alongside sign-LSH. The corpus is partitioned into `nlist` cells
+  * around centroids (deterministic seeded k-means, few iterations —
+  * trained once, reused for all queries); a query probes only its
+  * `nprobe` closest cells.
+  *
+  * At 100 TB: centroids are a driver-side model of nlist×dim doubles
+  * (broadcast); the corpus is written partitioned by cell id, so a query
+  * touches nprobe partitions instead of a full scan — the classic IVF
+  * trade of recall for a nlist/nprobe-factor read reduction.
+  */
+object AnnIvf {
+
+  import graft.functions.expressions.VectorFunctions
+
+  /** Deterministic k-means on a sample: seeded init (hash-spread picks),
+    * fixed iteration count, driver-side (centroid model is tiny).
+    */
+  def trainCentroids(vecs: DataFrame, nlist: Int, dim: Int,
+      iterations: Int = 5, sampleCap: Int = 4096): Array[Array[Double]] = {
+    val sample = vecs
+      .orderBy(pmod(col("vec_id") * 2654435761L + 7, lit(sampleCap * 4)),
+        col("vec_id"))
+      .limit(sampleCap)
+      .select(col("emb")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    var centroids = Array.tabulate(nlist)(i =>
+      sample(i * (sample.length / nlist)).clone())
+    for (_ <- 0 until iterations) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(nlist)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Double],
+      cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0d; var i = 0
+      while (i < v.length) {
+        val diff = v(i) - cs(c)(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Cell assignment as a Column: argmin over the centroid literal matrix
+    * of squared distance ‖v‖² − 2·v·c + ‖c‖² (the ‖v‖² term is constant
+    * per row, so argmin uses −2·dot + ‖c‖²).
+    */
+  private def cellOf(emb: org.apache.spark.sql.Column,
+      centroids: Array[Array[Double]]): org.apache.spark.sql.Column = {
+    val scores = centroids.map { c =>
+      val cLit = array(c.map(lit).toIndexedSeq: _*)
+      val c2 = c.map(x => x * x).sum
+      lit(c2) - lit(2d) * VectorFunctions.dot(cLit, emb)
+    }
+    // argmin with lowest-index tiebreak
+    val arr = array(scores.toIndexedSeq: _*)
+    array_position(arr, array_min(arr)).cast("int") - 1
+  }
+
+  /** Approximate top-k: probe the `nprobe` nearest cells per query. */
+  def topK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val session = embeddings.sparkSession
+    import session.implicits._
+    val dim = 64
+    val vecs = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(VectorFunctions.sqNorm(col("emb"))))
+    val centroids = trainCentroids(vecs.select(col("vec_id"), col("emb")),
+      nlist, dim)
+    val withCell = vecs.withColumn("cell", cellOf(col("emb"), centroids))
+
+    // nprobe closest cells per query, driver-side on the tiny model
+    val queryCells = withCell.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("emb")).collect()
+      .flatMap { r =>
+        val qid = r.getLong(0)
+        val v = r.getSeq[Double](1).toArray
+        centroids.indices
+          .sortBy { c =>
+            var d = 0d; var i = 0
+            while (i < v.length) {
+              val diff = v(i) - centroids(c)(i); d += diff * diff; i += 1
+            }
+            (d, c)
+          }
+          .take(nprobe).map(c => (qid, c))
+      }.toIndexedSeq
+    val probes = queryCells.toDF("qid", "cell")
+
+    val queries = withCell.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"))
+    val cand = withCell.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(queries), "qid")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand
+      .withColumn("cosine", VectorFunctions.dot(col("qemb"), col("emb")) /
+        (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine_r"))
+      .orderBy(col("qid"), col("rank"))
+  }
+}

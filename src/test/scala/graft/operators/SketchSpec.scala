@@ -108,4 +108,25 @@ class SketchSpec extends SparkSpec {
     // at 16 tables × 4 bits on this corpus
     assert(recall >= 0.7, f"recall too low: $recall%.2f")
   }
+
+  test("ann-ivf: deterministic, decent recall at nprobe/nlist = 1/4") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val brute = SimilarityQueries.q45.build(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val run1 = AnnIvf.topK(emb, 0L to 9L, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val run2 = AnnIvf.topK(emb, 0L to 9L, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(run1.toSeq === run2.toSeq, "IVF must be deterministic")
+    val approx = run1.map(t => (t._1, t._3)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val hits2 = brute.keysIterator.map(q =>
+      (approx.getOrElse(q, Set.empty[Long]) intersect brute(q)).size).sum
+    val recall2 = hits2.toDouble / (brute.size * 5)
+    info(f"ivf recall@5 = $recall2%.2f (probing 4/16 cells)")
+    // probing 25% of cells on clusterless uniform data ≈ 25-40% recall;
+    // determinism and the read-reduction mechanics are the contract
+    assert(recall2 >= 0.2, f"recall too low: $recall2%.2f")
+  }
 }
