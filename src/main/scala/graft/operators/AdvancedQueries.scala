@@ -125,5 +125,31 @@ object AdvancedQueries {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
     None)
 
-  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34)
+  /** Top-3 orders per customer through the custom TopKPerGroup physical
+    * operator (partial heaps → shuffle ≤ k·groups rows → final heaps) —
+    * same semantics as the window formulation q08, same oracle shape.
+    */
+  val q56 = GraftQuery(
+    "q56_topk_native",
+    (s, d) =>
+      graft.plans.TopK.perGroup(
+          t(s, d, "orders"),
+          groupCols = Seq(col("o_custkey")),
+          orderCols = Seq(col("o_totalprice").desc, col("o_orderkey")),
+          k = 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("o_totalprice").desc,
+          col("o_orderkey")),
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34, q56)
 }

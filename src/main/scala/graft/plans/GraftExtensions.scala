@@ -42,6 +42,8 @@ object ApproxDistinctRule extends Rule[LogicalPlan] {
   * GraftExtensions)` — GraftSession does this by default.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => ApproxDistinctRule)
+    e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+  }
 }

@@ -1,0 +1,115 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Whole-operator extension (SURVEY §4.2 / builder option (c)): top-k rows
+  * per group as a first-class physical operator.
+  *
+  * The built-in formulation — `row_number().over(Window.partitionBy(g)
+  * .orderBy(o)) <= k` — must SORT every group's full row set after the
+  * shuffle. This operator keeps a bounded k-row heap per group instead:
+  *
+  *   - partial stage (map-side, no distribution requirement): per-
+  *     partition heaps cap each group's contribution at k rows BEFORE the
+  *     shuffle — the top-k analog of partial aggregation; shuffle volume
+  *     drops from n rows to ≤ k·groups·partitions;
+  *   - final stage (requires clustering by the group keys): merges the
+  *     partial winners, O(n log k) with no full sort.
+  *
+  * At 100 TB this is the difference between shuffling the fact table and
+  * shuffling k rows per group per input split.
+  */
+case class TopKPerGroup(k: Int, groupExprs: Seq[Expression],
+    order: Seq[SortOrder], child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerGroup =
+    copy(child = c)
+}
+
+case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
+    order: Seq[SortOrder], partial: Boolean, child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(groupExprs))
+
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val groupLocal = groupExprs
+    val orderLocal = order
+    val childOutput = child.output
+    child.execute().mapPartitions({ rows =>
+      val groupProj = UnsafeProjection.create(groupLocal, childOutput)
+      val ordering = RowOrdering.create(orderLocal, childOutput)
+      // max-heap on the sort order: head = current worst of the kept k
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow,
+        mutable.PriorityQueue[InternalRow]]
+      rows.foreach { row =>
+        val key = groupProj(row)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](ordering)
+            heaps.put(key.copy(), h)
+            h
+        }
+        if (heap.size < kLocal) heap += row.copy()
+        else if (ordering.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap += row.copy()
+        }
+      }
+      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerGroupExec =
+    copy(child = c)
+}
+
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(k, group, order, child) =>
+      TopKPerGroupExec(k, group, order, partial = false,
+        TopKPerGroupExec(k, group, order, partial = true,
+          planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** User-facing API. */
+object TopK {
+
+  private def toSortOrder(c: Column): SortOrder =
+    Bridge.expression(c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    }
+
+  /** Top `k` rows of `df` per distinct value of `groupCols`, ordered by
+    * `orderCols` (use `.desc`/`.asc` columns). Requires the
+    * TopKPerGroupStrategy to be registered (GraftSession does).
+    */
+  def perGroup(df: DataFrame, groupCols: Seq[Column], orderCols: Seq[Column],
+      k: Int): DataFrame =
+    // expressions may arrive unresolved (plain col("...")); the analyzer
+    // resolves them against the child inside ofRows
+    Bridge.ofRows(df.sparkSession,
+      TopKPerGroup(k, groupCols.map(Bridge.expression),
+        orderCols.map(toSortOrder), Bridge.analyzedPlan(df)))
+}
