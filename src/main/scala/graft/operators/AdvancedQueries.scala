@@ -151,5 +151,29 @@ object AdvancedQueries {
       ORDER BY o_custkey, o_totalprice DESC, o_orderkey
     """))
 
-  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34, q56)
+  /** Salted two-phase aggregation (skew path): same result as a plain
+    * GROUP BY — which is exactly what the oracle runs.
+    */
+  val q57 = GraftQuery(
+    "q57_salted_agg",
+    (s, d) =>
+      SaltedAgg.sumByKey(
+          // explicit round: Spark's double→long cast truncates while
+          // DuckDB's rounds — round() first in both engines
+          t(s, d, "events").select(col("user_id"),
+            round(col("value") * 100).cast("long").as("cents")),
+          col("user_id"), col("cents"), salts = 8)
+        .select(col("k").as("user_id"), col("total").as("total_cents"),
+          col("n"))
+        .orderBy(col("user_id")),
+    Some("""
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY 1
+      ORDER BY user_id
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34, q56, q57)
 }

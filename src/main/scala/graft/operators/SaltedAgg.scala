@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-resistant aggregation: two-phase salted group-by.
+  *
+  * A hot key (one camera producing most frames, one user most events)
+  * funnels its entire row set through a single reducer in a plain
+  * groupBy. Salting appends a uniform shard id to the key for the first
+  * (partial) aggregation — the hot key fans out over `salts` reducers —
+  * then a second, tiny aggregation over (key) merges the shards.
+  *
+  * AQE's skew handling only splits JOIN partitions; skewed aggregation
+  * keys still need this pattern. Correct for any commutative+associative
+  * aggregate; exposed here for sum/count.
+  */
+object SaltedAgg {
+
+  def sumByKey(df: DataFrame, key: Column, value: Column,
+      salts: Int = 16): DataFrame = {
+    val partial = df
+      .groupBy(key.as("k"),
+        pmod(spark_partition_id() + monotonically_increasing_id(),
+          lit(salts.toLong)).as("salt"))
+      .agg(sum(value).as("partial_sum"), count(lit(1)).as("partial_n"))
+    partial
+      .groupBy(col("k"))
+      .agg(sum(col("partial_sum")).as("total"),
+        sum(col("partial_n")).as("n"))
+  }
+}
