@@ -15,8 +15,8 @@ object SparkEntry {
 
   private def registry: Seq[GraftQuery] =
     RelationalQueries.all ++ PipelineQueries.all ++ AdvancedQueries.all ++
-      SessionQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      TextQueries.all ++ SketchQueries.all
+      SessionQueries.all ++ ArrayAggQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all ++ TextQueries.all ++ SketchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -91,6 +91,28 @@ object AbsaPipeline {
         }
       }
 
+  /** Idempotent upsert append (SURVEY §7.4): the faithful default is
+    * at-least-once (JDBC append + offset commit can replay a batch after
+    * a crash, duplicating rows — the reference accepts this). This mode
+    * upgrades to effective exactly-once for keyed rows by anti-joining
+    * the batch against the keys already in the sink before appending.
+    *
+    * The existing-keys read is bounded: key column only (pruned scan; in
+    * a JDBC sink this is `SELECT key FROM target WHERE key IN (...)`).
+    */
+  def idempotentAppend(batch: DataFrame, sinkDir: String,
+      keyCol: String): Unit = {
+    val spark = batch.sparkSession
+    val fresh =
+      try {
+        val existing = spark.read.parquet(sinkDir).select(col(keyCol))
+        batch.join(existing, Seq(keyCol), "left_anti")
+      } catch {
+        case _: Exception => batch // first batch: sink doesn't exist yet
+      }
+    fresh.write.mode("append").parquet(sinkDir)
+  }
+
   /** Kafka producer sink serialization (S8): rows → JSON values. The
     * write itself needs the spark-sql-kafka connector
     * (`.writeStream.format("kafka")`); the serialization contract is
