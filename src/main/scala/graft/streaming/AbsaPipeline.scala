@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -46,6 +46,16 @@ object AbsaPipeline {
       .selectExpr("CAST(value AS STRING) AS json")
       .select(from_json(col("json"), reviewSchema).as("d"))
       .select(col("d.id").as("id"), col("d.review").as("review"))
+
+  /** Typed boundary (SURVEY §1.3): the parsed stream as Dataset[Review] —
+    * compile-time field checks at the pipeline edge; operators stay
+    * Column-based inside so Catalyst optimizations are unaffected.
+    */
+  def parseTyped(raw: DataFrame): Dataset[Model.Review] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    parse(raw).as[Model.Review]
+  }
 
   /** S15+S16+S20/S22+S24: normalize, score all 8 aspects, stamp version.
     * Null reviews are scored as empty text (reference fillna("")).

@@ -60,6 +60,16 @@ class AbsaPipelineSpec extends SparkSpec {
     assert(gotSorted === expSorted)
   }
 
+  test("typed boundary: parseTyped yields Dataset[Review] with same rows") {
+    val raw = Seq(reviewJson(5, "typed path"), """broken json""")
+      .toDF("value")
+    val typed: Seq[Model.Review] =
+      AbsaPipeline.parseTyped(raw).collect().toSeq
+    assert(typed.contains(Model.Review("5", "typed path")))
+    assert(typed.size === 2) // malformed row parses to null fields, typed
+    assert(typed.exists(r => r.id == null && r.review == null))
+  }
+
   test("graceful degradation: primary sink failure falls back, query survives") {
     val input = MemoryStream[String](spark)
     val ckpt = tmpDir("absa-fb-ckpt")
