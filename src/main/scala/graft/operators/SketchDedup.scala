@@ -81,6 +81,9 @@ object MinHashDedup {
   def candidatePairs(sigs: DataFrame): DataFrame =
     bandPairs(sigs).distinct()
 
+  private[graft] def candidatePairsRawCount(sigs: DataFrame): Long =
+    bandPairs(sigs).count()
+
   /** Full pipeline: LSH candidates → signature-estimate prefilter → exact
     * Jaccard verification.
     *
