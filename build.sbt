@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep `sbt runMain graft.Bench`'s ONE-JSON-LINE contract: sbt's
+// trailing "[success] Total time: ..." line otherwise lands after the
+// metric line and breaks last-line JSON parsing on the driver side.
+Global / showSuccess := false
+Global / showTiming := false
+// ... and sbt's logger would prefix every forked-run stdout line with
+// "[info] ", un-JSON-ing it; pass the child's stdio through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

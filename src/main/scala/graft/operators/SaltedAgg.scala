@@ -19,10 +19,15 @@ object SaltedAgg {
 
   def sumByKey(df: DataFrame, key: Column, value: Column,
       salts: Int = 16): DataFrame = {
+    // Salt must be DETERMINISTIC per row: nondeterministic salts
+    // (spark_partition_id / monotonically_increasing_id / rand) break
+    // under fetch-failure retries — a recomputed map task re-salts rows
+    // while reducers keep already-fetched output, double-counting or
+    // dropping partial sums. Hashing row content is stable across
+    // recomputation.
     val partial = df
       .groupBy(key.as("k"),
-        pmod(spark_partition_id() + monotonically_increasing_id(),
-          lit(salts.toLong)).as("salt"))
+        pmod(xxhash64(key, value), lit(salts.toLong)).as("salt"))
       .agg(sum(value).as("partial_sum"), count(lit(1)).as("partial_n"))
     partial
       .groupBy(col("k"))

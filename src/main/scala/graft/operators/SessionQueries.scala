@@ -48,8 +48,9 @@ object SessionQueries {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sessions AS (
         SELECT user_id, ts, value,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS session_id
         FROM flagged)
       SELECT user_id, session_id,
              MIN(ts) AS session_start,

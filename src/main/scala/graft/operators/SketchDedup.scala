@@ -129,7 +129,7 @@ object MinHashDedup {
       .distinct()
     val sets = sh.groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("shset"))
-    cand
+    val verified = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")),
         "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")),
@@ -141,6 +141,15 @@ object MinHashDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+    // Materialize the (small) pair result eagerly, then release the two
+    // intermediate caches — otherwise repeated invocations (bench REPEAT
+    // loops, suite reruns) accumulate cached blocks for the session
+    // lifetime. localCheckpoint truncates lineage so the returned frame
+    // no longer depends on the unpersisted inputs.
+    val result = verified.localCheckpoint()
+    sh.unpersist(blocking = false)
+    sigTable.unpersist(blocking = false)
+    result
   }
 }
 

@@ -100,18 +100,22 @@ object AnnIvf {
       .limit(sampleCap)
       .select(col("emb")).collect()
       .map(_.getSeq[Double](0).toArray)
-    var centroids = Array.tabulate(nlist)(i =>
-      sample(i * (sample.length / nlist)).clone())
+    require(sample.nonEmpty, "AnnIvf.trainCentroids: empty training sample")
+    // A sample smaller than nlist would make every stride-init pick
+    // sample(0) (degenerate single-cell clustering) — clamp instead.
+    val cells = math.min(nlist, sample.length)
+    var centroids = Array.tabulate(cells)(i =>
+      sample(i * (sample.length / cells)).clone())
     for (_ <- 0 until iterations) {
-      val sums = Array.fill(nlist)(new Array[Double](dim))
-      val counts = new Array[Int](nlist)
+      val sums = Array.fill(cells)(new Array[Double](dim))
+      val counts = new Array[Int](cells)
       sample.foreach { v =>
         val c = nearestCentroid(v, centroids)
         counts(c) += 1
         var i = 0
         while (i < dim) { sums(c)(i) += v(i); i += 1 }
       }
-      centroids = Array.tabulate(nlist)(c =>
+      centroids = Array.tabulate(cells)(c =>
         if (counts(c) == 0) centroids(c)
         else sums(c).map(_ / counts(c)))
     }

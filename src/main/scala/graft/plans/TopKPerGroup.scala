@@ -46,36 +46,103 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(groupExprs))
 
+  // Final stage streams group-at-a-time over input sorted by the group
+  // keys: memory is ONE k-row heap regardless of group cardinality, and
+  // the sort Spark inserts to satisfy this spills to disk. (The partial
+  // stage has already cut the sorted volume to ≤ k·groups per split.)
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(groupExprs.map(SortOrder(_, Ascending)))
+
   override def outputPartitioning = child.outputPartitioning
+
+  /** Partial-stage cap on distinct groups tracked per partition. Beyond
+    * it, rows pass through un-pruned — correct (the final stage is
+    * exact), just less map-side reduction — bounding partial-stage
+    * memory at ~maxPartialGroups·k rows instead of ~all partition rows
+    * for high-cardinality keys.
+    */
+  private val maxPartialGroups = 1 << 16
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val groupLocal = groupExprs
     val orderLocal = order
     val childOutput = child.output
-    child.execute().mapPartitions({ rows =>
-      val groupProj = UnsafeProjection.create(groupLocal, childOutput)
-      val ordering = RowOrdering.create(orderLocal, childOutput)
-      // max-heap on the sort order: head = current worst of the kept k
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow,
-        mutable.PriorityQueue[InternalRow]]
-      rows.foreach { row =>
-        val key = groupProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = mutable.PriorityQueue.empty[InternalRow](ordering)
-            heaps.put(key.copy(), h)
-            h
+    val capLocal = maxPartialGroups
+    if (partial) {
+      child.execute().mapPartitions({ rows =>
+        val groupProj = UnsafeProjection.create(groupLocal, childOutput)
+        val ordering = RowOrdering.create(orderLocal, childOutput)
+        // max-heap on the sort order: head = current worst of the kept k
+        val heaps = mutable.LinkedHashMap.empty[UnsafeRow,
+          mutable.PriorityQueue[InternalRow]]
+        val overflow = mutable.ArrayBuffer.empty[InternalRow]
+        rows.foreach { row =>
+          val key = groupProj(row)
+          heaps.get(key) match {
+            case Some(heap) =>
+              if (heap.size < kLocal) heap += row.copy()
+              else if (ordering.compare(row, heap.head) < 0) {
+                heap.dequeue()
+                heap += row.copy()
+              }
+            case None if heaps.size < capLocal =>
+              val h = mutable.PriorityQueue.empty[InternalRow](ordering)
+              h += row.copy()
+              heaps.put(key.copy(), h)
+            case None =>
+              overflow += row.copy() // beyond cap: forward unpruned
+          }
         }
-        if (heap.size < kLocal) heap += row.copy()
-        else if (ordering.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap += row.copy()
+        heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator) ++
+          overflow.iterator
+      }, preservesPartitioning = true)
+    } else {
+      child.execute().mapPartitions({ rows =>
+        val groupProj = UnsafeProjection.create(groupLocal, childOutput)
+        val ordering = RowOrdering.create(orderLocal, childOutput)
+        new Iterator[InternalRow] {
+          private var currentKey: UnsafeRow = _
+          private val heap =
+            mutable.PriorityQueue.empty[InternalRow](ordering)
+          private var pending: Iterator[InternalRow] = Iterator.empty
+          private var lookahead: InternalRow = _
+
+          private def fillPending(): Unit = {
+            while (pending.isEmpty && (lookahead != null || rows.hasNext)) {
+              val row = if (lookahead != null) lookahead else rows.next()
+              lookahead = null
+              val key = groupProj(row)
+              if (currentKey == null) currentKey = key.copy()
+              else if (key != currentKey) {
+                // group boundary (input is sorted by group): flush
+                pending = heap.dequeueAll.reverseIterator
+                lookahead = row
+                currentKey = null
+                return
+              }
+              if (heap.size < kLocal) heap += row.copy()
+              else if (ordering.compare(row, heap.head) < 0) {
+                heap.dequeue()
+                heap += row.copy()
+              }
+            }
+            if (pending.isEmpty && heap.nonEmpty)
+              pending = heap.dequeueAll.reverseIterator
+          }
+
+          override def hasNext: Boolean = {
+            if (pending.isEmpty) fillPending()
+            pending.hasNext
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            pending.next()
+          }
         }
-      }
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
-    }, preservesPartitioning = true)
+      }, preservesPartitioning = true)
+    }
   }
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerGroupExec =

@@ -113,13 +113,17 @@ object AbsaPipeline {
   def idempotentAppend(batch: DataFrame, sinkDir: String,
       keyCol: String): Unit = {
     val spark = batch.sparkSession
+    // Only a genuinely-absent sink means "first batch". A transient read
+    // failure (corrupt footer, FS hiccup) must propagate — swallowing it
+    // and appending the whole batch would silently reintroduce
+    // duplicates, defeating the effective-exactly-once guarantee.
+    val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh =
-      try {
+      if (fs.exists(sinkPath)) {
         val existing = spark.read.parquet(sinkDir).select(col(keyCol))
         batch.join(existing, Seq(keyCol), "left_anti")
-      } catch {
-        case _: Exception => batch // first batch: sink doesn't exist yet
-      }
+      } else batch // first batch: sink doesn't exist yet
     fresh.write.mode("append").parquet(sinkDir)
   }
 
