@@ -17,22 +17,71 @@ object ProfileQ43 {
       r
     }
 
-    val sh = time("shingles count") {
-      val s = MinHashDedup.shingles(docs).cache()
-      val n = s.count(); println(s"[prof]   shingle rows = $n"); s
+    time("warmup: docs.count")(docs.count())
+    println(s"[prof] docs partitions = ${docs.rdd.getNumPartitions}")
+    time("a: normalize+split only") {
+      docs.select(col("doc_id"),
+        split(graft.functions.MockScorers.normalize(col("text")), " ")
+          .as("words")).filter(size(col("words")) >= 3)
+        .agg(sum(size(col("words")))).collect()
     }
-    val sigs = time("signatures") {
-      val g = MinHashDedup.signatures(sh).cache()
-      val n = g.count(); println(s"[prof]   sig rows = $n"); g
+    time("b: + explode transform (no distinct)") {
+      docs.select(col("doc_id"),
+        split(graft.functions.MockScorers.normalize(col("text")), " ")
+          .as("words")).filter(size(col("words")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(words) - 2), " +
+            "i -> concat_ws(' ', words[i-1], words[i], words[i+1]))"))
+          .as("shingle")).count()
     }
-    val nCand = time("bandPairs raw count") {
-      MinHashDedup.candidatePairsRawCount(sigs)
+    time("c: + distinct") {
+      MinHashDedup.shingles(docs).count()
     }
-    println(s"[prof]   raw band pairs = $nCand")
-    val result = time("full nearDuplicates") {
-      MinHashDedup.nearDuplicates(docs, 0.5).count()
+
+    // mirror nearDuplicates stages with eager materialization at each step
+    val threshold = 0.5
+    val sh = time("1 shingles localCheckpoint") {
+      MinHashDedup.shingles(docs).localCheckpoint()
     }
-    println(s"[prof]   result pairs = $result")
+    val sigTable = time("2 signatures localCheckpoint") {
+      MinHashDedup.signatures(sh).localCheckpoint()
+    }
+    val sizesBySig = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val sigs = sigTable
+      .withColumn("sig",
+        array((0 until MinHashDedup.NumHashes)
+          .map(i => col(s"sig_$i").cast("int")): _*))
+      .select(col("doc_id"), col("sig"))
+      .join(sizesBySig, "doc_id")
+    val cand = time("3 candidates (band join + prefilter + distinct)") {
+      val c = MinHashDedup.candidateStage(sigTable, sigs, threshold)
+        .localCheckpoint()
+      println(s"[prof]   cand pairs = ${c.count()}")
+      c
+    }
+    val sets = time("4 shingle sets collect_set") {
+      val s = sh.groupBy(col("doc_id"))
+        .agg(collect_set(col("shingle")).as("shset")).localCheckpoint()
+      s
+    }
+    time("5 verify join + jaccard") {
+      val v = cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")),
+          "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")),
+          "doc_b")
+        .withColumn("n_inter",
+          size(array_intersect(col("set_a"), col("set_b"))))
+        .withColumn("jaccard",
+          round(col("n_inter").cast("double") /
+            (size(col("set_a")) + size(col("set_b")) - col("n_inter")), 4))
+        .filter(col("jaccard") >= threshold)
+        .count()
+      println(s"[prof]   verified pairs = $v")
+    }
+    time("full nearDuplicates (should now be warm-ish)") {
+      MinHashDedup.nearDuplicates(docs, threshold).count()
+    }
     spark.stop()
   }
 }

@@ -2,11 +2,11 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native sequential dot product over two ArrayType(DoubleType) columns.
   *
@@ -73,6 +73,158 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All sign-LSH table buckets of an embedding in one fused pass.
+  *
+  * The composable form — one `array(lit...)` plane literal plus a
+  * [[DotProduct]] per (table, bit) — builds a plan tree of
+  * tables×bits×dim literal nodes (4096 for 16×4×64). The tree itself
+  * becomes the bottleneck: every analyzer pass, AQE re-optimization, and
+  * codegen walk is O(tree), and profiling showed CheckAnalysis alone
+  * burning tens of seconds per query on it. Here the plane matrix is a
+  * single flat `double[]` reference object and the whole bucket
+  * computation is three tight loops; the plan node count is constant.
+  *
+  * Returns array<int> of length `tables`: element t = the `bits`-bit
+  * bucket of hyperplane table t (bit j set iff plane (t,j) · emb > 0).
+  */
+case class SignLshBuckets(child: Expression, planes: Array[Double],
+    tables: Int, bits: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_buckets expects array<double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def compute(v: ArrayData): Array[Int] = {
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var j = 0
+      while (j < bits) {
+        val base = (t * bits + j) * dim
+        var acc = 0d
+        var i = 0
+        while (i < n) { acc += planes(base + i) * v.getDouble(i); i += 1 }
+        if (acc > 0) bucket |= (1 << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(compute(a.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.addReferenceObj("planes", planes, "double[]")
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bucket = ctx.freshName("bucket")
+      val base = ctx.freshName("base")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |int[] $out = new int[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  int $bucket = 0;
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    int $base = ($t * $bits + $j) * $dim;
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += $p[$base + $i] * $a.getDouble($i);
+         |    }
+         |    if ($acc > 0) $bucket |= (1 << $j);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SignLshBuckets =
+    copy(child = c)
+}
+
+/** Nearest-centroid id (squared-L2 argmin, lowest index wins ties) over a
+  * flat centroid matrix reference — the IVF cell assignment as one fused
+  * loop instead of an `array(argmin over nlist dot-expressions)` tree.
+  */
+case class NearestCentroidId(child: Expression, centroids: Array[Double],
+    cells: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_cell expects array<double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cells) {
+      var d = 0d
+      var i = 0
+      while (i < n) {
+        val diff = v.getDouble(i) - centroids(c * dim + i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cs = ctx.addReferenceObj("centroids", centroids, "double[]")
+      val n = ctx.freshName("n")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val diff = ctx.freshName("diff")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |int $best = 0;
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $cells; $c++) {
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $diff = $a.getDouble($i) - $cs[$c * $dim + $i];
+         |    $d += $diff * $diff;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroidId =
+    copy(child = c)
+}
+
 object VectorFunctions {
   /** Column API for [[DotProduct]]. */
   def dot(a: Column, b: Column): Column =
@@ -80,4 +232,16 @@ object VectorFunctions {
 
   /** Squared L2 norm via the same fused loop. */
   def sqNorm(a: Column): Column = dot(a, a)
+
+  /** Column API for [[SignLshBuckets]] — planes flattened t-major. */
+  def signLshBuckets(emb: Column, planes: Array[Double], tables: Int,
+      bits: Int, dim: Int): Column =
+    Bridge.column(SignLshBuckets(Bridge.expression(emb), planes,
+      tables, bits, dim))
+
+  /** Column API for [[NearestCentroidId]] — centroids flattened c-major. */
+  def nearestCentroidId(emb: Column, centroids: Array[Double], cells: Int,
+      dim: Int): Column =
+    Bridge.column(NearestCentroidId(Bridge.expression(emb), centroids,
+      cells, dim))
 }

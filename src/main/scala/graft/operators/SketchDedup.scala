@@ -81,6 +81,27 @@ object MinHashDedup {
   def candidatePairs(sigs: DataFrame): DataFrame =
     bandPairs(sigs).distinct()
 
+  /** Band pairs → size-ratio cut → signature-estimate prefilter →
+    * distinct. Factored out so the profiler can time it in isolation.
+    */
+  private[graft] def candidateStage(sigTable: DataFrame, sigs: DataFrame,
+      threshold: Double): DataFrame =
+    bandPairs(sigTable)
+      .join(broadcast(sigs.select(col("doc_id").as("doc_a"),
+        col("sig").as("sig_a"), col("n_sh").as("n_a"))), "doc_a")
+      .join(broadcast(sigs.select(col("doc_id").as("doc_b"),
+        col("sig").as("sig_b"), col("n_sh").as("n_b"))), "doc_b")
+      // J ≥ t bounds set sizes within factor 1/t: max·t ≤ min — a cheap
+      // cut before the signature comparison
+      .filter(greatest(col("n_a"), col("n_b")) * threshold <=
+        least(col("n_a"), col("n_b")))
+      .withColumn("est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)).cast("double") / NumHashes)
+      .filter(col("est") >= threshold - 0.25)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+
   private[graft] def candidatePairsRawCount(sigs: DataFrame): Long =
     bandPairs(sigs).count()
 
@@ -100,8 +121,15 @@ object MinHashDedup {
     */
   def nearDuplicates(docs: DataFrame, threshold: Double,
       textCol: String = "text"): DataFrame = {
-    val sh = shingles(docs, textCol).cache()
-    val sigTable = signatures(sh).cache()
+    // Eager localCheckpoint (not cache): both frames are reused by 4+
+    // downstream branches, and cache() leaves the full shingle→signature
+    // tree in every branch's ANALYZED plan — analyzer/AQE walks over the
+    // repeated subtrees dominated the query at small SF. Checkpointing
+    // truncates lineage to a leaf; blocks are freed by the ContextCleaner
+    // once the frames go out of scope (the returned result is itself
+    // checkpointed, so it holds no reference to them).
+    val sh = shingles(docs, textCol).localCheckpoint()
+    val sigTable = signatures(sh).localCheckpoint()
     // int signatures (hashes < 2^31) keep the broadcast small: the sig
     // table is ~NumHashes × 4 bytes/doc, broadcastable far beyond this SF;
     // past broadcast size AQE falls back to a shuffle join on doc_id
@@ -112,21 +140,7 @@ object MinHashDedup {
         array((0 until NumHashes).map(i => col(s"sig_$i").cast("int")): _*))
       .select(col("doc_id"), col("sig"))
       .join(sizesBySig, "doc_id")
-    val cand = bandPairs(sigTable)
-      .join(broadcast(sigs.select(col("doc_id").as("doc_a"),
-        col("sig").as("sig_a"), col("n_sh").as("n_a"))), "doc_a")
-      .join(broadcast(sigs.select(col("doc_id").as("doc_b"),
-        col("sig").as("sig_b"), col("n_sh").as("n_b"))), "doc_b")
-      // J ≥ t bounds set sizes within factor 1/t: max·t ≤ min — a cheap
-      // cut before the signature comparison
-      .filter(greatest(col("n_a"), col("n_b")) * threshold <=
-        least(col("n_a"), col("n_b")))
-      .withColumn("est",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          m => m)).cast("double") / NumHashes)
-      .filter(col("est") >= threshold - 0.25)
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    val cand = candidateStage(sigTable, sigs, threshold)
     val sets = sh.groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("shset"))
     val verified = cand
@@ -141,15 +155,10 @@ object MinHashDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-    // Materialize the (small) pair result eagerly, then release the two
-    // intermediate caches — otherwise repeated invocations (bench REPEAT
-    // loops, suite reruns) accumulate cached blocks for the session
-    // lifetime. localCheckpoint truncates lineage so the returned frame
-    // no longer depends on the unpersisted inputs.
-    val result = verified.localCheckpoint()
-    sh.unpersist(blocking = false)
-    sigTable.unpersist(blocking = false)
-    result
+    // Materialize the (small) pair result eagerly so the returned frame
+    // is a leaf: callers re-evaluating it never recompute the pipeline,
+    // and the intermediate checkpoint blocks become collectable.
+    verified.localCheckpoint()
   }
 }
 

@@ -17,28 +17,24 @@ import org.apache.spark.sql.functions._
   */
 object AnnLsh {
 
-  /** Deterministic plane components, N(0,1), seeded. */
-  private def planes(tables: Int, bits: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+  /** Deterministic flat plane matrix (t-major), N(0,1), seeded. */
+  private def planes(tables: Int, bits: Int, dim: Int): Array[Double] = {
     val rnd = new java.util.Random(4242)
-    Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
+    Array.fill(tables * bits * dim)(rnd.nextGaussian())
   }
 
   private def dot(a: Column, b: Column): Column =
     graft.functions.expressions.VectorFunctions.dot(a, b)
 
-  /** (vec_id, table, bucket) rows for every vector. */
+  /** (vec_id, table, bucket) rows for every vector. All table buckets are
+    * computed by one fused [[graft.functions.expressions.SignLshBuckets]]
+    * pass (the plane matrix rides along as a single reference object, not
+    * tables×bits×dim literal plan nodes) and unpacked with posexplode.
+    */
   def buckets(vecs: DataFrame, tables: Int, bits: Int, dim: Int): DataFrame = {
-    val ps = planes(tables, bits, dim)
-    val bucketCols = ps.zipWithIndex.map { case (planeSet, t) =>
-      val bucket = planeSet.zipWithIndex.map { case (plane, j) =>
-        val planeLit = array(plane.map(lit): _*)
-        when(dot(planeLit, col("emb")) > 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("table"), bucket.as("bucket"))
-    }
-    vecs.select(col("vec_id"), col("emb"),
-      explode(array(bucketCols: _*)).as("tb"))
-      .select(col("vec_id"), col("emb"), col("tb.table"), col("tb.bucket"))
+    val all = graft.functions.expressions.VectorFunctions
+      .signLshBuckets(col("emb"), planes(tables, bits, dim), tables, bits, dim)
+    vecs.select(col("vec_id"), col("emb"), posexplode(all).as(Seq("table", "bucket")))
   }
 
   /** Approximate top-k cosine neighbors for the query id set. */
@@ -137,21 +133,16 @@ object AnnIvf {
     best
   }
 
-  /** Cell assignment as a Column: argmin over the centroid literal matrix
-    * of squared distance ‖v‖² − 2·v·c + ‖c‖² (the ‖v‖² term is constant
-    * per row, so argmin uses −2·dot + ‖c‖²).
+  /** Cell assignment as a Column: fused squared-L2 argmin over the flat
+    * centroid matrix ([[graft.functions.expressions.NearestCentroidId]]) —
+    * one reference object + three loops instead of an nlist-wide tree of
+    * dim-element array literals (which made analysis/AQE walks the
+    * dominant query cost).
     */
   private def cellOf(emb: org.apache.spark.sql.Column,
-      centroids: Array[Array[Double]]): org.apache.spark.sql.Column = {
-    val scores = centroids.map { c =>
-      val cLit = array(c.map(lit).toIndexedSeq: _*)
-      val c2 = c.map(x => x * x).sum
-      lit(c2) - lit(2d) * VectorFunctions.dot(cLit, emb)
-    }
-    // argmin with lowest-index tiebreak
-    val arr = array(scores.toIndexedSeq: _*)
-    array_position(arr, array_min(arr)).cast("int") - 1
-  }
+      centroids: Array[Array[Double]]): org.apache.spark.sql.Column =
+    VectorFunctions.nearestCentroidId(emb, centroids.flatten,
+      centroids.length, centroids.headOption.map(_.length).getOrElse(0))
 
   /** Approximate top-k: probe the `nprobe` nearest cells per query. */
   def topK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
