@@ -22,17 +22,27 @@ object Bench {
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
+      val times = (1 to repeat).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            None
+        }
       }
-      name -> times.min
+      // a crashing query must not bench as "fast": report -1, list in `failed`
+      if (times.size < repeat) { failed += name; name -> -1.0 }
+      else name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
 
     // streaming-parity rates vs BASELINE.md (ABSA 10 rows/s cap, vehicle
     // 8 fps detector): drive each pipeline end-to-end through a real
@@ -40,7 +50,7 @@ object Bench {
     // throughput alongside the batch timings.
     val (absaRate, vehicleRate) = streamingRates(spark)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate}""")
     spark.stop()
   }
 

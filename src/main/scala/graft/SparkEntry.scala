@@ -16,7 +16,8 @@ object SparkEntry {
   private def registry: Seq[GraftQuery] =
     RelationalQueries.all ++ PipelineQueries.all ++ AdvancedQueries.all ++
       SessionQueries.all ++ ArrayAggQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ TextQueries.all ++ SketchQueries.all
+      SimilarityQueries.all ++ TextQueries.all ++ SketchQueries.all ++
+      ReconQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -87,9 +87,15 @@ case class DotProduct(left: Expression, right: Expression)
   * Returns array<int> of length `tables`: element t = the `bits`-bit
   * bucket of hyperplane table t (bit j set iff plane (t,j) · emb > 0).
   */
-case class SignLshBuckets(child: Expression, planes: Array[Double],
+case class SignLshBuckets(child: Expression, planes: Seq[Double],
     tables: Int, bits: Int, dim: Int)
     extends UnaryExpression {
+
+  // Seq field (not Array): array equality is by reference, which would
+  // make semanticEquals/canonicalization never match two logically
+  // identical instances, defeating subexpression elimination. The flat
+  // primitive array for the hot loops is derived lazily.
+  @transient private lazy val planesArr: Array[Double] = planes.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -110,7 +116,7 @@ case class SignLshBuckets(child: Expression, planes: Array[Double],
         val base = (t * bits + j) * dim
         var acc = 0d
         var i = 0
-        while (i < n) { acc += planes(base + i) * v.getDouble(i); i += 1 }
+        while (i < n) { acc += planesArr(base + i) * v.getDouble(i); i += 1 }
         if (acc > 0) bucket |= (1 << j)
         j += 1
       }
@@ -126,7 +132,7 @@ case class SignLshBuckets(child: Expression, planes: Array[Double],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val p = ctx.addReferenceObj("planes", planes, "double[]")
+      val p = ctx.addReferenceObj("planes", planesArr, "double[]")
       val out = ctx.freshName("out")
       val n = ctx.freshName("n")
       val t = ctx.freshName("t")
@@ -163,9 +169,12 @@ case class SignLshBuckets(child: Expression, planes: Array[Double],
   * flat centroid matrix reference — the IVF cell assignment as one fused
   * loop instead of an `array(argmin over nlist dot-expressions)` tree.
   */
-case class NearestCentroidId(child: Expression, centroids: Array[Double],
+case class NearestCentroidId(child: Expression, centroids: Seq[Double],
     cells: Int, dim: Int)
     extends UnaryExpression {
+
+  // Seq field for content equality (see SignLshBuckets note)
+  @transient private lazy val centroidsArr: Array[Double] = centroids.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -185,7 +194,7 @@ case class NearestCentroidId(child: Expression, centroids: Array[Double],
       var d = 0d
       var i = 0
       while (i < n) {
-        val diff = v.getDouble(i) - centroids(c * dim + i)
+        val diff = v.getDouble(i) - centroidsArr(c * dim + i)
         d += diff * diff
         i += 1
       }
@@ -197,7 +206,7 @@ case class NearestCentroidId(child: Expression, centroids: Array[Double],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val cs = ctx.addReferenceObj("centroids", centroids, "double[]")
+      val cs = ctx.addReferenceObj("centroids", centroidsArr, "double[]")
       val n = ctx.freshName("n")
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
@@ -236,12 +245,12 @@ object VectorFunctions {
   /** Column API for [[SignLshBuckets]] — planes flattened t-major. */
   def signLshBuckets(emb: Column, planes: Array[Double], tables: Int,
       bits: Int, dim: Int): Column =
-    Bridge.column(SignLshBuckets(Bridge.expression(emb), planes,
+    Bridge.column(SignLshBuckets(Bridge.expression(emb), planes.toIndexedSeq,
       tables, bits, dim))
 
   /** Column API for [[NearestCentroidId]] — centroids flattened c-major. */
   def nearestCentroidId(emb: Column, centroids: Array[Double], cells: Int,
       dim: Int): Column =
-    Bridge.column(NearestCentroidId(Bridge.expression(emb), centroids,
-      cells, dim))
+    Bridge.column(NearestCentroidId(Bridge.expression(emb),
+      centroids.toIndexedSeq, cells, dim))
 }

@@ -160,9 +160,12 @@ object AdvancedQueries {
       SaltedAgg.sumByKey(
           // explicit round: Spark's double→long cast truncates while
           // DuckDB's rounds — round() first in both engines
-          t(s, d, "events").select(col("user_id"),
+          t(s, d, "events").select(col("user_id"), col("event_id"),
             round(col("value") * 100).cast("long").as("cents")),
-          col("user_id"), col("cents"), salts = 8)
+          col("user_id"), col("cents"), salts = 8,
+          // event_id as salt entropy: fan-out survives low-cardinality
+          // values under a hot key
+          saltCols = Seq(col("event_id")))
         .select(col("k").as("user_id"), col("total").as("total_cents"),
           col("n"))
         .orderBy(col("user_id")),

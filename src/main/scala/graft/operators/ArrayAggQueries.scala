@@ -34,20 +34,33 @@ object ArrayAggQueries {
   /** Ordered array aggregation: each user's first five event types in
     * event-time order, comma-joined (string output avoids array-equality
     * representation differences across engines).
+    *
+    * Memory bound: the events are pre-pruned to the 5 earliest per user
+    * with the native TopKPerGroup operator BEFORE collect_list, so no agg
+    * buffer ever holds more than 5 elements — a hot user with 10M events
+    * contributes k rows, not a 10M-element array. The total count comes
+    * from a separate hash agg; both aggs and the join hash-partition on
+    * user_id, so the join adds no extra shuffle.
     */
   val q38 = GraftQuery(
     "q38_array_agg_ordered",
-    (s, d) =>
-      t(s, d, "events")
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val counts = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val firstFive = graft.plans.TopK
+        .perGroup(ev, Seq(col("user_id")),
+          Seq(col("ts").asc, col("event_id").asc), 5)
         .groupBy(col("user_id"))
-        .agg(
-          concat_ws(",",
-            slice(transform(
-              array_sort(collect_list(struct(col("ts"), col("event_id"),
-                col("event_type")))),
-              x => x.getField("event_type")), 1, 5)).as("first_types"),
-          count(lit(1)).as("n_events"))
-        .orderBy(col("user_id")),
+        .agg(concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type"))).as("first_types"))
+      firstFive.join(counts, "user_id")
+        .select(col("user_id"), col("first_types"), col("n_events"))
+        .orderBy(col("user_id"))
+    },
     Some("""
       SELECT user_id,
              array_to_string((list(event_type ORDER BY ts, event_id))[:5], ',')

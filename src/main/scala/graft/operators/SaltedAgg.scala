@@ -17,8 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object SaltedAgg {
 
+  /** `saltCols`: extra row-distinguishing columns mixed into the salt
+    * hash (ideally a stable row id from the source — event id, file path
+    * + offset). Without them the salt is `hash(key, value)`, which
+    * collapses to FEW distinct salts when a hot key's values have low
+    * cardinality (e.g. a constant value — a classic skew shape),
+    * re-concentrating exactly the skew this operator exists to break.
+    * Skew mitigation degrades toward a plain groupBy in that case;
+    * callers with low-cardinality values should always pass a row id.
+    */
   def sumByKey(df: DataFrame, key: Column, value: Column,
-      salts: Int = 16): DataFrame = {
+      salts: Int = 16, saltCols: Seq[Column] = Nil): DataFrame = {
     // Salt must be DETERMINISTIC per row: nondeterministic salts
     // (spark_partition_id / monotonically_increasing_id / rand) break
     // under fetch-failure retries — a recomputed map task re-salts rows
@@ -27,7 +36,8 @@ object SaltedAgg {
     // recomputation.
     val partial = df
       .groupBy(key.as("k"),
-        pmod(xxhash64(key, value), lit(salts.toLong)).as("salt"))
+        pmod(xxhash64(Seq(key, value) ++ saltCols: _*), lit(salts.toLong))
+          .as("salt"))
       .agg(sum(value).as("partial_sum"), count(lit(1)).as("partial_n"))
     partial
       .groupBy(col("k"))

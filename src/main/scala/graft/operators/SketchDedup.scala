@@ -81,15 +81,28 @@ object MinHashDedup {
   def candidatePairs(sigs: DataFrame): DataFrame =
     bandPairs(sigs).distinct()
 
+  /** Above this many docs the signature table (~150 B/doc: 32 ints +
+    * doc_id + size) stops being a safe explicit broadcast (~150 MB at the
+    * limit); an explicit hint is honored REGARDLESS of size, so at
+    * billions of docs it would OOM the driver. Past the gate we leave the
+    * join strategy to Catalyst/AQE (shuffle join on doc_id, co-partitioned
+    * with the band-pair shuffle).
+    */
+  val BroadcastDocLimit: Long = 1L << 20
+
   /** Band pairs → size-ratio cut → signature-estimate prefilter →
     * distinct. Factored out so the profiler can time it in isolation.
+    * `hintBroadcast` gates the explicit broadcast of the signature table
+    * (see [[BroadcastDocLimit]]).
     */
   private[graft] def candidateStage(sigTable: DataFrame, sigs: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double, hintBroadcast: Boolean = true): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (hintBroadcast) broadcast else identity
     bandPairs(sigTable)
-      .join(broadcast(sigs.select(col("doc_id").as("doc_a"),
+      .join(hint(sigs.select(col("doc_id").as("doc_a"),
         col("sig").as("sig_a"), col("n_sh").as("n_a"))), "doc_a")
-      .join(broadcast(sigs.select(col("doc_id").as("doc_b"),
+      .join(hint(sigs.select(col("doc_id").as("doc_b"),
         col("sig").as("sig_b"), col("n_sh").as("n_b"))), "doc_b")
       // J ≥ t bounds set sizes within factor 1/t: max·t ≤ min — a cheap
       // cut before the signature comparison
@@ -101,6 +114,7 @@ object MinHashDedup {
       .filter(col("est") >= threshold - 0.25)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+  }
 
   private[graft] def candidatePairsRawCount(sigs: DataFrame): Long =
     bandPairs(sigs).count()
@@ -119,6 +133,15 @@ object MinHashDedup {
     * est is Binomial(32, s)/32, so at s = threshold, P(est < s − 0.25) =
     * P(shortfall ≥ 8 of 32) < 1%.
     */
+  /** NOTE — eager execution semantics: this operator runs Spark jobs AT
+    * CALL TIME (localCheckpoint materializes the shingle and signature
+    * frames immediately), unlike a normal lazy DataFrame transform. The
+    * returned frame is itself checkpointed (a materialized leaf).
+    * localCheckpoint blocks are unrecoverable on executor loss and unsafe
+    * under dynamic allocation; on a long-lived cluster deployment prefer
+    * reliable `checkpoint()` (set a checkpoint dir) — the lineage-
+    * truncation benefit is identical, only the storage differs.
+    */
   def nearDuplicates(docs: DataFrame, threshold: Double,
       textCol: String = "text"): DataFrame = {
     // Eager localCheckpoint (not cache): both frames are reused by 4+
@@ -130,9 +153,12 @@ object MinHashDedup {
     // checkpointed, so it holds no reference to them).
     val sh = shingles(docs, textCol).localCheckpoint()
     val sigTable = signatures(sh).localCheckpoint()
-    // int signatures (hashes < 2^31) keep the broadcast small: the sig
-    // table is ~NumHashes × 4 bytes/doc, broadcastable far beyond this SF;
-    // past broadcast size AQE falls back to a shuffle join on doc_id
+    // int signatures (hashes < 2^31) keep the per-doc footprint small
+    // (~150 B); the explicit broadcast hint is size-GATED, because a hint
+    // is honored regardless of size — at billions of docs it would OOM
+    // the driver. Cheap to decide: sigTable is checkpointed, so count()
+    // reads materialized blocks.
+    val nDocs = sigTable.count()
     val sizesBySig = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"))
     val sigs = sigTable
@@ -140,7 +166,8 @@ object MinHashDedup {
         array((0 until NumHashes).map(i => col(s"sig_$i").cast("int")): _*))
       .select(col("doc_id"), col("sig"))
       .join(sizesBySig, "doc_id")
-    val cand = candidateStage(sigTable, sigs, threshold)
+    val cand = candidateStage(sigTable, sigs, threshold,
+      hintBroadcast = nDocs <= BroadcastDocLimit)
     val sets = sh.groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("shset"))
     val verified = cand
@@ -202,17 +229,20 @@ object SimHash {
           shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL)
             .as("chunk"))): _*)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.k"), col("c.chunk"))
+    // Hamming filter BEFORE the pair distinct (same lesson as MinHash's
+    // candidateStage): the cheap bit_count cuts raw band pairs down to the
+    // few survivors, so distinct shuffles survivors rather than every
+    // bucket collision. hamming is a function of the pair, so distinct on
+    // (doc_a, doc_b, hamming) ≡ distinct on the pair.
     chunks.alias("a")
       .join(chunks.alias("b"),
         col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 }

@@ -74,29 +74,56 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
       child.execute().mapPartitions({ rows =>
         val groupProj = UnsafeProjection.create(groupLocal, childOutput)
         val ordering = RowOrdering.create(orderLocal, childOutput)
-        // max-heap on the sort order: head = current worst of the kept k
-        val heaps = mutable.LinkedHashMap.empty[UnsafeRow,
-          mutable.PriorityQueue[InternalRow]]
-        val overflow = mutable.ArrayBuffer.empty[InternalRow]
-        rows.foreach { row =>
-          val key = groupProj(row)
-          heaps.get(key) match {
-            case Some(heap) =>
-              if (heap.size < kLocal) heap += row.copy()
-              else if (ordering.compare(row, heap.head) < 0) {
-                heap.dequeue()
-                heap += row.copy()
+        // max-heap on the sort order: head = current worst of the kept k.
+        // Rows of groups beyond the cap are STREAMED through as
+        // encountered (not buffered): partial-stage memory is exactly
+        // ≤ cap·k retained rows no matter the partition's cardinality.
+        // Output order is irrelevant — the final stage re-shuffles and
+        // sorts. Pass-through rows are emitted without copy: the consumer
+        // (shuffle writer) serializes each row before we pull the next.
+        new Iterator[InternalRow] {
+          private val heaps = mutable.LinkedHashMap.empty[UnsafeRow,
+            mutable.PriorityQueue[InternalRow]]
+          private var passThrough: InternalRow = _
+          private var flushed: Iterator[InternalRow] = _
+
+          private def advance(): Unit = {
+            while (passThrough == null && rows.hasNext) {
+              val row = rows.next()
+              val key = groupProj(row)
+              heaps.get(key) match {
+                case Some(heap) =>
+                  if (heap.size < kLocal) heap += row.copy()
+                  else if (ordering.compare(row, heap.head) < 0) {
+                    heap.dequeue()
+                    heap += row.copy()
+                  }
+                case None if heaps.size < capLocal =>
+                  val h = mutable.PriorityQueue.empty[InternalRow](ordering)
+                  h += row.copy()
+                  heaps.put(key.copy(), h)
+                case None =>
+                  passThrough = row // beyond cap: forward unpruned, now
               }
-            case None if heaps.size < capLocal =>
-              val h = mutable.PriorityQueue.empty[InternalRow](ordering)
-              h += row.copy()
-              heaps.put(key.copy(), h)
-            case None =>
-              overflow += row.copy() // beyond cap: forward unpruned
+            }
+            if (passThrough == null && flushed == null && !rows.hasNext)
+              flushed = heaps.valuesIterator
+                .flatMap(_.dequeueAll.reverseIterator)
+          }
+
+          override def hasNext: Boolean = {
+            if (passThrough == null && flushed == null) advance()
+            passThrough != null || (flushed != null && flushed.hasNext)
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            if (passThrough != null) {
+              val r = passThrough
+              passThrough = null
+              r
+            } else flushed.next()
           }
         }
-        heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator) ++
-          overflow.iterator
       }, preservesPartitioning = true)
     } else {
       child.execute().mapPartitions({ rows =>

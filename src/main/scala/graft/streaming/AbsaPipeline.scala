@@ -119,12 +119,44 @@ object AbsaPipeline {
     // duplicates, defeating the effective-exactly-once guarantee.
     val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
     val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // "Sink exists" must mean "holds committed data": a crashed first
+    // write can leave the directory with only _temporary/_SUCCESS debris,
+    // and read.parquet on that throws schema-inference errors on EVERY
+    // retry — wedging the pipeline permanently. So probe for actual data
+    // files (ignoring hidden/_-prefixed paths) and treat a dataless
+    // directory as first-batch.
     val fresh =
-      if (fs.exists(sinkPath)) {
+      if (fs.exists(sinkPath) && hasCommittedData(fs, sinkPath)) {
         val existing = spark.read.parquet(sinkDir).select(col(keyCol))
         batch.join(existing, Seq(keyCol), "left_anti")
-      } else batch // first batch: sink doesn't exist yet
+      } else batch // first batch: sink absent or holds no committed data
     fresh.write.mode("append").parquet(sinkDir)
+  }
+
+  /** True iff `root` contains at least one visible data file (no path
+    * component hidden by `_`/`.` — Spark's own convention for
+    * non-data files such as _temporary and _SUCCESS).
+    */
+  private def hasCommittedData(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Boolean = {
+    val rootUri = root.toUri.getPath
+    def hidden(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      var h = false
+      while (cur != null && cur.toUri.getPath != rootUri) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) h = true
+        cur = cur.getParent
+      }
+      h
+    }
+    val it = fs.listFiles(root, true)
+    var found = false
+    while (!found && it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getLen > 0 && !hidden(f.getPath)) found = true
+    }
+    found
   }
 
   /** Kafka producer sink serialization (S8): rows → JSON values. The

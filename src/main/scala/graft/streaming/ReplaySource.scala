@@ -18,16 +18,21 @@ object ReplaySource {
 
   /** Streaming DataFrame replaying `corpus` rows (with monotonically
     * increasing replay ids) at the given rate. The corpus gets a dense
-    * 0-based `corpus_idx` via a window-free zipWithIndex-style rank over
-    * a stable key column.
+    * 0-based `corpus_idx` via `rdd.zipWithIndex` over the key-sorted
+    * frame: the sort is a distributed range-partitioned sort and the
+    * index assignment is per-partition (one small count-per-partition
+    * job) — no single-partition global Window, so a large corpus never
+    * funnels through one task.
     */
   def fromRate(spark: SparkSession, corpus: DataFrame, keyCol: String,
       rowsPerSecond: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
     val n = corpus.count()
-    val indexed = corpus.orderBy(col(keyCol))
-      .withColumn("corpus_idx",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col(keyCol))) - 1)
+    val sorted = corpus.orderBy(col(keyCol))
+    val indexed = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      sorted.schema.add("corpus_idx", LongType, nullable = false))
     val rate = spark.readStream
       .format("rate")
       .option("rowsPerSecond", rowsPerSecond.toString)

@@ -75,4 +75,45 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(RelationalQueries.q12.build(spark, sf0001))
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("minhash candidate join: broadcast only below the size gate") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables(spark, sf0001, "documents").limit(50)
+    val sh = MinHashDedup.shingles(docs)
+    val sigTable = MinHashDedup.signatures(sh)
+    val sigs = sigTable
+      .withColumn("sig", array((0 until MinHashDedup.NumHashes)
+        .map(i => col(s"sig_$i").cast("int")): _*))
+      .select(col("doc_id"), col("sig"))
+      .join(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")),
+        "doc_id")
+    // small table + hint → broadcast
+    val hinted = planOf(
+      MinHashDedup.candidateStage(sigTable, sigs, 0.5, hintBroadcast = true))
+    assert(hinted.contains("BroadcastHashJoin"), hinted.take(2000))
+    // above the gate the hint is dropped; with auto-broadcast off (what a
+    // too-big table looks like to the planner) the join must fall back to
+    // a shuffle join instead of an unconditional broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gated = planOf(MinHashDedup
+        .candidateStage(sigTable, sigs, 0.5, hintBroadcast = false))
+      assert(!gated.contains("BroadcastHashJoin"),
+        s"gated candidate join must not broadcast:\n${gated.take(2000)}")
+      assert(gated.contains("SortMergeJoin") ||
+        gated.contains("ShuffledHashJoin"), gated.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q58/q60: outer joins pre-aggregate or prune before joining") {
+    val full = planOf(ReconQueries.q58.build(spark, sf0001))
+    // the full-outer must join two aggregates (date cardinality), not facts
+    assert(full.contains("SortMergeJoin FullOuter") ||
+      full.contains("ShuffledHashJoin FullOuter") ||
+      full.contains("FullOuter"), full.take(2000))
+    val right = planOf(ReconQueries.q60.build(spark, sf0001))
+    assert(right.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"fact side must be filter-pruned before the right join:\n$right")
+  }
 }
