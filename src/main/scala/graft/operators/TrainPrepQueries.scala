@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Q._
+import graft.functions.MockScorers.{normalize, normalizeSql}
+
+/** Training-data preparation compositions (north-star X15/X18 end to
+  * end): the point of the individual operators (langid, quality,
+  * fingerprint dedup, token counts) is that they CHAIN into one
+  * pruned-scan, few-shuffle pipeline — q62 is that chain as a single
+  * oracle-checked query. q63 is the deterministic stratified sampler a
+  * pipeline uses to rebalance languages.
+  */
+object TrainPrepQueries {
+
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|of|and|to|is)\\b",
+    "es" -> "\\b(el|los|las|una|es)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(les|une|est|dans|pour)\\b")
+
+  /** Full prep pipeline: langid (confident only) → quality gate →
+    * fingerprint exact-dedup (keep lowest doc_id; features ride along
+    * via min_by) → per-language corpus stats. One scan, two shuffles
+    * (dedup group-by, final group-by) — the shape a 100 TB prep job
+    * needs: every filter runs before any shuffle, and text never
+    * shuffles (only the 8-byte fingerprint + small features).
+    */
+  val q62 = GraftQuery(
+    "q62_trainprep_pipeline",
+    (s, d) => {
+      val base = langMarkers.foldLeft(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("lang"),
+            normalize(col("text")).as("norm"))) {
+        case (df, (l, pat)) =>
+          df.withColumn(s"score_$l", regexp_count(col("norm"), lit(pat)))
+      }
+      val Seq(en, es, de, fr) = langMarkers.map(m => col("score_" + m._1))
+      val feats = base
+        .withColumn("predicted",
+          when(en > 0 && en >= es && en >= de && en >= fr, "en")
+            .when(es > 0 && es >= de && es >= fr, "es")
+            .when(de > 0 && de >= fr, "de")
+            .when(fr > 0, "fr")
+            .otherwise("und"))
+        .withColumn("n_words", size(split(col("norm"), " ")))
+        .withColumn("punct_ratio",
+          round(regexp_count(col("text"), lit("[^a-zA-Z0-9 ]"))
+            .cast("double") / length(col("text")), 4))
+        .withColumn("quality",
+          round(least(lit(1.0), col("n_words").cast("double") / 50) *
+            (lit(1.0) - col("punct_ratio")), 4))
+        .withColumn("fingerprint", expr(
+          """aggregate(
+               transform(split(norm, ' '),
+                 w -> cast(length(w) * 17 + ascii(w) * 31
+                           + ascii(reverse(w)) as bigint)),
+               0L, (acc, v) -> (acc * 31 + v) % 1000000007L)"""))
+        .filter(col("predicted") =!= "und" && col("quality") >= 0.3)
+      val deduped = feats
+        .groupBy(col("fingerprint"))
+        .agg(min(col("doc_id")).as("survivor_id"),
+          min_by(col("predicted"), col("doc_id")).as("predicted"),
+          min_by(col("lang"), col("doc_id")).as("lang"),
+          min_by(col("quality"), col("doc_id")).as("quality"),
+          min_by(col("n_words"), col("doc_id")).as("n_words"))
+      deduped
+        .groupBy(col("predicted"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words").cast("long")).as("total_words"),
+          round(sum(col("quality").cast(DecimalType(18, 4))).cast("double")
+            / count(lit(1)), 4).as("avg_quality"))
+        .orderBy(col("predicted"), col("lang"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, text, lang, ${normalizeSql("text")} AS norm
+        FROM documents),
+      scored AS (
+        SELECT doc_id, text, lang, norm,
+               ${langMarkers.map { case (l, pat) =>
+                 s"CAST(len(regexp_extract_all(norm, '$pat')) AS INTEGER) AS score_$l"
+               }.mkString(",\n               ")}
+        FROM base),
+      feats AS (
+        SELECT doc_id, lang,
+               CASE
+                 WHEN score_en > 0 AND score_en >= score_es
+                      AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+                 WHEN score_es > 0 AND score_es >= score_de
+                      AND score_es >= score_fr THEN 'es'
+                 WHEN score_de > 0 AND score_de >= score_fr THEN 'de'
+                 WHEN score_fr > 0 THEN 'fr'
+                 ELSE 'und'
+               END AS predicted,
+               CAST(len(string_split(norm, ' ')) AS INTEGER) AS n_words,
+               round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+                     / length(text), 4) AS punct_ratio,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(norm, ' '),
+                   w -> CAST(length(w) * 17 + ascii(w) * 31
+                             + ascii(reverse(w)) AS BIGINT))),
+                 (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
+        FROM scored),
+      gated AS (
+        SELECT *,
+               round(least(1.0, CAST(n_words AS DOUBLE) / 50) *
+                     (1.0 - punct_ratio), 4) AS quality
+        FROM feats
+        WHERE predicted <> 'und'),
+      deduped AS (
+        SELECT fingerprint,
+               MIN(doc_id) AS survivor_id,
+               arg_min(predicted, doc_id) AS predicted,
+               arg_min(lang, doc_id) AS lang,
+               arg_min(quality, doc_id) AS quality,
+               arg_min(n_words, doc_id) AS n_words
+        FROM gated
+        WHERE quality >= 0.3
+        GROUP BY fingerprint)
+      SELECT predicted, lang, COUNT(*) AS n_docs,
+             CAST(SUM(CAST(n_words AS BIGINT)) AS BIGINT) AS total_words,
+             round(CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*), 4) AS avg_quality
+      FROM deduped
+      GROUP BY predicted, lang
+      ORDER BY predicted, lang
+    """))
+
+  /** Deterministic stratified sampling: per-language keep rates via an
+    * LCG hash of doc_id (q30's mirrorable-hash technique, per-stratum
+    * thresholds) — the rebalancing step of a corpus prep job. Exact,
+    * retry-stable, and pushdown-friendly (a pure filter; no shuffle at
+    * all until the stats agg).
+    */
+  val q63 = GraftQuery(
+    "q63_stratified_sample",
+    (s, d) => {
+      val keep = pmod(col("doc_id") * 1103515245L + 12345L, lit(1000L)) <
+        when(col("lang") === "en", 150)
+          .when(col("lang") === "zh", 400)
+          .otherwise(600)
+      t(s, d, "documents")
+        .filter(keep)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, lang, n_chars
+      FROM documents
+      WHERE (doc_id * 1103515245 + 12345) % 1000 <
+            CASE lang WHEN 'en' THEN 150 WHEN 'zh' THEN 400 ELSE 600 END
+      ORDER BY doc_id
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q62, q63)
+}

@@ -40,10 +40,31 @@ object ApproxDistinctRule extends Rule[LogicalPlan] {
 
 /** Register with `SparkSession.builder().withExtensions(new
   * GraftExtensions)` — GraftSession does this by default.
+  *
+  * Besides the optimizer rule and planner strategy, the native
+  * expressions are registered as SQL functions (`graft_dot`,
+  * `graft_charsum`) so `spark.sql(...)` users get the same codegen'd
+  * hot loops as the Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private def fn(name: String, usage: String,
+      build: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft", name, usage),
+      (args: Seq[Expression]) => build(args))
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => ApproxDistinctRule)
     e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    e.injectFunction(fn("graft_dot",
+      "graft_dot(a, b) - fused dot product of two array<double>",
+      args => graft.functions.expressions.DotProduct(args(0), args(1))))
+    e.injectFunction(fn("graft_charsum",
+      "graft_charsum(s) - sum of Unicode code points of s",
+      args => graft.functions.expressions.CharSum(args(0))))
   }
 }

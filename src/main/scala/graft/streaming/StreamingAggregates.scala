@@ -41,6 +41,25 @@ object StreamingAggregates {
         col("session_window.end").as("session_end"),
         col("camera_id"), col("total"), col("n_frames"))
 
+  /** Stream-stream event-time interval join (the streaming form of X11's
+    * enrichment): each frame picks up alerts its camera raised in the
+    * preceding `lookback`. BOTH sides are watermarked and the join
+    * condition bounds event time in both directions — that is what lets
+    * Spark expire buffered join state past the watermark; without the
+    * time bound the join state grows forever (the 100 TB hazard).
+    */
+  def frameAlertJoin(frames: DataFrame, alerts: DataFrame,
+      lookback: String = "1 minute", watermark: String = "2 minutes")
+      : DataFrame =
+    frames.withWatermark("frame_time", watermark)
+      .join(alerts.withWatermark("alert_time", watermark),
+        col("camera_id") === col("alert_camera") &&
+          col("alert_time") <= col("frame_time") &&
+          col("alert_time") >= col("frame_time") -
+            expr(s"INTERVAL $lookback"))
+      .select(col("camera_id"), col("frame_time"), col("count"),
+        col("alert_time"), col("alert"))
+
   final case class CameraEvent(camera_id: String, count: Int)
   final case class CameraRunning(camera_id: String, total_vehicles: Long,
       n_frames: Long)

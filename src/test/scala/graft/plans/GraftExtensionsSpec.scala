@@ -35,4 +35,17 @@ class GraftExtensionsSpec extends SparkSpec {
         s"rewrite missing from plan:\n$plan")
     } finally spark.conf.set("spark.graft.approxDistinct.enabled", "false")
   }
+
+  test("native expressions are SQL-callable via injected functions") {
+    val row = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d, " +
+        "graft_charsum('abc') AS c").first()
+    assert(row.getDouble(0) === 32.0)
+    assert(row.getInt(1) === 97 + 98 + 99)
+    // same codegen'd expression as the Column API, not a UDF wrapper
+    val plan = spark.sql("SELECT graft_dot(array(1.0d), array(2.0d))")
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+  }
 }

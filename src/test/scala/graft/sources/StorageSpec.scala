@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Storage-layout guardrails ([[Warehouse]]): bucketing must produce a
+  * shuffle-free fact-fact join; partitioning must turn filters into
+  * directory pruning. Both are THE scan/shuffle economics at 100 TB, so
+  * they are asserted structurally on the physical plan.
+  */
+class StorageSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.asInstanceOf[ClassicDataset[_]].queryExecution.executedPlan.toString
+
+  test("bucketed fact-fact join runs with no exchange on either side") {
+    val base = tmpDir("bucketed")
+    Warehouse.writeBucketed(Tables(spark, sf0001, "orders"),
+      "t_orders_b", s"$base/orders", "o_orderkey", 8)
+    Warehouse.writeBucketed(Tables(spark, sf0001, "lineitem"),
+      "t_lineitem_b", s"$base/lineitem", "l_orderkey", 8)
+    try {
+      // disable auto-broadcast so the join would OTHERWISE shuffle both
+      // sides — proving bucketing (not size) removed the exchanges
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = Warehouse.bucketedJoin(spark, "t_orders_b",
+          "t_lineitem_b", "o_orderkey", "l_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+        val plan = planOf(joined)
+        assert(plan.contains("SortMergeJoin") ||
+          plan.contains("ShuffledHashJoin"), plan.take(2000))
+        val joinSection = plan.substring(plan.indexOf("Join"))
+        assert(!joinSection.contains("Exchange hashpartitioning"),
+          s"bucketed join must not re-shuffle its inputs:\n${plan.take(3000)}")
+        assert(plan.contains("SelectedBucketsCount"),
+          s"scan must be bucket-aware:\n${plan.take(3000)}")
+        // correctness: same result as the plain parquet join
+        val expected = Tables(spark, sf0001, "orders")
+          .join(Tables(spark, sf0001, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        assert(joined.orderBy("o_orderpriority").collect().toSeq ===
+          expected.orderBy("o_orderpriority").collect().toSeq)
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_orders_b")
+      spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+    }
+  }
+
+  test("partitioned write turns an equality filter into directory pruning") {
+    val dir = tmpDir("partitioned")
+    Warehouse.writePartitioned(
+      Tables(spark, sf0001, "events")
+        .select(col("event_id"), col("user_id"), col("event_type")),
+      dir, "event_type")
+    val q = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = planOf(q)
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("event_type#"),
+      s"filter must prune partitions, not rows:\n$plan")
+    // the partition filter must NOT degrade to a post-scan row filter
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_type)"),
+      s"partition column must not be a data filter:\n$plan")
+    assert(q.count() ===
+      Tables(spark, sf0001, "events")
+        .filter(col("event_type") === "click").count())
+  }
+}

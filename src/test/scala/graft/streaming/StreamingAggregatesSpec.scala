@@ -77,6 +77,41 @@ class StreamingAggregatesSpec extends SparkSpec {
     assert(rows.exists(r => r._1 == "2024-01-01 10:02:00" && r._4 == 4L))
   }
 
+  final case class Alert(alert_camera: String, alert: String,
+      alert_time: Timestamp)
+
+  test("stream-stream interval join: frames pick up in-window alerts only") {
+    val frames = MemoryStream[ShapedFrame](spark)
+    val alerts = MemoryStream[Alert](spark)
+    val q = StreamingAggregates
+      .frameAlertJoin(frames.toDF(), alerts.toDF(), lookback = "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched")
+      .start()
+
+    alerts.addData(
+      Alert("CAM_1", "speeding", ts(0, 30)),  // 30s before the frame: in
+      Alert("CAM_1", "stale", ts(0, 0)),      // 70s before: out of window
+      Alert("CAM_2", "other-cam", ts(1, 0)))  // wrong camera
+    frames.addData(ShapedFrame("CAM_1", "car", 2, ts(1, 10)))
+    q.processAllAvailable()
+    // advance both watermarks so buffered state can be expired
+    alerts.addData(Alert("CAM_9", "tick", ts(30, 0)))
+    frames.addData(ShapedFrame("CAM_9", "car", 1, ts(30, 0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("enriched")
+      .selectExpr("camera_id", "alert", "cast(frame_time as string)")
+      .as[(String, String, String)].collect().toSet
+    assert(rows.contains(("CAM_1", "speeding", "2024-01-01 10:01:10")),
+      s"in-window alert must join: $rows")
+    assert(!rows.exists(_._2 == "stale"),
+      s"alert outside the lookback must not join: $rows")
+    assert(!rows.exists(_._2 == "other-cam"),
+      s"alert from another camera must not join: $rows")
+  }
+
   test("flatMapGroupsWithState: per-camera running totals across batches") {
     import StreamingAggregates._
     val input = MemoryStream[CameraEvent](spark)
