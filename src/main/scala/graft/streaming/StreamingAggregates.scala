@@ -60,6 +60,17 @@ object StreamingAggregates {
       .select(col("camera_id"), col("frame_time"), col("count"),
         col("alert_time"), col("alert"))
 
+  /** Streaming exact dedup (X15's streaming form): duplicates of a key
+    * arriving within the watermark horizon are dropped; state for a key
+    * is FREED once the watermark passes its event time — the property
+    * that makes streaming dedup viable at 100 TB (plain
+    * `dropDuplicates` on a stream keeps every key forever).
+    */
+  def dedupStream(df: DataFrame, idCols: Seq[String],
+      eventTimeCol: String, watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   final case class CameraEvent(camera_id: String, count: Int)
   final case class CameraRunning(camera_id: String, total_vehicles: Long,
       n_frames: Long)

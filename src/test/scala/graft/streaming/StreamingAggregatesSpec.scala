@@ -80,6 +80,30 @@ class StreamingAggregatesSpec extends SparkSpec {
   final case class Alert(alert_camera: String, alert: String,
       alert_time: Timestamp)
 
+  final case class Msg(id: String, ts: Timestamp, body: String)
+
+  test("streaming dedup within watermark drops replayed keys") {
+    val input = MemoryStream[Msg](spark)
+    val q = StreamingAggregates
+      .dedupStream(input.toDF(), Seq("id"), "ts", watermark = "5 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped")
+      .start()
+    input.addData(
+      Msg("a", ts(0, 0), "first"),
+      Msg("a", ts(0, 30), "dup-same-batch"),
+      Msg("b", ts(1, 0), "other"))
+    q.processAllAvailable()
+    input.addData(Msg("a", ts(2, 0), "dup-next-batch"))
+    q.processAllAvailable()
+    q.stop()
+
+    val bodies = spark.table("deduped")
+      .selectExpr("body").as[String].collect().toSet
+    assert(bodies === Set("first", "other"),
+      s"replays of id 'a' within the watermark must be dropped: $bodies")
+  }
+
   test("stream-stream interval join: frames pick up in-window alerts only") {
     val frames = MemoryStream[ShapedFrame](spark)
     val alerts = MemoryStream[Alert](spark)
