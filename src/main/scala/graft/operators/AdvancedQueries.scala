@@ -48,31 +48,22 @@ object AdvancedQueries {
     """))
 
   /** As-of join (X11): for every error event, the most recent signup by
-    * the same user at-or-before it.
-    *
-    * Spark-first formulation: tag + union both sides, one window pass per
-    * user ordered by (ts, tag, id) carrying `last(signup, ignoreNulls)` —
-    * a single shuffle on user_id, no row explosion, no range join. This is
-    * the merge-join shape an as-of join compiles to on any scale.
+    * the same user at-or-before it — via the reusable [[AsOfJoin]]
+    * operator (tag + union + one window pass: a single shuffle on
+    * user_id, no row explosion, no range join — the merge-join shape an
+    * as-of join compiles to on any scale).
     */
   val q32 = GraftQuery(
     "q32_asof_join",
     (s, d) => {
       val e = t(s, d, "events")
-      val signups = e.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          lit(0).as("tag"), col("event_id").as("signup_id"))
       val errors = e.filter(col("event_type") === "error")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          lit(1).as("tag"), lit(null).cast("long").as("signup_id"))
-      // tag=0 sorts signups first at equal ts (at-or-before semantics)
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("tag"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      signups.union(errors)
-        .withColumn("asof_signup_id",
-          last(col("signup_id"), ignoreNulls = true).over(w))
-        .filter(col("tag") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("signup_id"))
+      AsOfJoin.backward(errors, signups, "user_id", "ts", "ts",
+          rightVals = Seq("signup_id"), rightTieBreak = Seq("signup_id"))
         .select(col("event_id").as("error_id"), col("user_id"),
           col("asof_signup_id"))
         .orderBy(col("error_id"))

@@ -143,5 +143,45 @@ object ReconQueries {
       ORDER BY l_orderkey, l_linenumber, l_partkey
     """))
 
-  val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61)
+  /** Remaining analytic-window surface [X13/X14]: ntile, percent_rank,
+    * cume_dist, lead, and a framed first_value in one pass — one shuffle
+    * on the partition key serves all five (same window spec).
+    */
+  val q64 = GraftQuery(
+    "q64_window_analytics",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .filter(col("o_custkey") < 200)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          first(col("o_orderkey")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("top_key"))
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+          col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+             round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+             round(CUME_DIST() OVER w, 6) AS cdist,
+             LEAD(o_orderkey, 1) OVER w AS next_key,
+             FIRST_VALUE(o_orderkey) OVER
+               (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS top_key
+      FROM orders
+      WHERE o_custkey < 200
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q64)
 }
