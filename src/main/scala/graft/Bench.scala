@@ -15,11 +15,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional filters for local iteration: SPARK_GRAFT_ONLY=q42,q43
-    // runs a subset; SPARK_GRAFT_REPEAT=3 times each query N times and
-    // reports the minimum (noise-robust). Driver runs use the defaults.
+    // runs a subset; SPARK_GRAFT_REPEAT overrides the repeat count.
+    // Default is min-of-3: this host shows multi-x background-noise
+    // swings (SCALE.md), and single-shot timings mis-adjudicated two
+    // queries in round 2 — the minimum over 3 runs is the noise-robust
+    // statistic the driver's per-round BENCH should record.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val failed = scala.collection.mutable.ListBuffer.empty[String]

@@ -39,4 +39,36 @@ class AsOfJoinSpec extends SparkSpec {
       (4L, Some(200L), Some(9.0)),
       (5L, None, None)))
   }
+
+  test("property: as-of join equals brute-force max-right-at-or-before") {
+    import org.scalacheck.Gen
+    val rnd = Gen.listOfN(400,
+      Gen.zip(Gen.chooseNum(0, 9), Gen.chooseNum(0, 50))).sample.get
+    val rights = rnd.zipWithIndex.map { case ((k, m), i) =>
+      (s"k$k", ts(m), i.toLong)
+    }
+    val lefts = rnd.take(150).zipWithIndex.map { case ((k, m), i) =>
+      (s"k${(k + 3) % 11}", ts(m), (1000 + i).toLong)
+    }
+    val rightDf = rights.toDF("k", "ts", "rid")
+    val leftDf = lefts.toDF("k", "ts", "lid")
+
+    val got = AsOfJoin.backward(leftDf, rightDf, "k", "ts", "ts",
+        rightVals = Seq("rid"), rightTieBreak = Seq("rid"))
+      .select("lid", "asof_rid")
+      .as[(Long, Option[Long])].collect().toMap
+
+    // brute force: for each left row, the max-rid among max-ts rights
+    // with ts <= left.ts and same key
+    val expected = lefts.map { case (k, t, lid) =>
+      val cands = rights.filter(r => r._1 == k && !r._2.after(t))
+      val best = if (cands.isEmpty) None
+      else {
+        val maxTs = cands.map(_._2.getTime).max
+        Some(cands.filter(_._2.getTime == maxTs).map(_._3).max)
+      }
+      lid -> best
+    }.toMap
+    assert(got === expected)
+  }
 }
