@@ -144,6 +144,74 @@ object AnnIvf {
     VectorFunctions.nearestCentroidId(emb, centroids.flatten,
       centroids.length, centroids.headOption.map(_.length).getOrElse(0))
 
+  /** Materialize the IVF index: the corpus written hive-partitioned by
+    * cell id ([[graft.sources.Warehouse]] layout). Returns the centroid
+    * model to keep alongside the index. This is the at-scale form of the
+    * in-memory `topK` path: a probe then READS only nprobe directories
+    * (asserted structurally in SketchSpec) instead of scanning the
+    * corpus — the nlist/nprobe read-reduction made physical.
+    */
+  def writeIndex(embeddings: DataFrame, path: String,
+      nlist: Int = 16): Array[Array[Double]] = {
+    val dim = 64
+    val vecs = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(VectorFunctions.sqNorm(col("emb"))))
+    val centroids = trainCentroids(vecs.select(col("vec_id"), col("emb")),
+      nlist, dim)
+    vecs.withColumn("cell", cellOf(col("emb"), centroids))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    centroids
+  }
+
+  /** Top-k over a materialized index: the probed cells arrive as a
+    * partition-pruning `isin` filter, so only nprobe directories are
+    * opened. Deterministic given the same centroids as the write.
+    */
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Array[Array[Double]], queryIds: Seq[Long], k: Int,
+      nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val idx = spark.read.parquet(path)
+    // query vectors: a keyed lookup (at scale these come from the request,
+    // not a scan)
+    val qRows = idx.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("emb")).collect()
+    val queryCells = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val v = r.getSeq[Double](1).toArray
+      centroids.indices
+        .sortBy { c =>
+          var d = 0d; var i = 0
+          while (i < v.length) {
+            val diff = v(i) - centroids(c)(i); d += diff * diff; i += 1
+          }
+          (d, c)
+        }
+        .take(nprobe).map(c => (qid, c))
+    }.toIndexedSeq
+    val probes = queryCells.toDF("qid", "cell")
+    val probedCells = queryCells.map(_._2).distinct.sorted
+    val queries = idx.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"))
+    val cand = idx
+      .filter(col("cell").isin(probedCells: _*)) // directory pruning
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(queries), "qid")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand
+      .withColumn("cosine", VectorFunctions.dot(col("qemb"), col("emb")) /
+        (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine_r"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Approximate top-k: probe the `nprobe` nearest cells per query. */
   def topK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {

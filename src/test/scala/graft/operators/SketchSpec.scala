@@ -129,4 +129,25 @@ class SketchSpec extends SparkSpec {
     // determinism and the read-reduction mechanics are the contract
     assert(recall2 >= 0.2, f"recall too low: $recall2%.2f")
   }
+
+  test("ivf index: cell-partitioned write, probe reads only nprobe dirs") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val path = tmpDir("ivf-index")
+    val centroids = AnnIvf.writeIndex(emb, path, nlist = 16)
+    val indexed = AnnIvf.topKIndexed(spark, path, centroids, 0L to 9L,
+      k = 5, nprobe = 4)
+    // same centroids (deterministic training) → identical result to the
+    // in-memory path
+    val direct = AnnIvf.topK(emb, 0L to 9L, k = 5, nlist = 16, nprobe = 4)
+    assert(indexed.collect().toSeq === direct.collect().toSeq,
+      "materialized-index probe must match the in-memory IVF result")
+    // structural: the cell filter must prune DIRECTORIES (PartitionFilters
+    // on the hive partition column), not rows
+    val plan = indexed
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("cell#"),
+      s"probe must partition-prune on cell:\n${plan.take(3000)}")
+  }
 }
