@@ -31,15 +31,23 @@ object StreamingDemo {
       """{"id": "1", "review": "Hang ve dep lam nha ship than thien!"}""",
       """{"id": "2", "review": "giay te, chat luong kem"}""",
       """{"id": "3", "review": "ok"}""")
-    val query = AbsaPipeline
+    // production shape: the query runs under the supervisor (bounded
+    // crash-restarts on the same checkpoint — the Airflow retry loop
+    // engine-native)
+    def startQuery() = AbsaPipeline
       .sink(AbsaPipeline.parse(reviews.toDF()), provider,
         writePrimary = (df, _) => df.write.mode("append").parquet(out),
         onFallback = (_, id, e) =>
           System.err.println(s"[fallback] batch $id: ${e.getMessage}"),
         checkpointDir = ckpt, trigger = Trigger.AvailableNow())
       .start()
-    query.awaitTermination(60000)
-    println("=== ABSA sink ===")
+    new StreamSupervisor(startQuery _, maxRestarts = 3, backoffMs = 500)
+      .run() match {
+      case Right(restarts) =>
+        println(s"=== ABSA sink (clean stop, $restarts restarts) ===")
+      case Left(err) =>
+        System.err.println(s"[supervisor] gave up: ${err.getMessage}")
+    }
     spark.read.parquet(out).orderBy("id").show(truncate = false)
 
     // --- Vehicle pipeline: frames → detect → shape (batch-mode transforms)

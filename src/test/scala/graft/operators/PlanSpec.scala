@@ -106,6 +106,14 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q62: the whole prep pipeline reads the documents table ONCE") {
+    val plan = planOf(TrainPrepQueries.q62.build(spark, sf0001))
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1,
+      s"langid+quality+dedup+stats must share one scan, found $scans:\n" +
+        plan.take(2000))
+  }
+
   test("q58/q60: outer joins pre-aggregate or prune before joining") {
     val full = planOf(ReconQueries.q58.build(spark, sf0001))
     // the full-outer must join two aggregates (date cardinality), not facts
