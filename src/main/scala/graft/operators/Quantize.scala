@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Symmetric per-vector int8 quantization for embedding columns — the
+  * storage/scan lever for similarity search at 100 TB: a 64-dim float64
+  * vector is 512 B; its int8 form + one float scale is ~68 B (7.5×).
+  * The coarse pass (candidate generation, distance prefilter) reads the
+  * int8 column; exact rerank reads full precision only for the
+  * candidate set — the standard two-stage ANN read pattern.
+  *
+  * Pure Column expressions (codegen'd higher-order functions, no UDF):
+  * scale = max|x| / 127, q = round(x / scale) per component. Dequantized
+  * error is ≤ scale/2 per component (asserted in QuantizeSpec via cosine
+  * fidelity of the round trip).
+  */
+object Quantize {
+
+  /** array<double> → struct(scale double, q array<tinyint>). Zero
+    * vectors quantize to scale 0 and all-zero components.
+    */
+  def quantize(emb: Column): Column = {
+    val maxAbs = aggregate(emb, lit(0.0d), (acc, x) => greatest(acc, abs(x)))
+    val scale = (maxAbs / lit(127.0d)).as("scale")
+    struct(
+      scale,
+      when(maxAbs === 0d,
+        transform(emb, _ => lit(0).cast("tinyint")))
+        .otherwise(transform(emb,
+          x => round(x / (maxAbs / lit(127.0d))).cast("tinyint")))
+        .as("q"))
+  }
+
+  /** struct(scale, q) → array<double> approximation of the original. */
+  def dequantize(qs: Column): Column =
+    transform(qs.getField("q"),
+      v => v.cast("double") * qs.getField("scale"))
+
+  /** Approximate dot product directly on two quantized structs: the
+    * int8 component dot scaled by both scales — the coarse-pass scoring
+    * kernel (reads 16× fewer bytes than a float64 dot).
+    */
+  def dotQ(a: Column, b: Column): Column =
+    graft.functions.expressions.VectorFunctions.dot(
+      transform(a.getField("q"), v => v.cast("double")),
+      transform(b.getField("q"), v => v.cast("double"))) *
+      a.getField("scale") * b.getField("scale")
+}

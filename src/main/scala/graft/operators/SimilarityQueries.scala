@@ -131,5 +131,39 @@ object SimilarityQueries {
       ORDER BY same_label
     """))
 
-  val all: Seq[GraftQuery] = Seq(q45, q46)
+  /** Int8 quantization fidelity (X16 storage path, [[Quantize]]): the
+    * per-vector scale and the max round-trip error — both engines follow
+    * the identical float path (max is order-exact; scale division and
+    * round are the same IEEE ops), so the oracle hash-matches despite
+    * being float-valued.
+    */
+  val q65 = GraftQuery(
+    "q65_quantize_fidelity",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("qs", Quantize.quantize(col("emb")))
+        .withColumn("deq", Quantize.dequantize(col("qs")))
+      e.select(col("vec_id"),
+        round(col("qs").getField("scale"), 9).as("scale_r"),
+        round(array_max(zip_with(col("emb"), col("deq"),
+          (x, y) => abs(x - y))), 9).as("max_err"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      q AS (
+        SELECT vec_id, emb,
+               list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+        FROM e)
+      SELECT vec_id, round(scale, 9) AS scale_r,
+             round(list_max(list_transform(emb,
+               x -> abs(x - round(x / scale) * scale))), 9) AS max_err
+      FROM q
+      ORDER BY vec_id
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q45, q46, q65)
 }
