@@ -48,6 +48,20 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(top1 === Set((0L, 9L), (1L, 7L), (2L, 8L)))
   }
 
+  test("beyond the partial group cap, rows stream through and stay exact") {
+    // one partition with more distinct groups than the 65536 partial cap:
+    // overflow rows must pass through unpruned (streamed, not buffered)
+    // and the final stage must still produce the exact per-group top-1
+    val n = 70000L
+    val df = spark.range(2 * n)
+      .select((col("id") % n).as("g"), col("id").as("v"))
+      .coalesce(1)
+    val top = TopK.perGroup(df, Seq(col("g")), Seq(col("v").desc), 1)
+    assert(top.count() === n)
+    // group g holds rows {g, g+n}; its max is always g+n
+    assert(top.filter(col("v") =!= col("g") + n).count() === 0)
+  }
+
   test("partial stage caps per-partition group contributions") {
     // 4 partitions × same single group: final input ≤ 4 × k rows
     val df = spark.range(100000).repartition(4)
