@@ -130,6 +130,29 @@ class SketchSpec extends SparkSpec {
     assert(recall2 >= 0.2, f"recall too low: $recall2%.2f")
   }
 
+  test("two-stage quantized probe: exact match at full coarseK, high recall when cut") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // coarseK beyond any candidate count → the int8 pass is a pure
+    // filter and the result must EQUAL the single-stage IVF probe
+    val full = AnnIvf.topKTwoStage(emb, 0L to 9L, k = 5, coarseK = 100000)
+      .collect().toSeq
+    val single = AnnIvf.topK(emb, 0L to 9L, k = 5).collect().toSeq
+    assert(full === single,
+      "uncut two-stage result must equal the single-stage probe")
+    // aggressive cut: int8 scores keep ordering well enough that top-5
+    // recall vs the uncut probe stays high
+    val cut = AnnIvf.topKTwoStage(emb, 0L to 9L, k = 5, coarseK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ref = single.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val hits = ref.keysIterator
+      .map(q => (cut.getOrElse(q, Set.empty[Long]) intersect ref(q)).size).sum
+    val recall = hits.toDouble / (ref.size * 5)
+    info(f"two-stage recall@5 = $recall%.2f (coarseK=20)")
+    assert(recall >= 0.8, f"coarse int8 cut lost too much: $recall%.2f")
+  }
+
   test("ivf index: cell-partitioned write, probe reads only nprobe dirs") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val path = tmpDir("ivf-index")
