@@ -212,6 +212,34 @@ object AnnIvf {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Incremental index maintenance: a STREAM of new embeddings is
+    * cell-assigned with the frozen centroid model and appended to the
+    * same hive-partitioned layout [[writeIndex]] produced — the
+    * streaming side of the IVF story (new corpus shards become probeable
+    * as soon as their micro-batch commits; centroids retrain offline on
+    * the reference's promote cadence, not per batch).
+    */
+  def appendToIndexStream(stream: DataFrame, path: String,
+      checkpointDir: String,
+      centroids: Array[Array[Double]]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val vecs = stream
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(VectorFunctions.sqNorm(col("emb"))))
+      .withColumn("cell", cellOf(col("emb"), centroids))
+    // foreachBatch batch-append, NOT the streaming file sink: the file
+    // sink's _spark_metadata log would shadow the batch-written index
+    // files on read (a mixed batch+stream directory is only readable if
+    // every writer uses plain parquet commits). At-least-once on batch
+    // replay — acceptable for an index (duplicate neighbors dedup at
+    // query time by vec_id rank ordering).
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("cell").parquet(path)
+      }
+  }
+
   /** Two-stage probe: a QUANTIZED coarse pass scores every candidate in
     * the probed cells on int8 components (reading ~1/8 of the bytes a
     * float64 pass reads), keeps `coarseK` per query via the native

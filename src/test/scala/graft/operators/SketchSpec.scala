@@ -153,6 +153,34 @@ class SketchSpec extends SparkSpec {
     assert(recall >= 0.8, f"coarse int8 cut lost too much: $recall%.2f")
   }
 
+  test("ivf index: streamed appends land in the partitioned layout and are probeable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val path = tmpDir("ivf-stream-index")
+    // batch-write the first half, stream-append the second half
+    val centroids = AnnIvf.writeIndex(emb.filter(col("vec_id") < 250),
+      path, nlist = 16)
+    val tail = emb.filter(col("vec_id") >= 250)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray.toSeq))
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    input.addData(tail.toIndexedSeq: _*)
+    val q = AnnIvf.appendToIndexStream(
+        input.toDF().toDF("vec_id", "embedding"), path,
+        tmpDir("ivf-stream-ckpt"), centroids)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val idx = spark.read.parquet(path)
+    assert(idx.count() === emb.count(),
+      "streamed rows must join the batch-written index")
+    // a streamed-in vector must now be findable as a neighbor
+    val res = AnnIvf.topKIndexed(spark, path, centroids, Seq(300L), k = 5)
+    assert(res.count() === 5)
+  }
+
   test("ivf index: cell-partitioned write, probe reads only nprobe dirs") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val path = tmpDir("ivf-index")
