@@ -146,19 +146,19 @@ object TextQueries {
     """))
 
   /** Document fingerprint: polynomial rolling hash over per-word integer
-    * values, exact sequential fold in both engines (Spark `aggregate` vs
-    * DuckDB `list_reduce` over a 0-prepended list), all mod 1e9+7.
+    * values, exact sequential fold in both engines (native
+    * [[graft.functions.expressions.WordFingerprint]] loop vs DuckDB
+    * `list_reduce` over a 0-prepended list), all mod 1e9+7. The
+    * composable `aggregate(transform(...))` form it replaces was a
+    * CodegenFallback higher-order chain.
     */
   val q50 = GraftQuery(
     "q50_fingerprint",
     (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), split(normalize(col("text")), " ").as("words"))
-        .withColumn("fingerprint", expr(
-          """aggregate(
-               transform(words, w -> cast(length(w) * 17 + ascii(w) * 31
-                                          + ascii(reverse(w)) as bigint)),
-               0L, (acc, v) -> (acc * 31 + v) % 1000000007L)"""))
+        .withColumn("fingerprint",
+          graft.functions.expressions.WordFingerprint(col("words")))
         .groupBy(col("fingerprint"))
         .agg(min(col("doc_id")).as("survivor_id"),
           count(lit(1)).as("n_docs"))

@@ -66,5 +66,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("graft_charsum",
       "graft_charsum(s) - sum of Unicode code points of s",
       args => graft.functions.expressions.CharSum(args(0))))
+    e.injectFunction(fn("graft_fingerprint",
+      "graft_fingerprint(words) - rolling-hash fingerprint of array<string>",
+      args => graft.functions.expressions.WordFingerprint(args(0))))
   }
 }

@@ -65,6 +65,15 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q50: native fingerprint replaces the CodegenFallback fold") {
+    val plan = planOf(TextQueries.q50.build(spark, sf0001))
+    assert(plan.contains("wordfingerprint") ||
+      plan.contains("WordFingerprint"),
+      s"native fingerprint missing:\n${plan.take(2000)}")
+    assert(!plan.contains("aggregate(") && !plan.contains("lambdafunction"),
+      s"higher-order fold should be gone:\n${plan.take(2000)}")
+  }
+
   test("q45: native graft_dot expression appears in the plan") {
     val plan = planOf(SimilarityQueries.q45.build(spark, sf0001))
     assert(plan.contains("DotProduct") || plan.toLowerCase.contains("dotproduct"),
