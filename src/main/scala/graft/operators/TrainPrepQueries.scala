@@ -53,12 +53,8 @@ object TrainPrepQueries {
         .withColumn("quality",
           round(least(lit(1.0), col("n_words").cast("double") / 50) *
             (lit(1.0) - col("punct_ratio")), 4))
-        .withColumn("fingerprint", expr(
-          """aggregate(
-               transform(split(norm, ' '),
-                 w -> cast(length(w) * 17 + ascii(w) * 31
-                           + ascii(reverse(w)) as bigint)),
-               0L, (acc, v) -> (acc * 31 + v) % 1000000007L)"""))
+        .withColumn("fingerprint", graft.functions.expressions
+          .WordFingerprint(split(col("norm"), " ")))
         .filter(col("predicted") =!= "und" && col("quality") >= 0.3)
       val deduped = feats
         .groupBy(col("fingerprint"))
