@@ -73,6 +73,66 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact integer dot product of two array<tinyint> columns (the int8
+  * coarse-pass kernel of two-stage ANN): Σ aᵢ·bᵢ as a long, one fused
+  * byte loop. The composable alternative — `transform` each tinyint
+  * array to double then [[DotProduct]] — is a CodegenFallback
+  * higher-order chain in the hottest loop of the coarse pass; this is
+  * exact integer math (no accumulation-order concerns at all).
+  */
+case class TinyDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_tinydot expects array<tinyint> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!xs.isNullAt(i) && !ys.isNullAt(i))
+        acc += xs.getByte(i).toLong * ys.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TinyDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All sign-LSH table buckets of an embedding in one fused pass.
   *
   * The composable form — one `array(lit...)` plane literal plus a
@@ -241,6 +301,10 @@ object VectorFunctions {
 
   /** Squared L2 norm via the same fused loop. */
   def sqNorm(a: Column): Column = dot(a, a)
+
+  /** Column API for [[TinyDot]] — exact int8 dot as long. */
+  def tinyDot(a: Column, b: Column): Column =
+    Bridge.column(TinyDot(Bridge.expression(a), Bridge.expression(b)))
 
   /** Column API for [[SignLshBuckets]] — planes flattened t-major. */
   def signLshBuckets(emb: Column, planes: Array[Double], tables: Int,

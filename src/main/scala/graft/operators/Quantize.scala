@@ -38,12 +38,13 @@ object Quantize {
       v => v.cast("double") * qs.getField("scale"))
 
   /** Approximate dot product directly on two quantized structs: the
-    * int8 component dot scaled by both scales — the coarse-pass scoring
-    * kernel (reads 16× fewer bytes than a float64 dot).
+    * EXACT integer int8 dot (native
+    * [[graft.functions.expressions.TinyDot]] loop — no higher-order
+    * transform in the coarse-pass hot path) scaled by both scales.
+    * Reads 16× fewer bytes than a float64 dot.
     */
   def dotQ(a: Column, b: Column): Column =
-    graft.functions.expressions.VectorFunctions.dot(
-      transform(a.getField("q"), v => v.cast("double")),
-      transform(b.getField("q"), v => v.cast("double"))) *
+    graft.functions.expressions.VectorFunctions
+      .tinyDot(a.getField("q"), b.getField("q")).cast("double") *
       a.getField("scale") * b.getField("scale")
 }
