@@ -37,9 +37,14 @@ object ReplaySource {
       .format("rate")
       .option("rowsPerSecond", rowsPerSecond.toString)
       .load() // columns: timestamp, value
+    // size-gate the broadcast hint (same rule as MinHashDedup): an
+    // explicit hint is honored regardless of size, so a huge corpus
+    // must fall back to a stream-static shuffle join
+    val corpusSide =
+      if (n <= 1000000L) broadcast(indexed) else indexed
     rate
       .withColumn("corpus_idx", pmod(col("value"), lit(n)))
-      .join(broadcast(indexed), "corpus_idx")
+      .join(corpusSide, "corpus_idx")
       .withColumn("replay_id", col("value"))
       .drop("corpus_idx", "value")
   }
