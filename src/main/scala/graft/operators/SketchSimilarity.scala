@@ -159,7 +159,11 @@ object AnnIvf {
       .withColumn("nrm", sqrt(VectorFunctions.sqNorm(col("emb"))))
     val centroids = trainCentroids(vecs.select(col("vec_id"), col("emb")),
       nlist, dim)
+    // store the int8 form alongside full precision: a two-stage probe's
+    // coarse pass reads the ~8× narrower qv column straight off disk
+    // instead of re-quantizing the corpus per query
     vecs.withColumn("cell", cellOf(col("emb"), centroids))
+      .withColumn("qv", Quantize.quantize(col("emb")))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     centroids
   }
@@ -226,6 +230,7 @@ object AnnIvf {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(VectorFunctions.sqNorm(col("emb"))))
       .withColumn("cell", cellOf(col("emb"), centroids))
+      .withColumn("qv", Quantize.quantize(col("emb"))) // match writeIndex
     // foreachBatch batch-append, NOT the streaming file sink: the file
     // sink's _spark_metadata log would shadow the batch-written index
     // files on read (a mixed batch+stream directory is only readable if
