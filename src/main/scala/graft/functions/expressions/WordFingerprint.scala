@@ -33,6 +33,15 @@ case class WordFingerprint(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
+  // the result can be null when an ELEMENT is null, not only when the
+  // array itself is — without this, codegen's non-nullable branch never
+  // declares ev.isNull and the generated code fails to compile (and the
+  // interpreted path would return null for a declared-non-null long)
+  override def nullable: Boolean = child.nullable || (child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  })
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -67,11 +76,16 @@ case class WordFingerprint(child: Expression) extends UnaryExpression {
       val first = ctx.freshName("first")
       val last = ctx.freshName("last")
       val v = ctx.freshName("v")
+      // ev.isNull is the literal `false` when nullable=false — only emit
+      // the null-element branch when elements can actually be null
+      val nullElementCheck =
+        if (nullable) s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements();
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullElementCheck
          |  org.apache.spark.unsafe.types.UTF8String $u = $a.getUTF8String($i);
          |  String $s = $u.toString();
          |  int $first = $s.isEmpty() ? 0 : $s.codePointAt(0);

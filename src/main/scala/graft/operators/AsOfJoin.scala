@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   * inclusive). Among right rows with identical (key, time), pass
   * `rightTieBreak` columns to make last-wins deterministic (the row
   * greatest in tiebreak order wins).
+  *
+  * Null keys follow equi-join semantics: a null-key left row gets null
+  * as-of values (never matched against null-key right rows, which a
+  * naive window partitioning would group together).
   */
 object AsOfJoin {
 
@@ -42,8 +46,11 @@ object AsOfJoin {
     val lTagged = side(left, leftTime, tag = 1,
       struct(lCols.map(col): _*), lit(null).cast(rvType),
       rightTieBreak.map(c => lit(null).cast(right.schema(c).dataType)))
-    val rTagged = side(right, rightTime, tag = 0,
-      lit(null).cast(lrowType), rvStruct, rightTieBreak.map(col))
+    // equi-join semantics for null keys: drop null-key RIGHT rows so a
+    // null-key left row (they all land in the null window partition)
+    // reads last(null) = null instead of matching another null key
+    val rTagged = side(right.filter(col(key).isNotNull), rightTime,
+      tag = 0, lit(null).cast(lrowType), rvStruct, rightTieBreak.map(col))
 
     val w = Window.partitionBy(col("__k"))
       .orderBy(Seq(col("__t"), col("__tag")) ++ tbNames.map(col): _*)

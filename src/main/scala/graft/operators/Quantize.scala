@@ -17,20 +17,33 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
-  /** array<double> → struct(scale double, q array<tinyint>). Zero
-    * vectors quantize to scale 0 and all-zero components.
+  /** Per-vector quantization scale: max|x| / 127. Compute this ONCE
+    * into its own column and pass it to [[quantizeWith]] — referencing
+    * the aggregate fold inside the component lambda would re-run the
+    * O(d) fold per element (O(d²) per row).
     */
-  def quantize(emb: Column): Column = {
-    val maxAbs = aggregate(emb, lit(0.0d), (acc, x) => greatest(acc, abs(x)))
-    val scale = (maxAbs / lit(127.0d)).as("scale")
+  def scaleOf(emb: Column): Column =
+    aggregate(emb, lit(0.0d), (acc, x) => greatest(acc, abs(x))) /
+      lit(127.0d)
+
+  /** array<double> + pre-bound scale column →
+    * struct(scale double, q array<tinyint>). Zero vectors quantize to
+    * scale 0 and all-zero components.
+    */
+  def quantizeWith(emb: Column, scale: Column): Column =
     struct(
-      scale,
-      when(maxAbs === 0d,
+      scale.as("scale"),
+      when(scale === 0d,
         transform(emb, _ => lit(0).cast("tinyint")))
-        .otherwise(transform(emb,
-          x => round(x / (maxAbs / lit(127.0d))).cast("tinyint")))
+        .otherwise(transform(emb, x => round(x / scale).cast("tinyint")))
         .as("q"))
-  }
+
+  /** Convenience one-expression form. NOTE: embeds the scale fold in
+    * the lambda, so it evaluates O(d²) per row — fine for small d or
+    * one-off checks; hot paths should bind [[scaleOf]] to a column
+    * first and call [[quantizeWith]].
+    */
+  def quantize(emb: Column): Column = quantizeWith(emb, scaleOf(emb))
 
   /** struct(scale, q) → array<double> approximation of the original. */
   def dequantize(qs: Column): Column =

@@ -143,7 +143,8 @@ object SimilarityQueries {
       val e = t(s, d, "embeddings")
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("emb"))
-        .withColumn("qs", Quantize.quantize(col("emb")))
+        .withColumn("__scale", Quantize.scaleOf(col("emb")))
+        .withColumn("qs", Quantize.quantizeWith(col("emb"), col("__scale")))
         .withColumn("deq", Quantize.dequantize(col("qs")))
       e.select(col("vec_id"),
         round(col("qs").getField("scale"), 9).as("scale_r"),
@@ -159,8 +160,10 @@ object SimilarityQueries {
                list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
         FROM e)
       SELECT vec_id, round(scale, 9) AS scale_r,
-             round(list_max(list_transform(emb,
-               x -> abs(x - round(x / scale) * scale))), 9) AS max_err
+             CASE WHEN scale = 0 THEN 0.0
+                  ELSE round(list_max(list_transform(emb,
+                    x -> abs(x - round(x / scale) * scale))), 9)
+             END AS max_err
       FROM q
       ORDER BY vec_id
     """))

@@ -86,9 +86,10 @@ object MinHashDedup {
     * limit); an explicit hint is honored REGARDLESS of size, so at
     * billions of docs it would OOM the driver. Past the gate we leave the
     * join strategy to Catalyst/AQE (shuffle join on doc_id, co-partitioned
-    * with the band-pair shuffle).
+    * with the band-pair shuffle). Shared project-wide as
+    * [[graft.Limits.BroadcastRows]].
     */
-  val BroadcastDocLimit: Long = 1L << 20
+  val BroadcastDocLimit: Long = graft.Limits.BroadcastRows
 
   /** Band pairs → size-ratio cut → signature-estimate prefilter →
     * distinct. Factored out so the profiler can time it in isolation.

@@ -133,6 +133,28 @@ object AnnIvf {
     best
   }
 
+  /** The nprobe nearest cells per collected query row (vec_id at field
+    * 0, emb at field 1) — the single shared implementation of the
+    * probe-cell selection (driver-side on the tiny centroid model;
+    * deterministic (distance, cell) tiebreak).
+    */
+  private def nearestCells(rows: Array[org.apache.spark.sql.Row],
+      centroids: Array[Array[Double]], nprobe: Int)
+      : IndexedSeq[(Long, Int)] =
+    rows.flatMap { r =>
+      val qid = r.getLong(0)
+      val v = r.getSeq[Double](1).toArray
+      centroids.indices
+        .sortBy { c =>
+          var d = 0d; var i = 0
+          while (i < v.length) {
+            val diff = v(i) - centroids(c)(i); d += diff * diff; i += 1
+          }
+          (d, c)
+        }
+        .take(nprobe).map(c => (qid, c))
+    }.toIndexedSeq
+
   /** Cell assignment as a Column: fused squared-L2 argmin over the flat
     * centroid matrix ([[graft.functions.expressions.NearestCentroidId]]) —
     * one reference object + three loops instead of an nlist-wide tree of
@@ -163,7 +185,9 @@ object AnnIvf {
     // coarse pass reads the ~8× narrower qv column straight off disk
     // instead of re-quantizing the corpus per query
     vecs.withColumn("cell", cellOf(col("emb"), centroids))
-      .withColumn("qv", Quantize.quantize(col("emb")))
+      .withColumn("__scale", Quantize.scaleOf(col("emb")))
+      .withColumn("qv", Quantize.quantizeWith(col("emb"), col("__scale")))
+      .drop("__scale")
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     centroids
   }
@@ -177,28 +201,18 @@ object AnnIvf {
       nprobe: Int = 4): DataFrame = {
     import spark.implicits._
     val idx = spark.read.parquet(path)
-    // query vectors: a keyed lookup (at scale these come from the request,
-    // not a scan)
+    // query vectors: ONE keyed lookup (at scale these come with the
+    // request, not a scan) — the collected rows feed BOTH the probe-cell
+    // selection and the broadcast query side, so the index is scanned
+    // exactly once more (the cell-pruned candidate read) after this
     val qRows = idx.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id"), col("emb")).collect()
-    val queryCells = qRows.flatMap { r =>
-      val qid = r.getLong(0)
-      val v = r.getSeq[Double](1).toArray
-      centroids.indices
-        .sortBy { c =>
-          var d = 0d; var i = 0
-          while (i < v.length) {
-            val diff = v(i) - centroids(c)(i); d += diff * diff; i += 1
-          }
-          (d, c)
-        }
-        .take(nprobe).map(c => (qid, c))
-    }.toIndexedSeq
+      .select(col("vec_id"), col("emb"), col("nrm")).collect()
+    val queryCells = nearestCells(qRows, centroids, nprobe)
     val probes = queryCells.toDF("qid", "cell")
     val probedCells = queryCells.map(_._2).distinct.sorted
-    val queries = idx.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
-        col("nrm").as("qnrm"))
+    val queries = qRows
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toIndexedSeq.toDF("qid", "qemb", "qnrm")
     val cand = idx
       .filter(col("cell").isin(probedCells: _*)) // directory pruning
       .join(broadcast(probes), Seq("cell"))
@@ -230,7 +244,9 @@ object AnnIvf {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(VectorFunctions.sqNorm(col("emb"))))
       .withColumn("cell", cellOf(col("emb"), centroids))
-      .withColumn("qv", Quantize.quantize(col("emb"))) // match writeIndex
+      .withColumn("__scale", Quantize.scaleOf(col("emb")))
+      .withColumn("qv", Quantize.quantizeWith(col("emb"), col("__scale")))
+      .drop("__scale") // match writeIndex's schema
     // foreachBatch batch-append, NOT the streaming file sink: the file
     // sink's _spark_metadata log would shadow the batch-written index
     // files on read (a mixed batch+stream directory is only readable if
@@ -263,25 +279,16 @@ object AnnIvf {
     val vecs = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(VectorFunctions.sqNorm(col("emb"))))
-      .withColumn("qv", Quantize.quantize(col("emb")))
+      .withColumn("__scale", Quantize.scaleOf(col("emb")))
+      .withColumn("qv", Quantize.quantizeWith(col("emb"), col("__scale")))
+      .drop("__scale")
     val centroids = trainCentroids(vecs.select(col("vec_id"), col("emb")),
       nlist, dim)
     val withCell = vecs.withColumn("cell", cellOf(col("emb"), centroids))
-    val queryCells = withCell.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id"), col("emb")).collect()
-      .flatMap { r =>
-        val qid = r.getLong(0)
-        val v = r.getSeq[Double](1).toArray
-        centroids.indices
-          .sortBy { c =>
-            var d = 0d; var i = 0
-            while (i < v.length) {
-              val diff = v(i) - centroids(c)(i); d += diff * diff; i += 1
-            }
-            (d, c)
-          }
-          .take(nprobe).map(c => (qid, c))
-      }.toIndexedSeq
+    val queryCells = nearestCells(
+      withCell.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id"), col("emb")).collect(),
+      centroids, nprobe)
     val probes = queryCells.toDF("qid", "cell")
     val queries = withCell.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
@@ -324,21 +331,10 @@ object AnnIvf {
     val withCell = vecs.withColumn("cell", cellOf(col("emb"), centroids))
 
     // nprobe closest cells per query, driver-side on the tiny model
-    val queryCells = withCell.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id"), col("emb")).collect()
-      .flatMap { r =>
-        val qid = r.getLong(0)
-        val v = r.getSeq[Double](1).toArray
-        centroids.indices
-          .sortBy { c =>
-            var d = 0d; var i = 0
-            while (i < v.length) {
-              val diff = v(i) - centroids(c)(i); d += diff * diff; i += 1
-            }
-            (d, c)
-          }
-          .take(nprobe).map(c => (qid, c))
-      }.toIndexedSeq
+    val queryCells = nearestCells(
+      withCell.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id"), col("emb")).collect(),
+      centroids, nprobe)
     val probes = queryCells.toDF("qid", "cell")
 
     val queries = withCell.filter(col("vec_id").isin(queryIds: _*))

@@ -139,11 +139,15 @@ object AbsaPipeline {
     */
   private def hasCommittedData(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Boolean = {
-    val rootUri = root.toUri.getPath
+    // qualify the root the same way listFiles qualifies its results: a
+    // raw-string comparison would never match a relative/differently-
+    // spelled sinkDir, walk past the root, and misclassify files under
+    // any _- or .-prefixed ANCESTOR directory as hidden
+    val qualifiedRoot = fs.makeQualified(root)
     def hidden(p: org.apache.hadoop.fs.Path): Boolean = {
       var cur = p
       var h = false
-      while (cur != null && cur.toUri.getPath != rootUri) {
+      while (cur != null && cur != qualifiedRoot) {
         val n = cur.getName
         if (n.startsWith("_") || n.startsWith(".")) h = true
         cur = cur.getParent

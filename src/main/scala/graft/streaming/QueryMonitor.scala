@@ -57,6 +57,11 @@ final class QueryMonitor extends StreamingQueryListener {
   /** ms since the stream last showed signs of life. */
   def stalenessMs: Long = System.currentTimeMillis() - lastEventAt
 
+  /** Reset the liveness clock (e.g. at a supervised restart, so a fresh
+    * query gets a full staleness grace period).
+    */
+  def touch(): Unit = lastEventAt = System.currentTimeMillis()
+
   def terminationReason: Option[String] = terminated
 
   def attach(spark: SparkSession): this.type = {

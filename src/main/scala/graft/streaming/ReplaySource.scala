@@ -37,11 +37,11 @@ object ReplaySource {
       .format("rate")
       .option("rowsPerSecond", rowsPerSecond.toString)
       .load() // columns: timestamp, value
-    // size-gate the broadcast hint (same rule as MinHashDedup): an
+    // size-gate the broadcast hint (shared graft.Limits rule): an
     // explicit hint is honored regardless of size, so a huge corpus
     // must fall back to a stream-static shuffle join
     val corpusSide =
-      if (n <= 1000000L) broadcast(indexed) else indexed
+      if (n <= graft.Limits.BroadcastRows) broadcast(indexed) else indexed
     rate
       .withColumn("corpus_idx", pmod(col("value"), lit(n)))
       .join(corpusSide, "corpus_idx")

@@ -13,11 +13,22 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryException}
   * time so a restart resumes from committed offsets (S9/S30 semantics:
   * at-least-once across crashes).
   *
-  * Restart policy: every abnormal end (query exception, or no progress
-  * event for `stalenessLimitMs`) consumes one attempt; after
-  * `maxRestarts` restarts the supervisor gives up and surfaces the last
-  * failure instead of crash-looping forever. Backoff between restarts is
-  * `backoffMs · multiplier^attempt`.
+  * Restart policy: every abnormal end (query exception, a failure to
+  * start/stop, or no progress event for `stalenessLimitMs`) consumes
+  * one attempt; after `maxRestarts` restarts the supervisor gives up
+  * and surfaces the last failure instead of crash-looping forever.
+  * Backoff between restarts is `backoffMs · multiplier^attempt`.
+  *
+  * Monitor scoping: the [[QueryMonitor]] listener is session-global —
+  * progress from ANY query on the session refreshes it. Supervise ONE
+  * query per monitor (attach a dedicated monitor for this query's
+  * session, or rely on query exceptions alone by leaving
+  * `stalenessLimitMs` at its no-op default). The supervisor touches the
+  * monitor at each (re)start so every attempt gets a full staleness
+  * grace period. Note also that stopping a genuinely wedged batch
+  * thread honors `spark.sql.streaming.stopTimeout` — configure it
+  * non-zero so `stop()` raises (and consumes an attempt) instead of
+  * joining forever.
   */
 final class StreamSupervisor(
     startQuery: () => StreamingQuery,
@@ -45,22 +56,28 @@ final class StreamSupervisor(
     var delay = backoffMs
     var result: Either[Throwable, Int] = null
     while (result == null) {
-      val q = startQuery()
       var failure: Throwable = null
+      // every failure mode must consume an attempt, not escape run():
+      // startQuery() itself (checkpoint FS hiccup), awaitTermination
+      // (StreamingQueryException), and stop() (TimeoutException under a
+      // configured stopTimeout) are all part of the supervised attempt
       try {
+        val q = startQuery()
+        monitor.foreach(_.touch()) // fresh staleness grace per attempt
         var done = false
         while (!done && failure == null) {
           done = q.awaitTermination(pollMs)
           if (!done) monitor.foreach { m =>
             val stale = m.stalenessMs
             if (stale > stalenessLimitMs) {
-              q.stop()
               failure = new StalenessException(stale)
+              q.stop()
             }
           }
         }
       } catch {
-        case e: StreamingQueryException => failure = e
+        case scala.util.control.NonFatal(e) =>
+          if (failure == null) failure = e
       }
       if (failure == null) result = Right(attempt)
       else if (attempt >= maxRestarts) result = Left(failure)

@@ -15,14 +15,16 @@ class AsOfJoinSpec extends SparkSpec {
       ("A", ts(1), 100L, 1.0),
       ("A", ts(3), 101L, 2.0),
       ("A", ts(3), 102L, 3.0), // same key+time: greatest quote_id wins
-      ("B", ts(2), 200L, 9.0))
+      ("B", ts(2), 200L, 9.0),
+      (null.asInstanceOf[String], ts(1), 300L, 5.0)) // null key: never matches
       .toDF("sym", "ts", "quote_id", "px")
     val trades = Seq(
       ("A", ts(0), 1L),  // before any quote → null
       ("A", ts(3), 2L),  // equal time → at-or-before inclusive, id 102
       ("A", ts(9), 3L),  // after all → id 102
       ("B", ts(5), 4L),
-      ("C", ts(5), 5L))  // key with no quotes → null
+      ("C", ts(5), 5L),  // key with no quotes → null
+      (null.asInstanceOf[String], ts(5), 6L)) // null key → null (equi-join)
       .toDF("sym", "ts", "trade_id")
 
     val out = AsOfJoin.backward(trades, quotes, "sym", "ts", "ts",
@@ -37,7 +39,8 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, Some(102L), Some(3.0)),
       (3L, Some(102L), Some(3.0)),
       (4L, Some(200L), Some(9.0)),
-      (5L, None, None)))
+      (5L, None, None),
+      (6L, None, None)))
   }
 
   test("property: as-of join equals brute-force max-right-at-or-before") {
