@@ -48,6 +48,24 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(top1 === Set((0L, 9L), (1L, 7L), (2L, 8L)))
   }
 
+  test("property: random data with ties matches the window formulation") {
+    import org.scalacheck.Gen
+    val rows = Gen.listOfN(3000,
+      Gen.zip(Gen.chooseNum(0, 40), Gen.chooseNum(0, 25))).sample.get
+      .zipWithIndex.map { case ((g, v), i) => (g.toLong, v.toLong, i.toLong) }
+    import spark.implicits._
+    val df = rows.toDF("g", "v", "id").repartition(7)
+    val k = 4
+    val native = TopK.perGroup(df, Seq(col("g")),
+        Seq(col("v").desc, col("id")), k)
+      .select("g", "v", "id").collect().map(_.toString).sorted
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+    val windowed = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select("g", "v", "id")
+      .collect().map(_.toString).sorted
+    assert(native.toSeq === windowed.toSeq)
+  }
+
   test("beyond the partial group cap, rows stream through and stay exact") {
     // one partition with more distinct groups than the 65536 partial cap:
     // overflow rows must pass through unpruned (streamed, not buffered)
