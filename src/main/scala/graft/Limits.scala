@@ -10,4 +10,10 @@ object Limits {
     * together when tuned.
     */
   val BroadcastRows: Long = 1L << 20
+
+  /** Companion byte gate for wide-row tables (document text, payload
+    * blobs): a row-count gate alone still allows a multi-GB forced
+    * broadcast when rows are kilobytes wide.
+    */
+  val BroadcastBytes: Long = 64L << 20
 }

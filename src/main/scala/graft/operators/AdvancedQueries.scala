@@ -70,8 +70,11 @@ object AdvancedQueries {
     },
     Some("""
       WITH tagged AS (
+        -- null-key signups excluded to mirror AsOfJoin's equi-join
+        -- null semantics (a null-user error gets NULL, never a
+        -- null-user signup)
         SELECT user_id, ts, event_id, 0 AS tag, event_id AS signup_id
-        FROM events WHERE event_type = 'signup'
+        FROM events WHERE event_type = 'signup' AND user_id IS NOT NULL
         UNION ALL
         SELECT user_id, ts, event_id, 1 AS tag, NULL AS signup_id
         FROM events WHERE event_type = 'error')

@@ -192,9 +192,30 @@ object AnnIvf {
     centroids
   }
 
+  /** Shared exact-rerank tail: score candidates (qid, vec_id, emb, nrm,
+    * qemb, qnrm) with float64 cosine and keep the top k per query. ONE
+    * implementation for all three probe paths so the ranking contract
+    * can't drift.
+    */
+  private def rerank(cand: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand
+      .withColumn("cosine", VectorFunctions.dot(col("qemb"), col("emb")) /
+        (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine_r"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Top-k over a materialized index: the probed cells arrive as a
     * partition-pruning `isin` filter, so only nprobe directories are
     * opened. Deterministic given the same centroids as the write.
+    * Candidates are deduplicated on (qid, vec_id): the streamed append
+    * path is at-least-once, so a replayed batch may leave a vector's
+    * row twice in its cell directory.
     */
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       centroids: Array[Array[Double]], queryIds: Seq[Long], k: Int,
@@ -217,17 +238,11 @@ object AnnIvf {
       .filter(col("cell").isin(probedCells: _*)) // directory pruning
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
+      // at-least-once appends can duplicate an index row; duplicate
+      // rows are identical, so any survivor is correct
+      .dropDuplicates("qid", "vec_id")
       .join(broadcast(queries), "qid")
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    cand
-      .withColumn("cosine", VectorFunctions.dot(col("qemb"), col("emb")) /
-        (col("qnrm") * col("nrm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine_r"))
-      .orderBy(col("qid"), col("rank"))
+    rerank(cand, k)
   }
 
   /** Incremental index maintenance: a STREAM of new embeddings is
@@ -285,14 +300,19 @@ object AnnIvf {
     val centroids = trainCentroids(vecs.select(col("vec_id"), col("emb")),
       nlist, dim)
     val withCell = vecs.withColumn("cell", cellOf(col("emb"), centroids))
-    val queryCells = nearestCells(
-      withCell.filter(col("vec_id").isin(queryIds: _*))
-        .select(col("vec_id"), col("emb")).collect(),
-      centroids, nprobe)
+    // ONE query lookup: the collected rows feed the cell selection and
+    // the broadcast query side (the tiny local frame re-derives the
+    // quantized form with the same column math — identical values)
+    val qRows = withCell.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("emb"), col("nrm")).collect()
+    val queryCells = nearestCells(qRows, centroids, nprobe)
     val probes = queryCells.toDF("qid", "cell")
-    val queries = withCell.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
-        col("nrm").as("qnrm"), col("qv").as("qqv"))
+    val queries = qRows
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toIndexedSeq.toDF("qid", "qemb", "qnrm")
+      .withColumn("__s", Quantize.scaleOf(col("qemb")))
+      .withColumn("qqv", Quantize.quantizeWith(col("qemb"), col("__s")))
+      .drop("__s")
     // coarse pass: int8 dot only — no float64 vector is touched here
     val coarse = withCell.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
@@ -302,19 +322,10 @@ object AnnIvf {
     val survivors = graft.plans.TopK.perGroup(coarse,
       Seq(col("qid")), Seq(col("score_q").desc, col("vec_id")), coarseK)
     // exact rerank on the survivors only
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    survivors
+    rerank(survivors
       .join(vecs.select(col("vec_id"), col("emb"), col("nrm")), "vec_id")
       .join(broadcast(queries.select(col("qid"), col("qemb"),
-        col("qnrm"))), "qid")
-      .withColumn("cosine", VectorFunctions.dot(col("qemb"), col("emb")) /
-        (col("qnrm") * col("nrm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine_r"))
-      .orderBy(col("qid"), col("rank"))
+        col("qnrm"))), "qid"), k)
   }
 
   /** Approximate top-k: probe the `nprobe` nearest cells per query. */
@@ -340,18 +351,8 @@ object AnnIvf {
     val queries = withCell.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("nrm").as("qnrm"))
-    val cand = withCell.join(broadcast(probes), "cell")
+    rerank(withCell.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
-      .join(broadcast(queries), "qid")
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    cand
-      .withColumn("cosine", VectorFunctions.dot(col("qemb"), col("emb")) /
-        (col("qnrm") * col("nrm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine_r"))
-      .orderBy(col("qid"), col("rank"))
+      .join(broadcast(queries), "qid"), k)
   }
 }

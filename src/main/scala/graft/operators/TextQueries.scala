@@ -13,56 +13,30 @@ import graft.functions.MockScorers.{normalize, normalizeSql}
   */
 object TextQueries {
 
-  private val langMarkers: Seq[(String, String)] = Seq(
-    "en" -> "\\b(the|of|and|to|is)\\b",
-    "es" -> "\\b(el|los|las|una|es)\\b",
-    "de" -> "\\b(der|die|das|und|ist)\\b",
-    "fr" -> "\\b(les|une|est|dans|pour)\\b")
-
-  /** Language-ID by stopword-marker counting, reported as a confusion
-    * matrix against the metadata lang column. Deterministic priority
-    * tiebreak en > es > de > fr > und.
+  /** Language-ID by stopword-marker counting ([[TextFeatures]] — shared
+    * with q62's pipeline so the definitions cannot drift), reported as a
+    * confusion matrix against the metadata lang column. Deterministic
+    * priority tiebreak en > es > de > fr > und.
     */
   val q47 = GraftQuery(
     "q47_langid_confusion",
-    (s, d) => {
-      val scored = langMarkers.foldLeft(
+    (s, d) =>
+      TextFeatures.withLangScores(
         t(s, d, "documents")
           .select(col("doc_id"), col("lang"),
-            normalize(col("text")).as("norm"))) {
-        case (df, (l, pat)) =>
-          df.withColumn(s"score_$l", regexp_count(col("norm"), lit(pat)))
-      }
-      val Seq(en, es, de, fr) = langMarkers.map(m => col("score_" + m._1))
-      scored
-        .withColumn("predicted",
-          when(en > 0 && en >= es && en >= de && en >= fr, "en")
-            .when(es > 0 && es >= de && es >= fr, "es")
-            .when(de > 0 && de >= fr, "de")
-            .when(fr > 0, "fr")
-            .otherwise("und"))
+            normalize(col("text")).as("norm")), col("norm"))
+        .withColumn("predicted", TextFeatures.predicted)
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("lang"), col("predicted"))
-    },
+        .orderBy(col("lang"), col("predicted")),
     Some(s"""
       WITH scored AS (
         SELECT doc_id, lang,
-               ${langMarkers.map { case (l, pat) =>
-                 s"CAST(len(regexp_extract_all(${normalizeSql("text")}, '$pat')) AS INTEGER) AS score_$l"
-               }.mkString(",\n               ")}
+               ${TextFeatures.langScoresSql(normalizeSql("text"))}
         FROM documents),
       pred AS (
         SELECT lang,
-               CASE
-                 WHEN score_en > 0 AND score_en >= score_es
-                      AND score_en >= score_de AND score_en >= score_fr THEN 'en'
-                 WHEN score_es > 0 AND score_es >= score_de
-                      AND score_es >= score_fr THEN 'es'
-                 WHEN score_de > 0 AND score_de >= score_fr THEN 'de'
-                 WHEN score_fr > 0 THEN 'fr'
-                 ELSE 'und'
-               END AS predicted
+               ${TextFeatures.predictedSql} AS predicted
         FROM scored)
       SELECT lang, predicted, COUNT(*) AS n
       FROM pred
@@ -90,8 +64,7 @@ object TextQueries {
           round(regexp_count(col("norm"), lit("\\b(the|of|and|to|is|a)\\b"))
             .cast("double") / col("n_words"), 4))
         .withColumn("quality",
-          round(least(lit(1.0), col("n_words").cast("double") / 50) *
-            (lit(1.0) - col("punct_ratio")), 4))
+          TextFeatures.quality(col("n_words"), col("punct_ratio")))
         .select(col("doc_id"), col("n_chars_raw"), col("n_words"),
           col("avg_word_len"), col("punct_ratio"), col("stopword_ratio"),
           col("quality"))
@@ -112,8 +85,8 @@ object TextQueries {
              round(CAST(n_letters AS DOUBLE) / n_words, 4) AS avg_word_len,
              round(CAST(n_punct AS DOUBLE) / n_chars_raw, 4) AS punct_ratio,
              round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stopword_ratio,
-             round(least(1.0, CAST(n_words AS DOUBLE) / 50) *
-                   (1.0 - round(CAST(n_punct AS DOUBLE) / n_chars_raw, 4)), 4) AS quality
+             ${TextFeatures.qualitySql("n_words",
+               "round(CAST(n_punct AS DOUBLE) / n_chars_raw, 4)")} AS quality
       FROM feats
       ORDER BY doc_id
     """))

@@ -15,12 +15,6 @@ import graft.functions.MockScorers.{normalize, normalizeSql}
   */
 object TrainPrepQueries {
 
-  private val langMarkers: Seq[(String, String)] = Seq(
-    "en" -> "\\b(the|of|and|to|is)\\b",
-    "es" -> "\\b(el|los|las|una|es)\\b",
-    "de" -> "\\b(der|die|das|und|ist)\\b",
-    "fr" -> "\\b(les|une|est|dans|pour)\\b")
-
   /** Full prep pipeline: langid (confident only) → quality gate →
     * fingerprint exact-dedup (keep lowest doc_id; features ride along
     * via min_by) → per-language corpus stats. One scan, two shuffles
@@ -31,28 +25,18 @@ object TrainPrepQueries {
   val q62 = GraftQuery(
     "q62_trainprep_pipeline",
     (s, d) => {
-      val base = langMarkers.foldLeft(
+      val base = TextFeatures.withLangScores(
         t(s, d, "documents")
           .select(col("doc_id"), col("text"), col("lang"),
-            normalize(col("text")).as("norm"))) {
-        case (df, (l, pat)) =>
-          df.withColumn(s"score_$l", regexp_count(col("norm"), lit(pat)))
-      }
-      val Seq(en, es, de, fr) = langMarkers.map(m => col("score_" + m._1))
+            normalize(col("text")).as("norm")), col("norm"))
       val feats = base
-        .withColumn("predicted",
-          when(en > 0 && en >= es && en >= de && en >= fr, "en")
-            .when(es > 0 && es >= de && es >= fr, "es")
-            .when(de > 0 && de >= fr, "de")
-            .when(fr > 0, "fr")
-            .otherwise("und"))
+        .withColumn("predicted", TextFeatures.predicted)
         .withColumn("n_words", size(split(col("norm"), " ")))
         .withColumn("punct_ratio",
           round(regexp_count(col("text"), lit("[^a-zA-Z0-9 ]"))
             .cast("double") / length(col("text")), 4))
         .withColumn("quality",
-          round(least(lit(1.0), col("n_words").cast("double") / 50) *
-            (lit(1.0) - col("punct_ratio")), 4))
+          TextFeatures.quality(col("n_words"), col("punct_ratio")))
         .withColumn("fingerprint", graft.functions.expressions
           .WordFingerprint(split(col("norm"), " ")))
         .filter(col("predicted") =!= "und" && col("quality") >= 0.3)
@@ -78,21 +62,11 @@ object TrainPrepQueries {
         FROM documents),
       scored AS (
         SELECT doc_id, text, lang, norm,
-               ${langMarkers.map { case (l, pat) =>
-                 s"CAST(len(regexp_extract_all(norm, '$pat')) AS INTEGER) AS score_$l"
-               }.mkString(",\n               ")}
+               ${TextFeatures.langScoresSql("norm")}
         FROM base),
       feats AS (
         SELECT doc_id, lang,
-               CASE
-                 WHEN score_en > 0 AND score_en >= score_es
-                      AND score_en >= score_de AND score_en >= score_fr THEN 'en'
-                 WHEN score_es > 0 AND score_es >= score_de
-                      AND score_es >= score_fr THEN 'es'
-                 WHEN score_de > 0 AND score_de >= score_fr THEN 'de'
-                 WHEN score_fr > 0 THEN 'fr'
-                 ELSE 'und'
-               END AS predicted,
+               ${TextFeatures.predictedSql} AS predicted,
                CAST(len(string_split(norm, ' ')) AS INTEGER) AS n_words,
                round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
                      / length(text), 4) AS punct_ratio,
@@ -104,8 +78,7 @@ object TrainPrepQueries {
         FROM scored),
       gated AS (
         SELECT *,
-               round(least(1.0, CAST(n_words AS DOUBLE) / 50) *
-                     (1.0 - punct_ratio), 4) AS quality
+               ${TextFeatures.qualitySql("n_words", "punct_ratio")} AS quality
         FROM feats
         WHERE predicted <> 'und'),
       deduped AS (

@@ -51,22 +51,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-  private def fn(name: String, usage: String,
+  // ExpressionInfo's 3-arg constructor is (className, db, name) — the
+  // class name FIRST; misordering leaks the usage text into the name
+  // shown by DESCRIBE FUNCTION
+  private def fn(name: String, className: String, usage: String,
       build: Seq[Expression] => Expression) =
     (new FunctionIdentifier(name),
-      new ExpressionInfo("graft", name, usage),
+      new ExpressionInfo(className, null, name, usage, ""),
       (args: Seq[Expression]) => build(args))
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => ApproxDistinctRule)
     e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     e.injectFunction(fn("graft_dot",
+      classOf[graft.functions.expressions.DotProduct].getName,
       "graft_dot(a, b) - fused dot product of two array<double>",
       args => graft.functions.expressions.DotProduct(args(0), args(1))))
     e.injectFunction(fn("graft_charsum",
+      classOf[graft.functions.expressions.CharSum].getName,
       "graft_charsum(s) - sum of Unicode code points of s",
       args => graft.functions.expressions.CharSum(args(0))))
     e.injectFunction(fn("graft_fingerprint",
+      classOf[graft.functions.expressions.WordFingerprint].getName,
       "graft_fingerprint(words) - rolling-hash fingerprint of array<string>",
       args => graft.functions.expressions.WordFingerprint(args(0))))
   }

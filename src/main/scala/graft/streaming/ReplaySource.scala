@@ -37,11 +37,27 @@ object ReplaySource {
       .format("rate")
       .option("rowsPerSecond", rowsPerSecond.toString)
       .load() // columns: timestamp, value
-    // size-gate the broadcast hint (shared graft.Limits rule): an
-    // explicit hint is honored regardless of size, so a huge corpus
-    // must fall back to a stream-static shuffle join
+    // size-gate the broadcast hint on estimated BYTES, not rows: corpus
+    // rows carry arbitrary payloads (document text), so a row-count gate
+    // alone still allows a multi-GB forced broadcast. Width is estimated
+    // from a small sample; an explicit hint is honored regardless of
+    // size, so past the gate we fall back to a stream-static shuffle
+    // join and let Catalyst/AQE decide.
+    val sampleRows = corpus.limit(64).collect()
+    val avgRowBytes =
+      if (sampleRows.isEmpty) 64L
+      else sampleRows.map { r =>
+        r.toSeq.map {
+          case s: String => s.length.toLong + 8L
+          case b: Array[Byte] => b.length.toLong + 8L
+          case seq: scala.collection.Seq[_] => seq.length.toLong * 8L + 8L
+          case _ => 16L
+        }.sum
+      }.sum / sampleRows.length
     val corpusSide =
-      if (n <= graft.Limits.BroadcastRows) broadcast(indexed) else indexed
+      if (n <= graft.Limits.BroadcastRows &&
+        n * avgRowBytes <= graft.Limits.BroadcastBytes) broadcast(indexed)
+      else indexed
     rate
       .withColumn("corpus_idx", pmod(col("value"), lit(n)))
       .join(corpusSide, "corpus_idx")
