@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — the step a production dedup
+  * pipeline needs AFTER near-dup pair mining (q42/q43/q44/q54): pairs
+  * are not a dedup decision until transitively closed (A~B, B~C must
+  * collapse to ONE kept doc even when A~C was never emitted as a pair).
+  *
+  * Algorithm: min-label propagation to a fixpoint. Each iteration is
+  * one shuffle of (id, comp) longs joined to the (symmetrized) edge
+  * list — never document payloads — so per-iteration cost at 100 TB is
+  * ∝ |edges|, and the iteration count is the cluster diameter, which
+  * for near-dup text clusters is small (dups of a doc are dups of each
+  * other, so components are near-cliques; diameters in the low single
+  * digits). `localCheckpoint` truncates lineage each round, keeping the
+  * plan O(1) instead of O(iterations). For graphs with genuinely long
+  * chains, the two-phase large-star/small-star variant (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) converges
+  * in O(log d) rounds with the same per-round shuffle shape; the plain
+  * propagation is kept here because the extra phase only pays off past
+  * diameters this workload never produces.
+  *
+  * No reference counterpart (the reference has no dedup at all —
+  * SURVEY §2.8 X15 extension).
+  */
+object ConnectedComponents {
+
+  /** Label every node reachable from `pairs` (columns `a`, `b`) with
+    * the minimum node id of its component. Returns (id, comp).
+    *
+    * @param maxIter hard cap; a `require` fires if the fixpoint is not
+    *                reached, rather than returning wrong labels.
+    */
+  def labels(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .localCheckpoint()
+    var comp = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate labels: own label ∪ every neighbor's label, keep min
+      val next = edges.join(comp, edges("src") === comp("id"))
+        .select(col("dst").as("id"), col("comp"))
+        .union(comp)
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      converged = next.join(comp.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev"))
+        .isEmpty
+      comp = next
+      iter += 1
+    }
+    require(converged,
+      s"connected components did not converge within $maxIter iterations")
+    comp
+  }
+}

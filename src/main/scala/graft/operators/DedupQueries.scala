@@ -68,14 +68,10 @@ object DedupQueries {
       ORDER BY l_orderkey
     """))
 
-  /** Near-dup pairs by word-3-gram Jaccard ≥ 0.5, computed on an inverted
-    * shingle index: explode distinct shingles, self-join on shingle
-    * (doc_a < doc_b), count intersections, join per-doc shingle counts,
-    * jaccard = |∩| / (|A|+|B|-|∩|).
+  /** q42's pair stage, factored so q68's clustering consumes the SAME
+    * pair definition (Spark and SQL sides both).
     */
-  val q42 = GraftQuery(
-    "q42_ngram_jaccard_pairs",
-    (s, d) => {
+  private[operators] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), split(normalize(col("text")), " ").as("words"))
         .filter(size(col("words")) >= 3)
@@ -104,10 +100,13 @@ object DedupQueries {
             (col("n_a") + col("n_b") - col("n_inter")), 4))
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
-    Some(s"""
-      WITH docs AS (
+  }
+
+  /** The DuckDB mirror of [[jaccardPairs]] as a CTE block ending in a
+    * `pairs(doc_a, doc_b, n_inter, jaccard)` relation.
+    */
+  private[operators] val jaccardPairsSql: String = s"""
+      docs AS (
         SELECT doc_id,
                string_split(${normalizeSql("text")}, ' ') AS words
         FROM documents),
@@ -126,15 +125,74 @@ object DedupQueries {
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
         FROM shingles a JOIN shingles b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT doc_a, doc_b, n_inter,
-             round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
-      FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc_a, doc_b, n_inter,
+               round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+        FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5)"""
+
+  /** Near-dup pairs by word-3-gram Jaccard ≥ 0.5, computed on an inverted
+    * shingle index: explode distinct shingles, self-join on shingle
+    * (doc_a < doc_b), count intersections, join per-doc shingle counts,
+    * jaccard = |∩| / (|A|+|B|-|∩|).
+    */
+  val q42 = GraftQuery(
+    "q42_ngram_jaccard_pairs",
+    (s, d) => jaccardPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH $jaccardPairsSql
+      SELECT doc_a, doc_b, n_inter, jaccard
+      FROM pairs
       ORDER BY doc_a, doc_b
     """))
 
-  val all: Seq[GraftQuery] = Seq(q40, q41, q42)
+  /** Dedup cluster canonicalization: transitively close the near-dup
+    * pair list ([[jaccardPairs]]) into components via
+    * [[ConnectedComponents.labels]], then emit one row per CLUSTERED doc
+    * with its canonical (minimum) doc_id and cluster size. This is the
+    * decision step of a dedup pipeline: keep `is_canonical`, drop the
+    * rest — transitive, so chained near-dups collapse to one survivor
+    * even when the endpoints were never emitted as a pair.
+    *
+    * Scale: the iterative closure shuffles only (id, comp) longs and the
+    * pair edges; document text never moves. The DuckDB oracle computes
+    * the same closure with a recursive CTE.
+    */
+  val q68 = GraftQuery(
+    "q68_dedup_clusters",
+    (s, d) => {
+      val comp = ConnectedComponents.labels(jaccardPairs(s, d))
+      val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "comp")
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+          col("cluster_size"),
+          (col("id") === col("comp")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $jaccardPairsSql,
+      nodes AS (
+        SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
+      comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+      sized AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+      SELECT c.id AS doc_id, c.cluster_id, s.cluster_size,
+             c.id = c.cluster_id AS is_canonical
+      FROM comp c JOIN sized s USING (cluster_id)
+      ORDER BY doc_id
+    """))
+
+
+  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q68)
 }
