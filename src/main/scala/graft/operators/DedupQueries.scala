@@ -102,10 +102,10 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
   }
 
-  /** The DuckDB mirror of [[jaccardPairs]] as a CTE block ending in a
-    * `pairs(doc_a, doc_b, n_inter, jaccard)` relation.
+  /** The docs → distinct-3-gram-shingles → per-doc-sizes CTE block shared
+    * by [[jaccardPairsSql]] and q71's cross-set variant.
     */
-  private[operators] val jaccardPairsSql: String = s"""
+  private[operators] val shingleCtesSql: String = s"""
       docs AS (
         SELECT doc_id,
                string_split(${normalizeSql("text")}, ' ') AS words
@@ -120,7 +120,13 @@ object DedupQueries {
         FROM word_rows a
         JOIN word_rows b ON a.doc_id = b.doc_id AND b.i = a.i + 1
         JOIN word_rows c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
-      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1)"""
+
+  /** The DuckDB mirror of [[jaccardPairs]] as a CTE block ending in a
+    * `pairs(doc_a, doc_b, n_inter, jaccard)` relation.
+    */
+  private[operators] val jaccardPairsSql: String = s"""
+      $shingleCtesSql,
       inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
         FROM shingles a JOIN shingles b
@@ -194,5 +200,54 @@ object DedupQueries {
     """))
 
 
-  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q68)
+  /** Exact incremental dedup: Jaccard ≥ 0.3 pairs of a NEW batch
+    * (doc_id % 10 = 0) against the REST of the corpus — the oracle-checked
+    * face of the crawl-ingest shape whose at-scale LSH form is
+    * [[IncrementalDedup]] (q72). Inverted shingle index, cross-set join
+    * only (no batch-batch or corpus-corpus pairs).
+    */
+  val q71 = GraftQuery(
+    "q71_dedup_against_corpus",
+    (s, d) => {
+      val sh = MinHashDedup.shingles(t(s, d, "documents"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = sh.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id").as("batch_doc"), col("shingle"))
+        .join(sh.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("doc_id").as("corpus_doc"), col("shingle")), "shingle")
+        .groupBy(col("batch_doc"), col("corpus_doc"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("batch_doc"),
+          col("n_sh").as("n_a")), "batch_doc")
+        .join(sizes.select(col("doc_id").as("corpus_doc"),
+          col("n_sh").as("n_b")), "corpus_doc")
+        .withColumn("jaccard",
+          round(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")), 4))
+        .filter(col("jaccard") >= 0.3)
+        .select(col("batch_doc"), col("corpus_doc"), col("n_inter"),
+          col("jaccard"))
+        .orderBy(col("batch_doc"), col("corpus_doc"))
+    },
+    Some(s"""
+      WITH $shingleCtesSql,
+      inter AS (
+        SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
+               COUNT(*) AS n_inter
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        GROUP BY 1, 2)
+      SELECT batch_doc, corpus_doc, n_inter,
+             round(CAST(n_inter AS DOUBLE) /
+                   (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = batch_doc
+        JOIN sizes sb ON sb.doc_id = corpus_doc
+      WHERE round(CAST(n_inter AS DOUBLE) /
+                  (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.3
+      ORDER BY batch_doc, corpus_doc
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q68, q71)
 }

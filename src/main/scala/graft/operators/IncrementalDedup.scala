@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import MinHashDedup._
+
+/** Incremental near-dup detection: dedupe a NEW batch of documents
+  * against an already-indexed corpus without recomputing anything on the
+  * corpus side — the crawl-ingest shape of a training-data pipeline,
+  * where the corpus is ~100 TB and each incoming batch is a sliver of it.
+  * (The reference has no dedup at all; SURVEY §2.8 X15 extension, same
+  * family as [[MinHashDedup]].)
+  *
+  * Index layout (the scale decision, cf. [[graft.sources.Warehouse]]):
+  *   - `<table>_buckets` (doc_id, bkey): one row per (doc, band), stored
+  *     BUCKETED BY bkey — the probe's band join runs with no exchange on
+  *     the corpus side, so per-batch cost is ∝ batch size + matched
+  *     buckets, never ∝ corpus size.
+  *   - `<table>_sigs` (doc_id, sig, n_sh): the 32-int signature +
+  *     shingle count per corpus doc, bucketed by doc_id, joined only to
+  *     surviving candidates.
+  *
+  * Exact verification re-reads corpus TEXT only for candidate docs (a
+  * semi-join-pruned scan): the index never stores shingle sets, which
+  * would rival the corpus itself in size.
+  */
+object IncrementalDedup {
+
+  /** Signature + shingle-count frame for `docs` (sig as array<int>). */
+  private def sigFrame(sh: DataFrame, sigTable: DataFrame): DataFrame =
+    sigTable
+      .withColumn("sig",
+        array((0 until NumHashes).map(i => col(s"sig_$i").cast("int")): _*))
+      .select(col("doc_id"), col("sig"))
+      .join(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")),
+        "doc_id")
+
+  /** Build (or rebuild) the corpus index as two bucketed tables rooted at
+    * `path`. One corpus scan; signatures are computed once, here, and
+    * never again for this corpus.
+    */
+  def writeIndex(corpusDocs: DataFrame, table: String, path: String,
+      buckets: Int = 32, textCol: String = "text"): Unit = {
+    val sh = shingles(corpusDocs, textCol).localCheckpoint()
+    val sigTable = signatures(sh).localCheckpoint()
+    sigFrame(sh, sigTable).write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$path/sigs").format("parquet")
+      .saveAsTable(s"${table}_sigs")
+    bandBuckets(sigTable).write.mode("overwrite")
+      .bucketBy(buckets, "bkey").sortBy("bkey")
+      .option("path", s"$path/buckets").format("parquet")
+      .saveAsTable(s"${table}_buckets")
+  }
+
+  /** Append newly-ingested (already deduped) docs to the index — the
+    * steady-state ingest step: index the batch that survived [[probe]]
+    * so the NEXT batch dedupes against it too. Bucketed append (same
+    * spec), no rewrite of existing files.
+    */
+  def appendToIndex(newDocs: DataFrame, table: String, path: String,
+      buckets: Int = 32, textCol: String = "text"): Unit = {
+    val sh = shingles(newDocs, textCol).localCheckpoint()
+    val sigTable = signatures(sh).localCheckpoint()
+    sigFrame(sh, sigTable).write.mode("append")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$path/sigs").format("parquet")
+      .saveAsTable(s"${table}_sigs")
+    bandBuckets(sigTable).write.mode("append")
+      .bucketBy(buckets, "bkey").sortBy("bkey")
+      .option("path", s"$path/buckets").format("parquet")
+      .saveAsTable(s"${table}_buckets")
+  }
+
+  /** Near-dup (batch_doc, corpus_doc, jaccard) pairs of `batchDocs`
+    * against the index `table`, at Jaccard ≥ `threshold`. Same candidate
+    * discipline as [[MinHashDedup.nearDuplicates]]: band join →
+    * size-ratio cut → signature-estimate prefilter → exact verify; plus
+    * the incremental property that no corpus signature is recomputed.
+    *
+    * `corpusDocs` supplies the text for exact verification only; the
+    * scan is pruned to candidate docs by a semi join.
+    */
+  /** The LAZY candidate frame of [[probe]]'s band-join + prefilter stage
+    * (batch_doc, corpus_doc) — factored out so the plan shape (bucketed
+    * index scan, no corpus-side exchange) is assertable before [[probe]]
+    * eagerly materializes it.
+    */
+  private[operators] def candidates(shB: DataFrame, sigTableB: DataFrame,
+      table: String, threshold: Double): DataFrame = {
+    val spark = shB.sparkSession
+    val sigsB = sigFrame(shB, sigTableB)
+    val idxBuckets = spark.table(s"${table}_buckets")
+      .select(col("doc_id").as("corpus_doc"), col("bkey"))
+    val candRaw = bandBuckets(sigTableB)
+      .select(col("doc_id").as("batch_doc"), col("bkey"))
+      .join(idxBuckets, "bkey")
+      .select(col("batch_doc"), col("corpus_doc"))
+    val idxSigs = spark.table(s"${table}_sigs")
+    candRaw
+      .join(sigsB.select(col("doc_id").as("batch_doc"),
+        col("sig").as("sig_a"), col("n_sh").as("n_a")), "batch_doc")
+      .join(idxSigs.select(col("doc_id").as("corpus_doc"),
+        col("sig").as("sig_b"), col("n_sh").as("n_b")), "corpus_doc")
+      // J ≥ t bounds set sizes within factor 1/t (cf. candidateStage)
+      .filter(greatest(col("n_a"), col("n_b")) * threshold <=
+        least(col("n_a"), col("n_b")))
+      .withColumn("est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)).cast("double") / NumHashes)
+      .filter(col("est") >= threshold - 0.25)
+      .select(col("batch_doc"), col("corpus_doc"))
+      .distinct()
+  }
+
+  def probe(batchDocs: DataFrame, corpusDocs: DataFrame, table: String,
+      threshold: Double, textCol: String = "text"): DataFrame = {
+    val shB = shingles(batchDocs, textCol).localCheckpoint()
+    val sigTableB = signatures(shB).localCheckpoint()
+    val cand = candidates(shB, sigTableB, table, threshold)
+      .localCheckpoint() // reused by the semi-join prune AND the verify
+
+    val setsB = shB.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("shset"))
+    val candCorpus = corpusDocs.join(
+      cand.select(col("corpus_doc").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val setsC = shingles(candCorpus, textCol).groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("shset"))
+    cand
+      .join(setsB.select(col("doc_id").as("batch_doc"),
+        col("shset").as("set_a")), "batch_doc")
+      .join(setsC.select(col("doc_id").as("corpus_doc"),
+        col("shset").as("set_b")), "corpus_doc")
+      .withColumn("n_inter",
+        size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - col("n_inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_doc"), col("corpus_doc"), col("jaccard"))
+      .orderBy(col("batch_doc"), col("corpus_doc"))
+  }
+}

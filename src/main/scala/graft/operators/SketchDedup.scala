@@ -54,25 +54,32 @@ object MinHashDedup {
         (1 until NumHashes).map(i => min(col(s"h_$i")).as(s"sig_$i")): _*)
   }
 
+  /** One row per (doc, band): `bkey` fuses (band id, band bucket) into a
+    * single 64-bit join key, so band co-membership is a ONE-column
+    * equi-join — which is also what lets [[IncrementalDedup]] store the
+    * corpus side bucketed by `bkey` and probe it exchange-free. A 64-bit
+    * collision between different (band, bucket) pairs only ADMITS a
+    * candidate (verified exactly downstream), never loses one.
+    */
+  private[operators] def bandBuckets(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand)
+        .map(r => col(s"sig_${b * RowsPerBand + r}"))
+      xxhash64(lit(b) +: rows: _*)
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
+  }
+
   /** Band-bucket co-membership pairs, possibly with duplicates (one row
     * per shared band). Callers that need set semantics call
     * [[candidatePairs]]; the dedup pipeline filters FIRST and dedupes the
     * few survivors — a distinct here would shuffle millions of raw pairs.
     */
   private[operators] def bandPairs(sigs: DataFrame): DataFrame = {
-    val bandCols = (0 until Bands).map { b =>
-      val rows = (0 until RowsPerBand)
-        .map(r => col(s"sig_${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"),
-        hash(rows: _*).as("bucket"))
-    }
-    val banded = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val banded = bandBuckets(sigs)
     banded.alias("a")
       .join(banded.alias("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
+        col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
   }

@@ -50,5 +50,25 @@ object SketchQueries {
     (s, d) => AnnIvf.topK(t(s, d, "embeddings"), 0L to 9L, k = 5),
     None)
 
-  val all: Seq[GraftQuery] = Seq(q43, q44, q52, q53, q55)
+  /** Incremental MinHash dedup against a MATERIALIZED corpus index
+    * ([[IncrementalDedup]]): index build + probe, end to end. Rows-only
+    * here; the exact-equality/recall oracle vs brute force is in
+    * SketchSpec, and q71 is the exact SQL-checked face of the same shape.
+    */
+  val q72 = GraftQuery(
+    "q72_incremental_minhash", {
+      import org.apache.spark.sql.functions._
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-dedup-idx").toString
+        IncrementalDedup.writeIndex(corpus, "graft_dedup_idx", path)
+        IncrementalDedup.probe(batch, corpus, "graft_dedup_idx", 0.3)
+      }
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q43, q44, q52, q53, q55, q72)
 }

@@ -175,5 +175,139 @@ object TextQueries {
       ORDER BY doc_id
     """))
 
-  val all: Seq[GraftQuery] = Seq(q47, q48, q49, q50, q51)
+  /** Within-document repetition stats (the Gopher-style repetition
+    * filters of a training-data pipeline — Rae et al. 2021 §A1.1, public):
+    * fraction of duplicate word-2-grams and the most-frequent-word
+    * fraction. Explode-based two-level aggregation, NOT per-row O(n²)
+    * array scans: (doc, gram) partial counts shuffle once, so cost is
+    * linear in corpus token count and a single skewed mega-document
+    * cannot blow an agg buffer (each (doc, gram) row is tiny).
+    */
+  val q69 = GraftQuery(
+    "q69_repetition_stats",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(normalize(col("text")), " ").as("words"))
+        .filter(size(col("words")) >= 2)
+      val wordStats = docs
+        .select(col("doc_id"), explode(col("words")).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_words"), max(col("n")).as("top_n"),
+          count(lit(1)).as("n_distinct_words"))
+      val bigramStats = docs
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(words) - 1), " +
+            "i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"))
+            .as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_bigrams"),
+          count(lit(1)).as("n_distinct_bigrams"))
+      wordStats.join(bigramStats, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+          round(col("top_n").cast("double") / col("n_words"), 4)
+            .as("top_word_frac"),
+          round(lit(1) - col("n_distinct_bigrams").cast("double") /
+            col("n_bigrams"), 4).as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(${normalizeSql("text")}, ' ') AS words
+        FROM documents),
+      docs2 AS (SELECT * FROM docs WHERE len(words) >= 2),
+      wc AS (
+        SELECT doc_id, w, COUNT(*) AS n
+        FROM (SELECT doc_id, unnest(words) AS w FROM docs2)
+        GROUP BY 1, 2),
+      ws AS (
+        SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+               CAST(MAX(n) AS BIGINT) AS top_n,
+               COUNT(*) AS n_distinct_words
+        FROM wc GROUP BY 1),
+      bc AS (
+        SELECT doc_id, g, COUNT(*) AS n
+        FROM (SELECT doc_id,
+                unnest(list_transform(range(1, len(words)),
+                  i -> list_extract(words, i) || ' ' ||
+                       list_extract(words, i + 1))) AS g
+              FROM docs2)
+        GROUP BY 1, 2),
+      bs AS (
+        SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+               COUNT(*) AS n_distinct_bigrams
+        FROM bc GROUP BY 1)
+      SELECT doc_id, n_words, n_distinct_words,
+             round(CAST(top_n AS DOUBLE) / n_words, 4) AS top_word_frac,
+             round(1 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams, 4)
+               AS dup_bigram_frac
+      FROM ws JOIN bs USING (doc_id)
+      ORDER BY doc_id
+    """))
+
+  /** PII scrubbing (X18 extension — the redaction pass of a training-data
+    * pipeline): count and redact emails, URLs and phone numbers with
+    * engine-portable regexes (explicit ASCII classes; no \\d/\\w so Java
+    * and RE2 agree). The corpus text is augmented with a deterministic
+    * doc_id-derived contact line so the scrubber is exercised on every
+    * row; redaction order URL → email → phone so an address inside a URL
+    * is not double-redacted. Pure Column expressions, codegen'd.
+    */
+  val q70 = GraftQuery(
+    "q70_pii_scrub", {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val urlRe = "https?://[A-Za-z0-9./_-]+"
+      val phoneRe = "\\+[0-9]{7,}"
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            concat(col("text"),
+              lit(" reach u"), col("doc_id").cast("string"),
+              lit("@mail"), pmod(col("doc_id"), lit(5)).cast("string"),
+              lit(".com or https://site"),
+              pmod(col("doc_id"), lit(3)).cast("string"),
+              lit(".example/p/"), col("doc_id").cast("string"),
+              lit(" tel +8490123"),
+              lpad(pmod(col("doc_id"), lit(100)).cast("string"), 3, "0"))
+              .as("aug"))
+          .select(col("doc_id"),
+            regexp_count(col("aug"), lit(emailRe)).as("n_emails"),
+            regexp_count(col("aug"), lit(urlRe)).as("n_urls"),
+            regexp_count(col("aug"), lit(phoneRe)).as("n_phones"),
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("aug"), urlRe, "<URL>"),
+                emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>").as("redacted"))
+          .orderBy(col("doc_id"))
+    },
+    Some {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val urlRe = "https?://[A-Za-z0-9./_-]+"
+      val phoneRe = "\\+[0-9]{7,}"
+      s"""
+      WITH aug AS (
+        SELECT doc_id,
+               text || ' reach u' || doc_id || '@mail' || (doc_id % 5) ||
+               '.com or https://site' || (doc_id % 3) || '.example/p/' ||
+               doc_id || ' tel +8490123' ||
+               lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') AS aug
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(aug, '$emailRe')) AS INTEGER) AS n_emails,
+             CAST(len(regexp_extract_all(aug, '$urlRe')) AS INTEGER) AS n_urls,
+             CAST(len(regexp_extract_all(aug, '$phoneRe')) AS INTEGER) AS n_phones,
+             regexp_replace(regexp_replace(regexp_replace(aug,
+               '$urlRe', '<URL>', 'g'),
+               '$emailRe', '<EMAIL>', 'g'),
+               '$phoneRe', '<PHONE>', 'g') AS redacted
+      FROM aug
+      ORDER BY doc_id
+    """
+    })
+
+  val all: Seq[GraftQuery] = Seq(q47, q48, q49, q50, q51, q69, q70)
 }

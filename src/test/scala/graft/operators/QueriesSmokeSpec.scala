@@ -12,7 +12,8 @@ class QueriesSmokeSpec extends SparkSpec {
   // pair-similarity queries can legitimately return zero rows on the
   // near-orthogonal synthetic corpus
   private val mayBeEmpty = Set("q42_ngram_jaccard_pairs",
-    "q43_minhash_lsh_pairs", "q44_simhash_pairs")
+    "q43_minhash_lsh_pairs", "q44_simhash_pairs",
+    "q71_dedup_against_corpus", "q72_incremental_minhash")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, build) =>
     test(s"$name runs at sf0.001") {

@@ -201,4 +201,97 @@ class SketchSpec extends SparkSpec {
       plan.replaceAll("\\s", "").contains("cell#"),
       s"probe must partition-prune on cell:\n${plan.take(3000)}")
   }
+
+  /** Cross-set brute-force oracle: (batch, corpus) near-dup pairs. */
+  private def bruteCross(batchIds: Set[Long], threshold: Double)
+      : Set[(Long, Long)] =
+    bruteJaccard(corpus).filter(_._2 >= threshold).keySet
+      .collect {
+        case (a, b) if batchIds(a) && !batchIds(b) => (a, b)
+        case (a, b) if batchIds(b) && !batchIds(a) => (b, a)
+      }
+
+  test("incremental dedup: probe against index equals brute-force cross pairs") {
+    val batchIds = Set(0L, 3L)
+    val batch = corpus.filter(col("doc_id").isin(batchIds.toSeq: _*))
+    val rest = corpus.filter(!col("doc_id").isin(batchIds.toSeq: _*))
+    val path = tmpDir("dedup-idx")
+    IncrementalDedup.writeIndex(rest, "t_dedup_idx", path, buckets = 4)
+    try {
+      val got = IncrementalDedup.probe(batch, rest, "t_dedup_idx", 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // 16×2 banding at s ≥ 0.5 → per-pair recall ≥ 0.99; on this planted
+      // corpus the probe must find exactly the true cross pairs
+      assert(got === bruteCross(batchIds, 0.5),
+        s"expected ${bruteCross(batchIds, 0.5)}, got $got")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_dedup_idx_sigs")
+      spark.sql("DROP TABLE IF EXISTS t_dedup_idx_buckets")
+    }
+  }
+
+  test("incremental dedup: bucketed append extends the index") {
+    val path = tmpDir("dedup-idx-append")
+    val first = corpus.filter(col("doc_id").isin(1L, 4L, 5L))
+    val more = corpus.filter(col("doc_id").isin(2L, 6L))
+    val batch = corpus.filter(col("doc_id") === 0L)
+    IncrementalDedup.writeIndex(first, "t_dedup_app", path, buckets = 4)
+    try {
+      val indexed = first.union(more)
+      val before = IncrementalDedup.probe(batch, indexed, "t_dedup_app", 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(before === Set(0L -> 1L),
+        s"index without docs 2/6 must only match the exact dup: $before")
+      IncrementalDedup.appendToIndex(more, "t_dedup_app", path, buckets = 4)
+      val after = IncrementalDedup.probe(batch, indexed, "t_dedup_app", 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after === bruteCross(Set(0L), 0.5),
+        s"appended docs must become findable: $after")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_dedup_app_sigs")
+      spark.sql("DROP TABLE IF EXISTS t_dedup_app_buckets")
+    }
+  }
+
+  test("incremental dedup: band join reads the index bucketed, no corpus-side exchange") {
+    val batchIds = Set(0L, 3L)
+    val batch = corpus.filter(col("doc_id").isin(batchIds.toSeq: _*))
+    val rest = corpus.filter(!col("doc_id").isin(batchIds.toSeq: _*))
+    val path = tmpDir("dedup-idx-plan")
+    IncrementalDedup.writeIndex(rest, "t_dedup_plan", path, buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // adaptive threshold is unset by default; restore = unset
+    val prevA = spark.conf.getOption(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the band join would OTHERWISE shuffle both
+      // sides — proving the bucketed layout (not size) spared the corpus
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val shB = MinHashDedup.shingles(batch).localCheckpoint()
+      val sigTableB = MinHashDedup.signatures(shB).localCheckpoint()
+      val plan = IncrementalDedup
+        .candidates(shB, sigTableB, "t_dedup_plan", 0.5)
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"index scan must be bucket-aware:\n${plan.take(3000)}")
+      // the probe (batch) side legitimately shuffles to the bucket count;
+      // a SECOND bkey exchange would mean the index side re-shuffled too
+      val bkeyExchanges = "Exchange hashpartitioning\\(bkey".r
+        .findAllIn(plan).size
+      assert(bkeyExchanges <= 1,
+        s"index side must not re-shuffle on bkey ($bkeyExchanges exchanges):\n${plan.take(3000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevA match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+      spark.sql("DROP TABLE IF EXISTS t_dedup_plan_sigs")
+      spark.sql("DROP TABLE IF EXISTS t_dedup_plan_buckets")
+    }
+  }
 }
