@@ -45,17 +45,21 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // candidate labels: own label ∪ every neighbor's label, keep min
+      // candidate labels: own label ∪ every neighbor's label, keep min.
+      // The previous label rides along through the aggregation (each id
+      // contributes exactly one non-null prev), so convergence is read
+      // off the SAME materialized result — one shuffle job per iteration
+      // plus a block-local count, instead of a separate join+isEmpty job.
       val next = edges.join(comp, edges("src") === comp("id"))
-        .select(col("dst").as("id"), col("comp"))
-        .union(comp)
+        .select(col("dst").as("id"), col("comp").as("cand"),
+          lit(null).cast("long").as("prev"))
+        .union(comp.select(col("id"), col("comp").as("cand"),
+          col("comp").as("prev")))
         .groupBy(col("id"))
-        .agg(min(col("comp")).as("comp"))
+        .agg(min(col("cand")).as("comp"), max(col("prev")).as("prev"))
         .localCheckpoint()
-      converged = next.join(comp.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
-      comp = next
+      converged = next.filter(col("comp") =!= col("prev")).isEmpty
+      comp = next.select(col("id"), col("comp"))
       iter += 1
     }
     require(converged,

@@ -142,4 +142,33 @@ object IncrementalDedup {
       .select(col("batch_doc"), col("corpus_doc"), col("jaccard"))
       .orderBy(col("batch_doc"), col("corpus_doc"))
   }
+
+  /** Streamed-ingest step (a `foreachBatch` body): drop every batch doc
+    * that near-duplicates the already-kept corpus, append the survivors
+    * to both the kept-docs store and the index. Cross-BATCH dedup only —
+    * near-dups arriving within one micro-batch are [[MinHashDedup]]'s
+    * job if needed.
+    *
+    * Replay-tolerant under at-least-once delivery: a re-delivered batch
+    * finds its own docs in the index at Jaccard 1.0 and drops them, so
+    * duplicates do not accumulate across restarts.
+    */
+  def ingestBatch(batch: DataFrame, table: String, indexPath: String,
+      keptDir: String, threshold: Double, buckets: Int = 32,
+      textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    val exists = spark.catalog.tableExists(s"${table}_sigs")
+    val kept = (if (!exists) batch
+    else {
+      val corpus = spark.read.parquet(keptDir)
+      val dups = probe(batch, corpus, table, threshold, textCol)
+        .select(col("batch_doc").as("doc_id")).distinct()
+      batch.join(dups, Seq("doc_id"), "left_anti")
+      // materialized: the survivor set feeds TWO writes below and must
+      // not be recomputed differently between them
+    }).localCheckpoint()
+    if (exists) appendToIndex(kept, table, indexPath, buckets, textCol)
+    else writeIndex(kept, table, indexPath, buckets, textCol)
+    kept.write.mode("append").parquet(keptDir)
+  }
 }

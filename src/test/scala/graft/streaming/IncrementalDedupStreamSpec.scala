@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.operators.IncrementalDedup
+
+/** The crawl-ingest loop end to end: a document stream deduped across
+  * micro-batches via [[IncrementalDedup.ingestBatch]] — each batch is
+  * probed against the persisted index, survivors extend it, and a
+  * replayed doc is self-healing (matches itself at Jaccard 1.0).
+  */
+class IncrementalDedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and " +
+    "runs far away into the deep green forest chasing small animals"
+  private val other = "completely different content about database " +
+    "engines and query planners optimizing large distributed joins"
+  private val third = "streaming ingestion pipelines append new crawled " +
+    "documents every hour and must not keep near duplicate copies"
+
+  test("cross-batch near-dups are dropped, novel docs kept, replay is safe") {
+    val idxPath = tmpDir("ingest-idx")
+    val keptDir = tmpDir("ingest-kept") + "/docs"
+    val input = MemoryStream[(Long, String)](spark)
+    // one checkpoint across restarts: each AvailableNow run processes
+    // only offsets not yet committed, i.e. exactly the new batch
+    val ckpt = tmpDir("ingest-ckpt")
+
+    def runAvailable(): Unit = {
+      val q = input.toDF().toDF("doc_id", "text")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          IncrementalDedup.ingestBatch(batch, "t_ingest_idx", idxPath,
+            keptDir, threshold = 0.5, buckets = 4)
+        }
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    try {
+      // batch 1: two novel docs seed the index
+      input.addData((0L, base), (1L, other))
+      runAvailable()
+      val kept1 = spark.read.parquet(keptDir)
+      assert(kept1.count() === 2)
+
+      // batch 2: a near-dup of doc 0 (must be dropped) + a novel doc
+      val nearDup = base.split(" ").filter(_ != "green").mkString(" ")
+      input.addData((2L, nearDup), (3L, third))
+      runAvailable()
+      val kept2 = spark.read.parquet(keptDir)
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(kept2 === Set(0L, 1L, 3L),
+        s"near-dup of doc 0 must not survive ingest: $kept2")
+
+      // batch 3: an exact replay of doc 3 (at-least-once redelivery) —
+      // matches itself in the index at Jaccard 1.0 and is dropped
+      input.addData((3L, third))
+      runAvailable()
+      val kept3 = spark.read.parquet(keptDir)
+        .select(col("doc_id")).as[Long].collect().toSeq
+      assert(kept3.sorted === Seq(0L, 1L, 3L),
+        s"replayed doc must be self-healing, not duplicated: $kept3")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_ingest_idx_sigs")
+      spark.sql("DROP TABLE IF EXISTS t_ingest_idx_buckets")
+    }
+  }
+}
