@@ -126,5 +126,39 @@ object TrainPrepQueries {
       ORDER BY doc_id
     """))
 
-  val all: Seq[GraftQuery] = Seq(q62, q63)
+  /** Deterministic WEIGHTED sampling without replacement
+    * (Efraimidis–Spirakis 2006, public): each row gets key
+    * ln(u)/w for a mirrorable LCG uniform u and weight w; the global
+    * top-n by key is an exact weighted sample. ln(u)/w is monotone in
+    * u^(1/w), so ordering (all that matters — the key is never output)
+    * is the textbook A-ES rule. Scale: top-n compiles to
+    * TakeOrderedAndProject — per-partition heaps + one n-row merge, no
+    * global sort, no shuffle of the full table.
+    */
+  val q73 = GraftQuery(
+    "q73_weighted_sample",
+    (s, d) => {
+      val u = (pmod(col("o_orderkey") * 1103515245L + 12345L,
+        lit(1000000L)) + 1).cast("double") / 1000001.0
+      t(s, d, "orders")
+        .withColumn("skey", log(u) / col("o_totalprice"))
+        .orderBy(col("skey").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH keyed AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               ln((((o_orderkey * 1103515245 + 12345) % 1000000) + 1)
+                  / 1000001.0) / o_totalprice AS skey
+        FROM orders),
+      top AS (
+        SELECT * FROM keyed ORDER BY skey DESC, o_orderkey LIMIT 100)
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM top
+      ORDER BY o_orderkey
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q62, q63, q73)
 }

@@ -133,4 +133,39 @@ class PlanSpec extends SparkSpec {
     assert(right.contains("PushedFilters: [IsNotNull(l_shipdate)"),
       s"fact side must be filter-pruned before the right join:\n$right")
   }
+
+  test("q73: weighted sample is a TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(TrainPrepQueries.q73.build(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"A-ES top-n must use per-partition heaps:\n${plan.take(2000)}")
+  }
+
+  test("selective dim join injects a runtime bloom filter on the fact scan") {
+    import org.apache.spark.sql.functions._
+    // Catalyst's InjectRuntimeFilter is the at-scale row-group skipper:
+    // a selective dimension filter becomes a bloom might_contain() on
+    // the fact side BEFORE the shuffle/join. Thresholds are sized for
+    // real tables — lower them so the sf0.001 fixture qualifies, and
+    // disable broadcast (a broadcast join already prunes via DPP).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val part = graft.sources.Tables(spark, sf0001, "part")
+        .filter(col("p_brand") === "Brand#13")
+      val joined = graft.sources.Tables(spark, sf0001, "lineitem")
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      val plan = planOf(joined)
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${plan.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
