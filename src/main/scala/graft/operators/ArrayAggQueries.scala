@@ -96,5 +96,72 @@ object ArrayAggQueries {
       ORDER BY o_orderpriority
     """))
 
-  val all: Seq[GraftQuery] = Seq(q37, q38, q39)
+  /** Distributed second-moment statistics (stddev, correlation) computed
+    * the hash-checkable way: EXACT decimal power sums (n, Σx, Σx², Σxy —
+    * associative, partitioning-independent) rolled up first, then ONE
+    * double-precision formula evaluation at the end. Spark's built-in
+    * `stddev`/`corr` accumulate in doubles, so their low bits depend on
+    * partition merge order — fine for dashboards, not for a
+    * deterministic gate; the power-sum form costs the same shuffle
+    * (six partial aggregates, map-side combined) and is exact.
+    */
+  val q74 = GraftQuery(
+    "q74_moment_stats",
+    (s, d) => {
+      val qd = dec(col("l_quantity"))
+      val pd = dec(col("l_extendedprice"))
+      val n = col("n").cast("double")
+      val stdQty =
+        sqrt((n * col("sqq").cast("double") -
+          col("sq").cast("double") * col("sq").cast("double")) /
+          (n * (n - 1.0)))
+      val corrNum = n * col("sqp").cast("double") -
+        col("sq").cast("double") * col("sp").cast("double")
+      val corrDen =
+        sqrt(n * col("sqq").cast("double") -
+          col("sq").cast("double") * col("sq").cast("double")) *
+          sqrt(n * col("spp").cast("double") -
+            col("sp").cast("double") * col("sp").cast("double"))
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(qd).as("sq"), sum(pd).as("sp"),
+          sum(qd * qd).as("sqq"), sum(pd * pd).as("spp"),
+          sum(qd * pd).as("sqp"))
+        .select(col("l_returnflag"), col("n"),
+          round(stdQty, 4).as("std_qty"),
+          round(corrNum / corrDen, 4).as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH sums AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+               SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                   CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+               SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                   CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp
+        FROM lineitem
+        GROUP BY 1)
+      SELECT l_returnflag, n,
+             round(sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) -
+                         CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) /
+                        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 4)
+               AS std_qty,
+             round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) -
+                    CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
+                   (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) -
+                         CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+                    sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) -
+                         CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 4)
+               AS corr_qty_price
+      FROM sums
+      ORDER BY l_returnflag
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q37, q38, q39, q74)
 }

@@ -149,9 +149,18 @@ object IncrementalDedup {
     * near-dups arriving within one micro-batch are [[MinHashDedup]]'s
     * job if needed.
     *
-    * Replay-tolerant under at-least-once delivery: a re-delivered batch
-    * finds its own docs in the index at Jaccard 1.0 and drops them, so
+    * Replay-tolerant under at-least-once delivery: a re-delivered doc is
+    * dropped by the exact doc_id anti-join against the kept store (and,
+    * failing that, by matching itself in the index at Jaccard 1.0), so
     * duplicates do not accumulate across restarts.
+    *
+    * Crash ordering: the kept store is written BEFORE the index. The two
+    * writes are not atomic; a crash between them leaves one batch's docs
+    * kept but unindexed — a bounded recall loss (future near-dups of
+    * those docs slip through). The reverse order would instead LOSE the
+    * batch permanently on replay (indexed ⇒ self-matched ⇒ dropped,
+    * but never kept). A transactional table format would close the gap;
+    * with plain parquet, kept-first is the right degradation.
     */
   def ingestBatch(batch: DataFrame, table: String, indexPath: String,
       keptDir: String, threshold: Double, buckets: Int = 32,
@@ -161,14 +170,18 @@ object IncrementalDedup {
     val kept = (if (!exists) batch
     else {
       val corpus = spark.read.parquet(keptDir)
-      val dups = probe(batch, corpus, table, threshold, textCol)
+      // exact replays first: key-only pruned scan of the kept store,
+      // far cheaper than the signature probe they would otherwise hit
+      val fresh = batch.join(corpus.select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      val dups = probe(fresh, corpus, table, threshold, textCol)
         .select(col("batch_doc").as("doc_id")).distinct()
-      batch.join(dups, Seq("doc_id"), "left_anti")
+      fresh.join(dups, Seq("doc_id"), "left_anti")
       // materialized: the survivor set feeds TWO writes below and must
       // not be recomputed differently between them
     }).localCheckpoint()
+    kept.write.mode("append").parquet(keptDir)
     if (exists) appendToIndex(kept, table, indexPath, buckets, textCol)
     else writeIndex(kept, table, indexPath, buckets, textCol)
-    kept.write.mode("append").parquet(keptDir)
   }
 }
