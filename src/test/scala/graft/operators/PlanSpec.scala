@@ -168,4 +168,43 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("AQE splits a skewed join partition at runtime (no manual salting)") {
+    import org.apache.spark.sql.functions._
+    // SaltedAgg handles agg-side skew; JOIN-side skew is AQE's job — a
+    // hot key's partition is split into advisory-sized slices with the
+    // other side replicated, visible as SortMergeJoin(skew=true). The
+    // engine relies on this at 100 TB instead of hand-salted joins, so
+    // pin the behavior. Thresholds sized down for a fixture-sized input;
+    // pad must be incompressible (map sizes are compressed bytes).
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      // the downstream agg needs re-clustering after the split; accept
+      // the extra shuffle (the split is still the win on a real skew)
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = spark.range(0, 150000).select(
+        when(col("id") < 120000, 0L).otherwise(pmod(col("id"), lit(100)))
+          .as("k"),
+        sha2(col("id").cast("string").cast("binary"), 256).as("pad"))
+      val right = spark.range(0, 100)
+        .select(col("id").as("k"), col("id").as("w"))
+      val joined = left.join(right, "k").agg(count(lit(1)).as("n"))
+      assert(joined.collect().head.getLong(0) === 150000L)
+      val plan = joined.asInstanceOf[ClassicDataset[_]]
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"hot key must trigger an AQE skew split:\n${plan.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
