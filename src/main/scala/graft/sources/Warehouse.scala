@@ -50,4 +50,41 @@ object Warehouse {
     */
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  /** Compact a parquet directory's small files into ~`targetBytes` files
+    * — the maintenance job behind every streaming append sink (each
+    * micro-batch writes its own files; a 5-second trigger alone produces
+    * ~17k files/day, and at 100 TB the resulting footer/open overhead
+    * dominates scan setup). Sizing is from the FileSystem listing, not a
+    * data scan; the rewrite is one job. Returns the new file count.
+    *
+    * The swap (delete + rename) is not atomic on object stores —
+    * concurrent readers see a missing directory for the rename window;
+    * run it from the owning pipeline (e.g. between micro-batches), or
+    * use a transactional table format where that window is unacceptable.
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listFiles(path, true)
+    var totalBytes = 0L
+    while (files.hasNext) {
+      val f = files.next()
+      if (!f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+        totalBytes += f.getLen
+    }
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "._compacting")
+    spark.read.parquet(dir).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // success marker checked BEFORE destroying the source: a failed or
+    // partial rewrite must leave the original directory untouched
+    require(fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")),
+      s"compaction rewrite of $dir did not commit; original left in place")
+    fs.delete(path, true)
+    require(fs.rename(tmp, path), s"rename $tmp -> $path failed")
+    n
+  }
 }

@@ -73,4 +73,24 @@ class StorageSpec extends SparkSpec {
       Tables(spark, sf0001, "events")
         .filter(col("event_type") === "click").count())
   }
+
+  test("compaction merges small files without changing the data") {
+    val dir = tmpDir("compact") + "/events"
+    val src = Tables(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    // simulate a streaming sink's debris: 20 per-batch files
+    src.repartition(20).write.parquet(dir)
+    def dataFiles(): Seq[java.io.File] =
+      new java.io.File(dir).listFiles.toSeq
+        .filter(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles().size === 20)
+    val before = src.orderBy(col("event_id")).collect().toSeq
+    val totalBytes = dataFiles().map(_.length).sum
+    // target half the total → exactly 2 files
+    val n = Warehouse.compact(spark, dir, targetBytes = totalBytes / 2 + 1)
+    assert(n === 2 && dataFiles().size === 2,
+      s"expected 2 compacted files, got $n / ${dataFiles().size}")
+    assert(spark.read.parquet(dir).orderBy(col("event_id")).collect().toSeq
+      === before, "compaction must preserve the data exactly")
+  }
 }
