@@ -16,4 +16,11 @@ object Limits {
     * broadcast when rows are kilobytes wide.
     */
   val BroadcastBytes: Long = 64L << 20
+
+  /** Max key-set size collected to the driver to become a pushed-down
+    * IN filter (row-group skipping) instead of a semi join (full scan,
+    * row pruning only). 64k longs ≈ 512 KB on the driver and in each
+    * task's filter — cheap — while covering any realistic candidate set.
+    */
+  val InListRows: Long = 1L << 16
 }

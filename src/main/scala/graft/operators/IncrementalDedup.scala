@@ -123,9 +123,22 @@ object IncrementalDedup {
 
     val setsB = shB.groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("shset"))
-    val candCorpus = corpusDocs.join(
-      cand.select(col("corpus_doc").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_semi")
+    // A semi join prunes ROWS but still reads every corpus file. The
+    // candidate id set is usually tiny relative to the corpus (it is
+    // bounded by batch size × near-dup rate), so when it fits a driver
+    // list, push it down as an IN filter instead — parquet min/max
+    // stats then SKIP non-matching row groups and the verify scan cost
+    // tracks the batch, not the corpus. Above the gate (a pathological
+    // all-dup batch), fall back to the semi join.
+    val candIds = cand.select(col("corpus_doc")).distinct()
+    val candCorpus = {
+      val ids = candIds.limit(graft.Limits.InListRows.toInt + 1)
+        .collect().map(_.getLong(0))
+      if (ids.length <= graft.Limits.InListRows)
+        corpusDocs.filter(col("doc_id").isin(ids: _*))
+      else corpusDocs.join(candIds.withColumnRenamed("corpus_doc", "doc_id"),
+        Seq("doc_id"), "left_semi")
+    }
     val setsC = shingles(candCorpus, textCol).groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("shset"))
     cand

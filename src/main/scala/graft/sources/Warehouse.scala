@@ -62,6 +62,11 @@ object Warehouse {
     * concurrent readers see a missing directory for the rename window;
     * run it from the owning pipeline (e.g. between micro-batches), or
     * use a transactional table format where that window is unacceptable.
+    *
+    * For a hive-PARTITIONED directory, compact each leaf partition
+    * directory individually (pass the partition path): a whole-root
+    * rewrite here would read partition columns out of the directory
+    * names and write them back flattened into the files.
     */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20): Int = {
