@@ -51,6 +51,23 @@ object Warehouse {
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
 
+  /** Write `df` range-partitioned AND sorted on `sortCol`: every output
+    * file covers a disjoint key range, so parquet min/max row-group
+    * stats turn key equality/range/IN predicates into file- and
+    * row-group-level SKIPS (this is what makes pushed-down filters —
+    * e.g. [[graft.operators.IncrementalDedup]]'s candidate-id IN list —
+    * cheap at 100 TB; on an unsorted layout every file's min/max spans
+    * the whole key space and nothing is skippable). The clustered-layout
+    * counterpart of [[writeBucketed]]: bucketing buys exchange-free
+    * JOINS, range-sorting buys scan-range SKIPS.
+    */
+  def writeSortedByRange(df: DataFrame, path: String, sortCol: String,
+      partitions: Int): Unit =
+    df.repartitionByRange(partitions,
+      org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Compact a parquet directory's small files into ~`targetBytes` files
     * — the maintenance job behind every streaming append sink (each
     * micro-batch writes its own files; a 5-second trigger alone produces

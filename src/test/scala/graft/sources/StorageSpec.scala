@@ -74,6 +74,26 @@ class StorageSpec extends SparkSpec {
         .filter(col("event_type") === "click").count())
   }
 
+  test("range-sorted write produces files with disjoint key ranges") {
+    val dir = tmpDir("rangesorted") + "/events"
+    val src = Tables(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    Warehouse.writeSortedByRange(src, dir, "event_id", partitions = 4)
+    // the skippability invariant: per-file [min,max] of the sort key
+    // must not overlap — otherwise parquet stats can't exclude files
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length === 4)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"overlapping file ranges: ${ranges.toSeq}")
+      case _ =>
+    }
+    assert(spark.read.parquet(dir).count() === src.count())
+  }
+
   test("compaction merges small files without changing the data") {
     val dir = tmpDir("compact") + "/events"
     val src = Tables(spark, sf0001, "events")
