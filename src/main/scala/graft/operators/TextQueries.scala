@@ -181,7 +181,10 @@ object TextQueries {
     * fraction. Explode-based two-level aggregation, NOT per-row O(n²)
     * array scans: (doc, gram) partial counts shuffle once, so cost is
     * linear in corpus token count and a single skewed mega-document
-    * cannot blow an agg buffer (each (doc, gram) row is tiny).
+    * cannot blow an agg buffer (each (doc, gram) row is tiny). Peak
+    * per-row memory is the word/bigram array of ONE document (~2× its
+    * text) before the explode — the same order as holding the text row
+    * itself, the floor for any per-document operator.
     */
   val q69 = GraftQuery(
     "q69_repetition_stats",

@@ -89,6 +89,10 @@ object Warehouse {
       targetBytes: Long = 128L << 20): Int = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "._compacting")
+    // a crashed prior attempt leaves a populated tmp dir; clear it so
+    // neither the size calc nor the rewrite sees stale files
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     val files = fs.listFiles(path, true)
     var totalBytes = 0L
     while (files.hasNext) {
@@ -98,7 +102,6 @@ object Warehouse {
         totalBytes += f.getLen
     }
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "._compacting")
     spark.read.parquet(dir).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
     // success marker checked BEFORE destroying the source: a failed or

@@ -49,6 +49,33 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("random graphs match a driver-side union-find (property)") {
+    for (seed <- Seq(7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 24
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.07
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        // reference: plain union-find with min-id relabel
+        val parent = Array.tabulate(n.toInt)(identity)
+        def find(x: Int): Int =
+          if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(ra) = rb
+        }
+        val expected = (0 until n.toInt)
+          .groupBy(find).values
+          .filter(_.size > 1) // isolated nodes never appear in the pair list
+          .flatMap(g => g.map(m => m.toLong -> g.min.toLong)).toMap
+        val got = labelMap(edges: _*)
+        assert(got === expected, s"seed=$seed edges=$edges")
+      }
+    }
+  }
+
   test("long path converges within the default iteration budget") {
     // a 12-node path is far past any near-dup cluster diameter; the
     // default cap must still close it (propagation halves nothing — one
