@@ -70,5 +70,29 @@ object SketchQueries {
     },
     None)
 
-  val all: Seq[GraftQuery] = Seq(q43, q44, q52, q53, q55, q72)
+  /** Approximate percentiles (Greenwald–Khanna via Spark's
+    * `approx_percentile`) — the at-scale quantile path: one pass,
+    * mergeable per-partition sketches, bounded memory, vs q39's exact
+    * `percentile` which buffers each group's values. Rows-only for the
+    * driver (sketch internals are engine-specific); AdvancedSpec bounds
+    * the rank error against the exact quantiles.
+    */
+  val q75 = GraftQuery(
+    "q75_approx_percentiles", {
+      import org.apache.spark.sql.functions._
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            expr("approx_percentile(o_totalprice, array(0.5, 0.95), 10000)")
+              .as("approx_p"),
+            count(lit(1)).as("n"))
+          .select(col("o_orderpriority"),
+            col("approx_p").getItem(0).as("p50"),
+            col("approx_p").getItem(1).as("p95"), col("n"))
+          .orderBy(col("o_orderpriority"))
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q43, q44, q52, q53, q55, q72, q75)
 }

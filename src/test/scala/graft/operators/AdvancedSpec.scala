@@ -20,6 +20,28 @@ class AdvancedSpec extends SparkSpec {
       exact.getLong(1) < 0.05)
   }
 
+  test("q75 approx percentiles within rank tolerance of exact") {
+    import org.apache.spark.sql.functions._
+    // GK with accuracy 10000 guarantees rank error ≤ n/10000 per group;
+    // verify VALUE-wise against exact interpolated quantiles with a
+    // loose relative band (quantile values are stable where mass is)
+    val approx = SketchQueries.q75.build(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val exact = graft.sources.Tables(spark, sf0001, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (k, (a50, a95)) =>
+      val (e50, e95) = exact(k)
+      assert(math.abs(a50 - e50) / e50 < 0.02, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) / e95 < 0.02, s"$k p95: $a95 vs $e95")
+    }
+  }
+
   test("mode UDAF: deterministic tiebreak and partial-merge correctness") {
     val df = Seq("b", "a", "a", "b", "c").toDF("v").repartition(4)
     // a and b tie at 2 → lexically smallest wins
