@@ -32,9 +32,16 @@ object ConnectedComponents {
     *
     * @param maxIter hard cap; a `require` fires if the fixpoint is not
     *                reached, rather than returning wrong labels.
+    * @param pointerJump add a label(label(id)) shortcut join per round —
+    *                O(log d) rounds instead of O(d) at one extra
+    *                (id, comp)-longs shuffle per round. Worth it only
+    *                for long-chain graphs; near-dup clusters are
+    *                near-cliques (diameter ~2-3), where the extra join
+    *                costs more than the rounds it saves — measured, see
+    *                ConnectedComponentsSpec and SCALE.md.
     */
   def labels(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, pointerJump: Boolean = false): DataFrame = {
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
       .localCheckpoint()
@@ -50,14 +57,23 @@ object ConnectedComponents {
       // contributes exactly one non-null prev), so convergence is read
       // off the SAME materialized result — one shuffle job per iteration
       // plus a block-local count, instead of a separate join+isEmpty job.
-      val next = edges.join(comp, edges("src") === comp("id"))
+      val propagated = edges.join(comp, edges("src") === comp("id"))
         .select(col("dst").as("id"), col("comp").as("cand"),
           lit(null).cast("long").as("prev"))
         .union(comp.select(col("id"), col("comp").as("cand"),
           col("comp").as("prev")))
         .groupBy(col("id"))
         .agg(min(col("cand")).as("comp"), max(col("prev")).as("prev"))
-        .localCheckpoint()
+      val next = (if (!pointerJump) propagated
+      else {
+        // label(id) := label(label(id)): comp values are node ids, and
+        // every node has a row, so the self-join is total; jumping
+        // halves the remaining distance to the component minimum
+        val mapping = propagated
+          .select(col("id").as("comp"), col("comp").as("jumped"))
+        propagated.join(mapping, "comp")
+          .select(col("id"), col("jumped").as("comp"), col("prev"))
+      }).localCheckpoint()
       converged = next.filter(col("comp") =!= col("prev")).isEmpty
       comp = next.select(col("id"), col("comp"))
       iter += 1

@@ -158,9 +158,10 @@ object IncrementalDedup {
 
   /** Streamed-ingest step (a `foreachBatch` body): drop every batch doc
     * that near-duplicates the already-kept corpus, append the survivors
-    * to both the kept-docs store and the index. Cross-BATCH dedup only —
-    * near-dups arriving within one micro-batch are [[MinHashDedup]]'s
-    * job if needed.
+    * to both the kept-docs store and the index. Cross-batch dedup by
+    * default; `selfDedup = true` adds a [[MinHashDedup]] pass so
+    * near-dups arriving WITHIN one micro-batch collapse to their
+    * minimum doc_id before touching the index.
     *
     * Replay-tolerant under at-least-once delivery: a re-delivered doc is
     * dropped by the exact doc_id anti-join against the kept store (and,
@@ -177,15 +178,24 @@ object IncrementalDedup {
     */
   def ingestBatch(batch: DataFrame, table: String, indexPath: String,
       keptDir: String, threshold: Double, buckets: Int = 32,
-      textCol: String = "text"): Unit = {
+      textCol: String = "text", selfDedup: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val exists = spark.catalog.tableExists(s"${table}_sigs")
-    val kept = (if (!exists) batch
+    // optional intra-batch pass: near-dups ARRIVING TOGETHER never reach
+    // the index (keep the min doc_id of each pair; dropping every doc_b
+    // collapses chains to their minimum since pairs are a < b)
+    val deduped =
+      if (!selfDedup) batch
+      else batch.join(
+        MinHashDedup.nearDuplicates(batch, threshold, textCol)
+          .select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    val kept = (if (!exists) deduped
     else {
       val corpus = spark.read.parquet(keptDir)
       // exact replays first: key-only pruned scan of the kept store,
       // far cheaper than the signature probe they would otherwise hit
-      val fresh = batch.join(corpus.select(col("doc_id")),
+      val fresh = deduped.join(corpus.select(col("doc_id")),
         Seq("doc_id"), "left_anti")
       val dups = probe(fresh, corpus, table, threshold, textCol)
         .select(col("batch_doc").as("doc_id")).distinct()

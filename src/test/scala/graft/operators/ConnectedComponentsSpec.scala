@@ -49,6 +49,18 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("pointer jumping closes a 12-node path in half the rounds") {
+    val edges = (1L until 12L).map(i => i -> (i + 1))
+    // plain propagation moves the min label one hop per round (~11
+    // rounds); the label(label(id)) shortcut halves remaining distance
+    val m = ConnectedComponents.labels(pairs(edges: _*), maxIter = 6,
+      pointerJump = true).as[(Long, Long)].collect().toMap
+    assert(m.values.toSet === Set(1L))
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.labels(pairs(edges: _*), maxIter = 6)
+    }
+  }
+
   test("random graphs match a driver-side union-find (property)") {
     for (seed <- Seq(7, 42)) {
       val rnd = new scala.util.Random(seed)
@@ -72,6 +84,9 @@ class ConnectedComponentsSpec extends SparkSpec {
           .flatMap(g => g.map(m => m.toLong -> g.min.toLong)).toMap
         val got = labelMap(edges: _*)
         assert(got === expected, s"seed=$seed edges=$edges")
+        val jumped = ConnectedComponents.labels(pairs(edges: _*),
+          pointerJump = true).as[(Long, Long)].collect().toMap
+        assert(jumped === expected, s"pointerJump seed=$seed edges=$edges")
       }
     }
   }

@@ -68,6 +68,29 @@ class IncrementalDedupStreamSpec extends SparkSpec {
         .select(col("doc_id")).as[Long].collect().toSeq
       assert(kept3.sorted === Seq(0L, 1L, 3L),
         s"replayed doc must be self-healing, not duplicated: $kept3")
+
+      // batch 4 (selfDedup): two near-dup NOVEL docs arrive together —
+      // only the minimum doc_id survives, and it still dedupes against
+      // the corpus first as usual
+      val fresh = "entirely new subject matter regarding satellite " +
+        "imagery pipelines and their storage formats on large clusters"
+      val freshDup = fresh.split(" ").filter(_ != "large").mkString(" ")
+      input.addData((10L, fresh), (11L, freshDup))
+      val q4 = input.toDF().toDF("doc_id", "text")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          IncrementalDedup.ingestBatch(batch, "t_ingest_idx", idxPath,
+            keptDir, threshold = 0.5, buckets = 4, selfDedup = true)
+        }
+        .start()
+      q4.awaitTermination(120000)
+      val kept4 = spark.read.parquet(keptDir)
+        .select(col("doc_id")).as[Long].collect().toSeq
+      assert(kept4.sorted === Seq(0L, 1L, 3L, 10L),
+        s"intra-batch near-dup must collapse to the min doc_id: $kept4")
     } finally {
       spark.sql("DROP TABLE IF EXISTS t_ingest_idx_sigs")
       spark.sql("DROP TABLE IF EXISTS t_ingest_idx_buckets")
