@@ -74,6 +74,27 @@ class StorageSpec extends SparkSpec {
         .filter(col("event_type") === "click").count())
   }
 
+  test("schema evolution: widened files merge with nulls for old rows") {
+    // a long-lived sink's schema grows (new feature columns); readers
+    // must see the union schema with nulls for pre-widening files
+    val dir = tmpDir("evolve") + "/docs"
+    val v1 = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"))
+    val v2 = Tables(spark, sf0001, "documents")
+      .select(col("doc_id") + 1000000L as "doc_id", col("lang"),
+        col("n_chars"))
+    v1.write.parquet(dir)
+    v2.write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("doc_id", "lang", "n_chars"))
+    assert(merged.count() === v1.count() + v2.count())
+    // old rows: null n_chars; new rows: populated
+    assert(merged.filter(col("doc_id") < 1000000L &&
+      col("n_chars").isNotNull).count() === 0)
+    assert(merged.filter(col("doc_id") >= 1000000L &&
+      col("n_chars").isNull).count() === 0)
+  }
+
   test("range-sorted write produces files with disjoint key ranges") {
     val dir = tmpDir("rangesorted") + "/events"
     val src = Tables(spark, sf0001, "events")
