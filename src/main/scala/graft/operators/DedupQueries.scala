@@ -72,16 +72,10 @@ object DedupQueries {
     * pair definition (Spark and SQL sides both).
     */
   private[operators] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), split(normalize(col("text")), " ").as("words"))
-        .filter(size(col("words")) >= 3)
-      val shingles = docs
-        .select(col("doc_id"),
-          explode(expr(
-            "transform(sequence(1, size(words) - 2), " +
-              "i -> concat_ws(' ', words[i-1], words[i], words[i+1]))"))
-            .as("shingle"))
-        .distinct()
+      // ONE shingle definition project-wide: q42/q68/q71, the LSH
+      // pipeline, and the incremental index all share
+      // MinHashDedup.shingles, so the pair semantics cannot drift
+      val shingles = MinHashDedup.shingles(t(s, d, "documents"))
       val sizes = shingles.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_sh"))
       val a = shingles.select(col("doc_id").as("doc_a"), col("shingle"))

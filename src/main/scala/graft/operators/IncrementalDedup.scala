@@ -21,9 +21,9 @@ import MinHashDedup._
   *     shingle count per corpus doc, bucketed by doc_id, joined only to
   *     surviving candidates.
   *
-  * Exact verification re-reads corpus TEXT only for candidate docs (a
-  * semi-join-pruned scan): the index never stores shingle sets, which
-  * would rival the corpus itself in size.
+  * Exact verification re-reads corpus TEXT only for candidate docs (an
+  * IN-pushdown / semi-join-pruned scan): the index never stores shingle
+  * sets, which would rival the corpus itself in size.
   */
 object IncrementalDedup {
 
@@ -36,6 +36,23 @@ object IncrementalDedup {
       .join(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")),
         "doc_id")
 
+  /** Write both index tables from already-computed shingle/signature
+    * frames — the single write path behind [[writeIndex]],
+    * [[appendToIndex]] and [[ingestBatch]] (which reuses the probe's
+    * materialized signatures instead of recomputing them).
+    */
+  private def writeTables(sh: DataFrame, sigTable: DataFrame,
+      table: String, path: String, buckets: Int, mode: String): Unit = {
+    sigFrame(sh, sigTable).write.mode(mode)
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$path/sigs").format("parquet")
+      .saveAsTable(s"${table}_sigs")
+    bandBuckets(sigTable).write.mode(mode)
+      .bucketBy(buckets, "bkey").sortBy("bkey")
+      .option("path", s"$path/buckets").format("parquet")
+      .saveAsTable(s"${table}_buckets")
+  }
+
   /** Build (or rebuild) the corpus index as two bucketed tables rooted at
     * `path`. One corpus scan; signatures are computed once, here, and
     * never again for this corpus.
@@ -44,14 +61,7 @@ object IncrementalDedup {
       buckets: Int = 32, textCol: String = "text"): Unit = {
     val sh = shingles(corpusDocs, textCol).localCheckpoint()
     val sigTable = signatures(sh).localCheckpoint()
-    sigFrame(sh, sigTable).write.mode("overwrite")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .option("path", s"$path/sigs").format("parquet")
-      .saveAsTable(s"${table}_sigs")
-    bandBuckets(sigTable).write.mode("overwrite")
-      .bucketBy(buckets, "bkey").sortBy("bkey")
-      .option("path", s"$path/buckets").format("parquet")
-      .saveAsTable(s"${table}_buckets")
+    writeTables(sh, sigTable, table, path, buckets, "overwrite")
   }
 
   /** Append newly-ingested (already deduped) docs to the index — the
@@ -63,25 +73,42 @@ object IncrementalDedup {
       buckets: Int = 32, textCol: String = "text"): Unit = {
     val sh = shingles(newDocs, textCol).localCheckpoint()
     val sigTable = signatures(sh).localCheckpoint()
-    sigFrame(sh, sigTable).write.mode("append")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .option("path", s"$path/sigs").format("parquet")
-      .saveAsTable(s"${table}_sigs")
-    bandBuckets(sigTable).write.mode("append")
-      .bucketBy(buckets, "bkey").sortBy("bkey")
-      .option("path", s"$path/buckets").format("parquet")
-      .saveAsTable(s"${table}_buckets")
+    writeTables(sh, sigTable, table, path, buckets, "append")
   }
 
-  /** Near-dup (batch_doc, corpus_doc, jaccard) pairs of `batchDocs`
-    * against the index `table`, at Jaccard ≥ `threshold`. Same candidate
-    * discipline as [[MinHashDedup.nearDuplicates]]: band join →
-    * size-ratio cut → signature-estimate prefilter → exact verify; plus
-    * the incremental property that no corpus signature is recomputed.
-    *
-    * `corpusDocs` supplies the text for exact verification only; the
-    * scan is pruned to candidate docs by a semi join.
+  /** Re-register the index tables from their on-disk data when this
+    * session's catalog does not know them — a NEW Spark application
+    * (restart) starts with an empty in-memory catalog while the index
+    * lives on in `path`. Without this, the first post-restart batch
+    * would both skip dedup entirely AND `writeIndex`-overwrite the
+    * accumulated index with itself. Returns true iff a usable index is
+    * registered after the call.
     */
+  private[operators] def ensureRegistered(spark: SparkSession,
+      table: String, path: String, buckets: Int): Boolean = {
+    if (spark.catalog.tableExists(s"${table}_sigs") &&
+      spark.catalog.tableExists(s"${table}_buckets")) return true
+    val bucketsPath = new org.apache.hadoop.fs.Path(s"$path/buckets")
+    val fs = bucketsPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.exists(bucketsPath) &&
+      graft.streaming.AbsaPipeline.hasCommittedData(fs, bucketsPath)
+    if (!onDisk) return false
+    spark.sql(s"""
+      CREATE TABLE IF NOT EXISTS ${table}_sigs
+        (doc_id BIGINT, sig ARRAY<INT>, n_sh BIGINT)
+      USING parquet
+      CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $buckets BUCKETS
+      LOCATION '$path/sigs'""")
+    spark.sql(s"""
+      CREATE TABLE IF NOT EXISTS ${table}_buckets
+        (doc_id BIGINT, bkey BIGINT)
+      USING parquet
+      CLUSTERED BY (bkey) SORTED BY (bkey) INTO $buckets BUCKETS
+      LOCATION '$path/buckets'""")
+    true
+  }
+
   /** The LAZY candidate frame of [[probe]]'s band-join + prefilter stage
     * (batch_doc, corpus_doc) — factored out so the plan shape (bucketed
     * index scan, no corpus-side exchange) is assertable before [[probe]]
@@ -114,12 +141,18 @@ object IncrementalDedup {
       .distinct()
   }
 
-  def probe(batchDocs: DataFrame, corpusDocs: DataFrame, table: String,
-      threshold: Double, textCol: String = "text"): DataFrame = {
+  /** [[probe]] plus the batch's materialized shingle/signature frames,
+    * so [[ingestBatch]] can index the survivors WITHOUT recomputing the
+    * per-doc pipeline (normalize → 3-gram explode → 32 permutations) a
+    * second time — the most expensive per-doc work in the loop.
+    */
+  private[operators] def probeStaged(batchDocs: DataFrame,
+      corpusDocs: DataFrame, table: String, threshold: Double,
+      textCol: String): (DataFrame, DataFrame, DataFrame) = {
     val shB = shingles(batchDocs, textCol).localCheckpoint()
     val sigTableB = signatures(shB).localCheckpoint()
     val cand = candidates(shB, sigTableB, table, threshold)
-      .localCheckpoint() // reused by the semi-join prune AND the verify
+      .localCheckpoint() // reused by the id-pushdown AND the verify
 
     val setsB = shB.groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("shset"))
@@ -141,7 +174,7 @@ object IncrementalDedup {
     }
     val setsC = shingles(candCorpus, textCol).groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("shset"))
-    cand
+    val pairs = cand
       .join(setsB.select(col("doc_id").as("batch_doc"),
         col("shset").as("set_a")), "batch_doc")
       .join(setsC.select(col("doc_id").as("corpus_doc"),
@@ -154,7 +187,21 @@ object IncrementalDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("batch_doc"), col("corpus_doc"), col("jaccard"))
       .orderBy(col("batch_doc"), col("corpus_doc"))
+    (pairs, shB, sigTableB)
   }
+
+  /** Near-dup (batch_doc, corpus_doc, jaccard) pairs of `batchDocs`
+    * against the index `table`, at Jaccard ≥ `threshold`. Same candidate
+    * discipline as [[MinHashDedup.nearDuplicates]]: band join →
+    * size-ratio cut → signature-estimate prefilter → exact verify; plus
+    * the incremental property that no corpus signature is recomputed.
+    *
+    * `corpusDocs` supplies the text for exact verification only; the
+    * scan is pruned to candidate docs (IN pushdown / semi join).
+    */
+  def probe(batchDocs: DataFrame, corpusDocs: DataFrame, table: String,
+      threshold: Double, textCol: String = "text"): DataFrame =
+    probeStaged(batchDocs, corpusDocs, table, threshold, textCol)._1
 
   /** Streamed-ingest step (a `foreachBatch` body): drop every batch doc
     * that near-duplicates the already-kept corpus, append the survivors
@@ -164,9 +211,13 @@ object IncrementalDedup {
     * minimum doc_id before touching the index.
     *
     * Replay-tolerant under at-least-once delivery: a re-delivered doc is
-    * dropped by the exact doc_id anti-join against the kept store (and,
-    * failing that, by matching itself in the index at Jaccard 1.0), so
-    * duplicates do not accumulate across restarts.
+    * dropped by the exact doc_id anti-join against the kept store — run
+    * whenever the kept store has data, even when the index is missing or
+    * unregistered, so a crash before the very first index write cannot
+    * duplicate the first batch — and, failing that, by matching itself
+    * in the index at Jaccard 1.0. After an application restart the index
+    * tables are re-registered from disk ([[ensureRegistered]]) instead
+    * of being clobbered by a fresh overwrite.
     *
     * Crash ordering: the kept store is written BEFORE the index. The two
     * writes are not atomic; a crash between them leaves one batch's docs
@@ -180,7 +231,13 @@ object IncrementalDedup {
       keptDir: String, threshold: Double, buckets: Int = 32,
       textCol: String = "text", selfDedup: Boolean = false): Unit = {
     val spark = batch.sparkSession
-    val exists = spark.catalog.tableExists(s"${table}_sigs")
+    val keptPath = new org.apache.hadoop.fs.Path(keptDir)
+    val fs = keptPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keptHasData = fs.exists(keptPath) &&
+      graft.streaming.AbsaPipeline.hasCommittedData(fs, keptPath)
+    val indexUsable =
+      ensureRegistered(spark, table, indexPath, buckets) && keptHasData
+
     // optional intra-batch pass: near-dups ARRIVING TOGETHER never reach
     // the index (keep the min doc_id of each pair; dropping every doc_b
     // collapses chains to their minimum since pairs are a < b)
@@ -190,21 +247,38 @@ object IncrementalDedup {
         MinHashDedup.nearDuplicates(batch, threshold, textCol)
           .select(col("doc_b").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
-    val kept = (if (!exists) deduped
-    else {
-      val corpus = spark.read.parquet(keptDir)
-      // exact replays first: key-only pruned scan of the kept store,
-      // far cheaper than the signature probe they would otherwise hit
-      val fresh = deduped.join(corpus.select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
-      val dups = probe(fresh, corpus, table, threshold, textCol)
-        .select(col("batch_doc").as("doc_id")).distinct()
-      fresh.join(dups, Seq("doc_id"), "left_anti")
-      // materialized: the survivor set feeds TWO writes below and must
-      // not be recomputed differently between them
-    }).localCheckpoint()
+    // exact replays: key-only pruned scan of the kept store — cheaper
+    // than the signature probe, and the only protection when a crash
+    // preceded the first index write
+    // materialized once: every downstream consumer (kept rows, shingle/
+    // signature frames, the probe) must see the SAME batch snapshot
+    val fresh =
+      (if (!keptHasData) deduped
+      else deduped.join(
+        spark.read.parquet(keptDir).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")).localCheckpoint()
+    val (kept, shKept, sigKept) =
+      if (!indexUsable) {
+        val shF = shingles(fresh, textCol).localCheckpoint()
+        (fresh, shF, signatures(shF).localCheckpoint())
+      } else {
+        val corpus = spark.read.parquet(keptDir)
+        val (pairs, shF, sigTableF) =
+          probeStaged(fresh, corpus, table, threshold, textCol)
+        val dups = pairs.select(col("batch_doc").as("doc_id")).distinct()
+        // materialized: the survivor set feeds TWO writes below and must
+        // not be recomputed differently between them
+        val kept = fresh.join(dups, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val keptIds = kept.select(col("doc_id"))
+        // reuse the probe's materialized per-doc work for the index
+        // append — no second shingle/signature computation
+        (kept,
+          shF.join(keptIds, Seq("doc_id"), "left_semi"),
+          sigTableF.join(keptIds, Seq("doc_id"), "left_semi"))
+      }
     kept.write.mode("append").parquet(keptDir)
-    if (exists) appendToIndex(kept, table, indexPath, buckets, textCol)
-    else writeIndex(kept, table, indexPath, buckets, textCol)
+    writeTables(shKept, sigKept, table, indexPath, buckets,
+      if (indexUsable) "append" else "overwrite")
   }
 }

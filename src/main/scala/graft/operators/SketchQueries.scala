@@ -62,8 +62,9 @@ object SketchQueries {
         val docs = t(s, d, "documents")
         val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
         val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-dedup-idx").toString
+        // fixed location, overwritten per build — repeated bench/verify
+        // runs must not accumulate orphaned index copies in the temp dir
+        val path = s"${sys.props("java.io.tmpdir")}/graft-q72-idx"
         IncrementalDedup.writeIndex(corpus, "graft_dedup_idx", path)
         IncrementalDedup.probe(batch, corpus, "graft_dedup_idx", 0.3)
       }

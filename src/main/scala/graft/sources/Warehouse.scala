@@ -69,11 +69,14 @@ object Warehouse {
       .write.mode("overwrite").parquet(path)
 
   /** Compact a parquet directory's small files into ~`targetBytes` files
-    * — the maintenance job behind every streaming append sink (each
+    * — the maintenance job behind every foreachBatch-append sink (each
     * micro-batch writes its own files; a 5-second trigger alone produces
     * ~17k files/day, and at 100 TB the resulting footer/open overhead
-    * dominates scan setup). Sizing is from the FileSystem listing, not a
-    * data scan; the rewrite is one job. Returns the new file count.
+    * dominates scan setup). NOT for a `writeStream.format("parquet")`
+    * FileStreamSink directory — its `_spark_metadata` commit log cannot
+    * survive the swap, and a `require` refuses it. Sizing is from the
+    * FileSystem listing, not a data scan; the rewrite is one job.
+    * Returns the new file count.
     *
     * The swap (delete + rename) is not atomic on object stores —
     * concurrent readers see a missing directory for the rename window;
@@ -87,19 +90,43 @@ object Warehouse {
     */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20): Int = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "._compacting")
+    val raw = new org.apache.hadoop.fs.Path(dir)
+    val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify BEFORE deriving the tmp sibling: "dir + suffix" on a
+    // trailing-slash input would nest tmp INSIDE the source, and the
+    // delete-then-rename would destroy both copies
+    val path = fs.makeQualified(raw)
+    require(path.getParent != null, s"refusing to compact a root: $path")
+    val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+      path.getName + "._compacting")
+    // a streaming FileStreamSink directory carries a _spark_metadata
+    // commit log that the swap below cannot preserve coherently (its
+    // file list would no longer match); those sinks need a
+    // format-native compaction, not a directory rewrite
+    require(!fs.exists(
+      new org.apache.hadoop.fs.Path(path, "_spark_metadata")),
+      s"$dir has a _spark_metadata commit log; directory-swap compaction " +
+        "would orphan it")
     // a crashed prior attempt leaves a populated tmp dir; clear it so
     // neither the size calc nor the rewrite sees stale files
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    def hidden(p: org.apache.hadoop.fs.Path): Boolean = {
+      // walk up to the compacted root: a visible basename under a
+      // hidden ANCESTOR (_temporary debris) must not count either
+      var cur = p
+      var h = false
+      while (cur != null && cur != path) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) h = true
+        cur = cur.getParent
+      }
+      h
+    }
     val files = fs.listFiles(path, true)
     var totalBytes = 0L
     while (files.hasNext) {
       val f = files.next()
-      if (!f.getPath.getName.startsWith("_") &&
-        !f.getPath.getName.startsWith("."))
-        totalBytes += f.getLen
+      if (!hidden(f.getPath)) totalBytes += f.getLen
     }
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(dir).repartition(n)

@@ -137,7 +137,7 @@ object AbsaPipeline {
     * component hidden by `_`/`.` — Spark's own convention for
     * non-data files such as _temporary and _SUCCESS).
     */
-  private def hasCommittedData(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def hasCommittedData(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Boolean = {
     // qualify the root the same way listFiles qualifies its results: a
     // raw-string comparison would never match a relative/differently-

@@ -127,8 +127,11 @@ class StorageSpec extends SparkSpec {
     assert(dataFiles().size === 20)
     val before = src.orderBy(col("event_id")).collect().toSeq
     val totalBytes = dataFiles().map(_.length).sum
-    // target half the total → exactly 2 files
-    val n = Warehouse.compact(spark, dir, targetBytes = totalBytes / 2 + 1)
+    // target half the total → exactly 2 files. Trailing slash on
+    // purpose: the tmp dir must still land as a SIBLING (a child tmp
+    // would be destroyed by the swap along with the source)
+    val n = Warehouse.compact(spark, dir + "/",
+      targetBytes = totalBytes / 2 + 1)
     assert(n === 2 && dataFiles().size === 2,
       s"expected 2 compacted files, got $n / ${dataFiles().size}")
     assert(spark.read.parquet(dir).orderBy(col("event_id")).collect().toSeq

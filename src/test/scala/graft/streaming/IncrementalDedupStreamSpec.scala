@@ -91,9 +91,45 @@ class IncrementalDedupStreamSpec extends SparkSpec {
         .select(col("doc_id")).as[Long].collect().toSeq
       assert(kept4.sorted === Seq(0L, 1L, 3L, 10L),
         s"intra-batch near-dup must collapse to the min doc_id: $kept4")
+
+      // batch 5 after an "application restart": a fresh session has an
+      // empty catalog — drop the table registrations (external tables;
+      // data stays) and verify the index is re-registered from disk,
+      // not clobbered: a near-dup of indexed doc 0 must STILL be caught
+      // (kept-store doc_id anti-join alone cannot catch it)
+      spark.sql("DROP TABLE t_ingest_idx_sigs")
+      spark.sql("DROP TABLE t_ingest_idx_buckets")
+      val nearDup2 = base.split(" ").filter(_ != "deep").mkString(" ")
+      input.addData((20L, nearDup2), (21L, "totally novel content on " +
+        "orchestration of container fleets across many data centers"))
+      runAvailable()
+      val kept5 = spark.read.parquet(keptDir)
+        .select(col("doc_id")).as[Long].collect().toSeq
+      assert(kept5.sorted === Seq(0L, 1L, 3L, 10L, 21L),
+        s"post-restart ingest must re-register the disk index: $kept5")
     } finally {
       spark.sql("DROP TABLE IF EXISTS t_ingest_idx_sigs")
       spark.sql("DROP TABLE IF EXISTS t_ingest_idx_buckets")
+    }
+  }
+
+  test("crash before the first index write cannot duplicate the batch") {
+    val idxPath = tmpDir("crash-idx")
+    val keptDir = tmpDir("crash-kept") + "/docs"
+    val b1 = Seq((0L, base), (1L, other)).toDF("doc_id", "text")
+    // simulate: batch 1's kept-store write committed, crash BEFORE the
+    // first index write, then foreachBatch replays the same batch
+    b1.write.parquet(keptDir)
+    try {
+      IncrementalDedup.ingestBatch(b1, "t_crash_idx", idxPath, keptDir,
+        threshold = 0.5, buckets = 4)
+      val kept = spark.read.parquet(keptDir)
+        .select(col("doc_id")).as[Long].collect().toSeq
+      assert(kept.sorted === Seq(0L, 1L),
+        s"replay without an index must not re-append kept docs: $kept")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_crash_idx_sigs")
+      spark.sql("DROP TABLE IF EXISTS t_crash_idx_buckets")
     }
   }
 }
