@@ -1,10 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Q._
-import graft.functions.MockScorers.{vehicleCountSql, vehicleType, vehicleTypeSql}
+import graft.functions.MockScorers.{vehicleType, vehicleTypeSql}
 import graft.functions.ModeAggregator
 
 /** Remaining declared surface: typed UDAF (X3), as-of join (X11), cube

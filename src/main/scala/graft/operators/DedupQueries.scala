@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Q._
-import graft.functions.MockScorers.{normalize, normalizeSql}
+import graft.functions.MockScorers.normalizeSql
 
 /** Deduplication operators (north-star X6/X15): exact content dedup,
   * deterministic keep-first keyed dedup, and n-gram Jaccard near-dup.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Q._
-import graft.functions.MockScorers.{aspects, sentiments, decodeSentiment}
+import graft.functions.MockScorers.{aspects, decodeSentiment}
 
 /** Sessionization, pivot, and embedding near-dup — the remaining
   * dashboard/pipeline shapes, all with exact oracles.

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryException}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Crash/staleness supervisor for a streaming query — the engine-native
   * form of the reference's Airflow restart loop
