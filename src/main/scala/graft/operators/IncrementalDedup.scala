@@ -168,7 +168,8 @@ object IncrementalDedup {
       val ids = candIds.limit(graft.Limits.InListRows.toInt + 1)
         .collect().map(_.getLong(0))
       if (ids.length <= graft.Limits.InListRows)
-        corpusDocs.filter(col("doc_id").isin(ids: _*))
+        corpusDocs.filter(col("doc_id")
+        .isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(ids): _*))
       else corpusDocs.join(candIds.withColumnRenamed("corpus_doc", "doc_id"),
         Seq("doc_id"), "left_semi")
     }

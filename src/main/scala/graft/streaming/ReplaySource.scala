@@ -31,7 +31,7 @@ object ReplaySource {
     val n = corpus.count()
     val sorted = corpus.orderBy(col(keyCol))
     val indexed = spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
       sorted.schema.add("corpus_idx", LongType, nullable = false))
     val rate = spark.readStream
       .format("rate")
