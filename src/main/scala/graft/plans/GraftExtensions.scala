@@ -50,13 +50,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-  // ExpressionInfo's 3-arg constructor is (className, db, name) — the
-  // class name FIRST; misordering leaks the usage text into the name
-  // shown by DESCRIBE FUNCTION
+  // ExpressionInfo wants the class name FIRST; misordering leaks the
+  // usage text into the name shown by DESCRIBE FUNCTION. The full
+  // constructor (the 5-arg one is deprecated) also takes arguments/
+  // examples/note/group/since/deprecated/source — "misc_funcs" and
+  // "built-in" are from its validated vocabularies.
   private def fn(name: String, className: String, usage: String,
       build: Seq[Expression] => Expression) =
     (new FunctionIdentifier(name),
-      new ExpressionInfo(className, null, name, usage, ""),
+      new ExpressionInfo(className, null, name, usage,
+        "", "", "", "misc_funcs", "", "", "built-in"),
       (args: Seq[Expression]) => build(args))
 
   override def apply(e: SparkSessionExtensions): Unit = {
