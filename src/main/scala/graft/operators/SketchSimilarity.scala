@@ -53,10 +53,18 @@ object AnnLsh {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"))
       .distinct()
+    // Broadcast ONLY the query vectors: the query side must be filtered
+    // to `queryIds` BEFORE the broadcast hint — the hint is honored
+    // regardless of size, so broadcasting the unfiltered corpus would
+    // collect every embedding to the driver at scale (driver OOM at
+    // 100 TB) and only then let the join key discard the non-queries.
+    // Same shape as the IVF paths below.
+    val queryVecs = vecs.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"),
+        col("emb").as("qemb"), col("nrm").as("qnrm"))
     val scored = cand
       .join(vecs.select(col("vec_id"), col("emb"), col("nrm")), "vec_id")
-      .join(broadcast(vecs.select(col("vec_id").as("qid"),
-        col("emb").as("qemb"), col("nrm").as("qnrm"))), "qid")
+      .join(broadcast(queryVecs), "qid")
       .withColumn("cosine", dot(col("qemb"), col("emb")) /
         (col("qnrm") * col("nrm")))
     val w = Window.partitionBy(col("qid"))

@@ -115,6 +115,38 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ann-lsh topK: every broadcast side is bounded by the query-id filter") {
+    // The broadcast hint is honored regardless of size, so any broadcast
+    // subtree WITHOUT a vec_id IN (...) bound would collect the full
+    // corpus to the driver at scale. Assert structurally on the optimized
+    // logical plan: each broadcast-hinted join side must contain an
+    // In/InSet filter on vec_id.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val df = AnnLsh.topK(emb, 0L to 9L, k = 5)
+    val optimized = df.asInstanceOf[ClassicDataset[_]]
+      .queryExecution.optimizedPlan
+    val broadcastSides: Seq[LogicalPlan] = optimized.collect {
+      case j: Join =>
+        val l = j.hint.leftHint.filter(_.strategy.isDefined).map(_ => j.left)
+        val r = j.hint.rightHint.filter(_.strategy.isDefined).map(_ => j.right)
+        l.toSeq ++ r.toSeq
+    }.flatten
+    assert(broadcastSides.nonEmpty, "expected a broadcast-hinted query side")
+    broadcastSides.foreach { side =>
+      val bounded = side.collectFirst {
+        case f: Filter if f.condition.exists {
+          case In(a, _) => a.references.exists(_.name == "vec_id")
+          case InSet(a, _) => a.references.exists(_.name == "vec_id")
+          case _ => false
+        } => f
+      }
+      assert(bounded.isDefined,
+        s"broadcast subtree not bounded to query ids:\n${side.toString.take(2000)}")
+    }
+  }
+
   test("q62: the whole prep pipeline reads the documents table ONCE") {
     val plan = planOf(TrainPrepQueries.q62.build(spark, sf0001))
     val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
