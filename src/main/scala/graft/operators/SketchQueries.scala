@@ -51,22 +51,60 @@ object SketchQueries {
     None)
 
   /** Incremental MinHash dedup against a MATERIALIZED corpus index
-    * ([[IncrementalDedup]]): index build + probe, end to end. Rows-only
-    * here; the exact-equality/recall oracle vs brute force is in
-    * SketchSpec, and q71 is the exact SQL-checked face of the same shape.
+    * ([[IncrementalDedup]]), split into its two cost regimes so the bench
+    * tracks them separately: the index BUILD amortizes over the corpus
+    * lifetime, while the PROBE is the steady-state per-batch cost — the
+    * number that matters at 100 TB. (Round 3 charged a full rebuild to
+    * every probe run, hiding probe-cost regressions.) Rows-only; the
+    * exact-equality/recall oracle vs brute force is in SketchSpec, and
+    * q71 is the exact SQL-checked face of the same shape.
     */
-  val q72 = GraftQuery(
-    "q72_incremental_minhash", {
+  private def q72Corpus(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import org.apache.spark.sql.functions._
+    val docs = t(s, d, "documents")
+    (docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 0))
+  }
+
+  /** Table name + path are tagged per data dir: one session may verify
+    * sf0.01 and bench sf0.1 — a shared catalog name would silently probe
+    * the other scale's index. Fixed location per dir, overwritten per
+    * build, so repeated runs don't accumulate orphaned copies.
+    */
+  private def q72Index(d: String): (String, String) = {
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    (s"graft_dedup_idx_$tag",
+      s"${sys.props("java.io.tmpdir")}/graft-q72-idx-$tag")
+  }
+
+  val q72a = GraftQuery(
+    "q72a_index_build", {
       import org.apache.spark.sql.functions._
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-        // fixed location, overwritten per build — repeated bench/verify
-        // runs must not accumulate orphaned index copies in the temp dir
-        val path = s"${sys.props("java.io.tmpdir")}/graft-q72-idx"
-        IncrementalDedup.writeIndex(corpus, "graft_dedup_idx", path)
-        IncrementalDedup.probe(batch, corpus, "graft_dedup_idx", 0.3)
+        val (_, corpus) = q72Corpus(s, d)
+        val (table, path) = q72Index(d)
+        IncrementalDedup.writeIndex(corpus, table, path)
+        // deterministic build summary (rows>0 for the driver's check)
+        s.table(s"${table}_buckets")
+          .agg(count(lit(1)).as("index_entries"),
+            countDistinct(col("bkey")).as("distinct_buckets"))
+      }
+    },
+    None)
+
+  val q72b = GraftQuery(
+    "q72b_probe", {
+      (s, d) => {
+        val (batch, corpus) = q72Corpus(s, d)
+        val (table, path) = q72Index(d)
+        // Steady state: the index already exists (built by q72a or a
+        // prior run) and the probe never touches corpus signatures.
+        // Build only when genuinely absent so the entry stays runnable
+        // standalone; under the bench's min-of-N repeat the later
+        // iterations measure the pure probe either way.
+        if (!IncrementalDedup.ensureRegistered(s, table, path, 32))
+          IncrementalDedup.writeIndex(corpus, table, path)
+        IncrementalDedup.probe(batch, corpus, table, 0.3)
       }
     },
     None)
@@ -95,5 +133,5 @@ object SketchQueries {
     },
     None)
 
-  val all: Seq[GraftQuery] = Seq(q43, q44, q52, q53, q55, q72, q75)
+  val all: Seq[GraftQuery] = Seq(q43, q44, q52, q53, q55, q72a, q72b, q75)
 }

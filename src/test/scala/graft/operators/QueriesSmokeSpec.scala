@@ -13,7 +13,7 @@ class QueriesSmokeSpec extends SparkSpec {
   // near-orthogonal synthetic corpus
   private val mayBeEmpty = Set("q42_ngram_jaccard_pairs",
     "q43_minhash_lsh_pairs", "q44_simhash_pairs",
-    "q71_dedup_against_corpus", "q72_incremental_minhash")
+    "q71_dedup_against_corpus", "q72b_probe")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, build) =>
     test(s"$name runs at sf0.001") {
