@@ -100,4 +100,58 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(m.values.toSet === Set(1L))
     assert(m.keySet === (1L to 12L).toSet)
   }
+
+  test("closure over the LSH pair miner matches the exact-pair closure") {
+    // The at-scale wiring is labels(nearDuplicates(...)) — LSH-mined
+    // pairs, not the quadratic exact miner. On a PLANTED corpus whose
+    // in-cluster similarity sits far above threshold (J ≳ 0.85, where
+    // 16×2-band recall is ~1.0 and verification keeps precision exact),
+    // the two closures must produce identical clusters. Each cluster is
+    // a mutation CHAIN off one base text, so transitive closure does real
+    // work (ends of a chain need not be pairwise-similar themselves).
+    val vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "red green blue amber teal coral slate olive navy plum").split(" ")
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      def freshText(): Array[String] =
+        Array.fill(60)(vocab(rnd.nextInt(vocab.length)))
+      // drop one word per chain step: J between neighbors ~ 57/60
+      def mutate(words: Array[String]): Array[String] = {
+        val at = 1 + rnd.nextInt(words.length - 2)
+        words.zipWithIndex.filter(_._2 != at).map(_._1)
+      }
+      var id = 0L
+      val rows = (0 until 6).flatMap { _ =>
+        val depth = 1 + rnd.nextInt(3) // cluster sizes 1..3
+        val chain = Iterator.iterate(freshText())(mutate).take(depth).toSeq
+        chain.map { words => id += 1; (id, words.mkString(" ")) }
+      }
+      val docs = rows.toDF("doc_id", "text")
+
+      // exact truth: brute-force 3-gram Jaccard over all pairs
+      val sh = MinHashDedup.shingles(docs)
+        .as[(Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val exactPairs = (for {
+        a <- sh.keys; b <- sh.keys if a < b
+        inter = sh(a).intersect(sh(b)).size.toDouble
+        j = inter / (sh(a).size + sh(b).size - inter)
+        if j >= 0.5
+      } yield (a, b)).toSeq
+
+      val mined = MinHashDedup.nearDuplicates(docs, 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      // recall must be 1.0 here, or the closure comparison is vacuous
+      val minedSet = mined.as[(Long, Long)].collect()
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      assert(minedSet === exactPairs.toSet,
+        s"seed=$seed: LSH recall < 1.0 on the planted corpus")
+
+      val viaLsh = ConnectedComponents.labels(mined)
+        .as[(Long, Long)].collect().toMap
+      val viaExact = labelMap(exactPairs: _*)
+      assert(viaLsh === viaExact, s"seed=$seed")
+    }
+  }
 }
