@@ -25,26 +25,60 @@ object Bench {
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to repeat).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            None
+
+    def runSuite(): (Map[String, Double], Seq[String]) = {
+      val failed = scala.collection.mutable.ListBuffer.empty[String]
+      val results = selected.map { case (name, fn) =>
+        val times = (1 to repeat).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              None
+          }
         }
+        // a crashing query must not bench as "fast": report -1, list in `failed`
+        if (times.size < repeat) { failed += name; name -> -1.0 }
+        else name -> times.min
       }
-      // a crashing query must not bench as "fast": report -1, list in `failed`
-      if (times.size < repeat) { failed += name; name -> -1.0 }
-      else name -> times.min
+      (results, failed.toList)
     }
+
+    // Canary gate (SCALE.md protocol): this host shows multi-× background
+    // noise, and the round-3 driver artifact recorded two phantom
+    // regressions that same-day reruns refuted. Bracket the suite with a
+    // fixed CPU-bound probe; if the window shifted >2× while the suite
+    // ran, the timings are suspect — rerun once and record the
+    // adjudication inline so a noisy artifact is never read as a clean one.
+    canarySecs(spark) // discarded warmup: codegen + executor spin-up
+    var canaryBefore = canarySecs(spark)
+    var canaryAfter = 0.0
+    var reruns = -1
+    var results = Map.empty[String, Double]
+    var failed = Seq.empty[String]
+    var degraded = false
+    do {
+      reruns += 1
+      val (r, f) = runSuite()
+      results = r; failed = f
+      canaryAfter = canarySecs(spark)
+      degraded = math.max(canaryBefore, canaryAfter) >
+        2.0 * math.min(canaryBefore, canaryAfter)
+      if (degraded && reruns == 0) {
+        System.err.println(f"[bench] canary shifted " +
+          f"$canaryBefore%.3f -> $canaryAfter%.3f s: noisy window, rerunning")
+        canaryBefore = canarySecs(spark)
+      }
+    } while (degraded && reruns < 1)
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val canaryJson = f"""{"before":$canaryBefore%.3f,"after":""" +
+      f"""$canaryAfter%.3f,"reruns":$reruns,"degraded":$degraded}"""
     val total = results.values.filter(_ >= 0).sum
 
     // streaming-parity rates vs BASELINE.md (ABSA 10 rows/s cap, vehicle
@@ -53,8 +87,22 @@ object Bench {
     // throughput alongside the batch timings.
     val (absaRate, vehicleRate) = streamingRates(spark)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate}""")
     spark.stop()
+  }
+
+  /** Fixed CPU-bound probe (no IO, whole-stage codegen): its min-of-3
+    * tracks available compute, not the engine under test. ~0.1 s on a
+    * calm 32-thread host — cheap enough to run three times per bracket.
+    */
+  private def canarySecs(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, sum}
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32)
+        .select(sum(col("id"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
   }
 
   private def streamingRates(spark: SparkSession): (Double, Double) = {
