@@ -76,6 +76,50 @@ object AnnLsh {
         round(col("cosine"), 6).as("cosine_r"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** ALL pairs with cosine ≥ `minCos` — the embedding member of the
+    * near-dup mining family, same candidate discipline as
+    * [[MinHashDedup.nearDuplicates]] for text: bucket self-join mines
+    * candidates, exact cosine verifies them (precision is exact; recall
+    * is the banding probability). Unlike [[topK]] there is no query set:
+    * both join sides are the corpus, so NOTHING here is broadcast — the
+    * self-join shuffles (table, bucket) keys and the verify join
+    * shuffles vec_id, both corpus-partitionable at any scale.
+    *
+    * Defaults tune for near-DUP thresholds (cosine ≳ 0.8): more bits per
+    * bucket than [[topK]] (8 vs 4) keep bucket occupancy — and the
+    * candidate set, which grows with the square of occupancy — small,
+    * while 16 tables hold the miss probability down (at cos = 0.8,
+    * per-table collision ≈ 0.857⁸ ≈ 0.29, so P(miss all 16) < 1%; recall
+    * rises steeply above the threshold). Raise `bits` with corpus
+    * density, exactly like adding bands in MinHash-LSH.
+    */
+  def nearPairs(embeddings: DataFrame, minCos: Double,
+      tables: Int = 16, bits: Int = 8): DataFrame = {
+    val dim = 64
+    val vecs = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm",
+        sqrt(graft.functions.expressions.VectorFunctions.sqNorm(col("emb"))))
+    val b = buckets(vecs.select("vec_id", "emb"), tables, bits, dim)
+      .select(col("table"), col("bucket"), col("vec_id"))
+    val cand = b.select(col("table"), col("bucket"), col("vec_id").as("ia"))
+      .join(b.select(col("table"), col("bucket"), col("vec_id").as("ib")),
+        Seq("table", "bucket"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"))
+      .distinct()
+    cand
+      .join(vecs.select(col("vec_id").as("ia"), col("emb").as("ea"),
+        col("nrm").as("na")), "ia")
+      .join(vecs.select(col("vec_id").as("ib"), col("emb").as("eb"),
+        col("nrm").as("nb")), "ib")
+      .withColumn("cosine", dot(col("ea"), col("eb")) /
+        (col("na") * col("nb")))
+      .filter(col("cosine") >= minCos)
+      .select(col("ia"), col("ib"), round(col("cosine"), 6).as("cosine_r"))
+      .orderBy(col("ia"), col("ib"))
+  }
 }
 
 /** IVF (inverted-file) approximate nearest neighbors — the second scale
