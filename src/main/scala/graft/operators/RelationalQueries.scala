@@ -74,12 +74,18 @@ object RelationalQueries {
       ORDER BY p_partkey
     """))
 
-  /** Inner equi-join (broadcast dim) + agg. [X8, D3] */
+  /** Inner equi-join + agg. Customer is deliberately NOT hinted: it is
+    * the one dimension that scales linearly with SF (SF×150k rows), and
+    * an explicit broadcast hint is honored regardless of
+    * `autoBroadcastJoinThreshold`, so a hint here would collect a
+    * multi-GB table to the driver at 100×. AQE still picks a broadcast
+    * join at small SF on its own. [X8, D3]
+    */
   val q03 = GraftQuery(
     "q03_join_segment_revenue",
     (s, d) =>
       t(s, d, "orders")
-        .join(broadcast(t(s, d, "customer")),
+        .join(t(s, d, "customer"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
@@ -98,14 +104,16 @@ object RelationalQueries {
     """))
 
   /** TPC-H Q5-style 5-way join with region filter: the big fact table joins
-    * shuffle on keys; nation/region are broadcast. [X8]
+    * shuffle on keys; nation/region (fixed 25/5 rows at ANY SF) are
+    * broadcast-hinted, customer (scales with SF) is left to AQE — see q03.
+    * [X8]
     */
   val q04 = GraftQuery(
     "q04_nation_revenue",
     (s, d) =>
       t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, d, "customer")),
+        .join(t(s, d, "customer"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, d, "nation")),
           col("c_nationkey") === col("n_nationkey"))

@@ -147,6 +147,59 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no unconditional broadcast hint survives on an SF-scaling table") {
+    // An explicit broadcast hint is honored regardless of
+    // autoBroadcastJoinThreshold, so a hint over a table that grows with
+    // SF (customer is SF×150k rows; lineitem SF×6M; …) is a driver OOM at
+    // 100× even though it is correct and fast at sf0.1. Sweep the lazily
+    // built query families and assert every broadcast-hinted join side
+    // either touches only fixed-cardinality tables (nation=25, region=5
+    // at ANY SF) or is bounded by an In/InSet filter (the ann-lsh
+    // query-id pattern asserted above). Eager families (CC fixpoint,
+    // LSH localCheckpoint, index build) are covered by their own gated
+    // plan asserts instead.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scaling = Set("customer", "supplier", "part", "orders", "lineitem",
+      "events", "documents", "embeddings")
+    val lazyFamilies: Seq[GraftQuery] =
+      RelationalQueries.all ++ PipelineQueries.all ++ AdvancedQueries.all ++
+        SessionQueries.all ++ ArrayAggQueries.all ++ TextQueries.all ++
+        ReconQueries.all ++ TrainPrepQueries.all ++ SqlSurfaceQueries.all
+    assert(lazyFamilies.size >= 50, "sweep lost a query family")
+    lazyFamilies.foreach { q =>
+      val optimized = q.build(spark, sf0001).asInstanceOf[ClassicDataset[_]]
+        .queryExecution.optimizedPlan
+      val hintedSides: Seq[LogicalPlan] = optimized.collect {
+        case j: Join =>
+          j.hint.leftHint.filter(_.strategy.isDefined).map(_ => j.left).toSeq ++
+            j.hint.rightHint.filter(_.strategy.isDefined).map(_ => j.right).toSeq
+      }.flatten
+      hintedSides.foreach { side =>
+        val scalingLeaves = side.collectLeaves().flatMap {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation =>
+              fs.location.rootPaths.map(_.getName)
+                .filter(n => scaling.exists(t => n.startsWith(t)))
+            case _ => Nil
+          }
+          case _ => Nil
+        }
+        val bounded = side.collectFirst {
+          case f: Filter if f.condition.exists {
+            case _: In | _: InSet => true
+            case _ => false
+          } => f
+        }.isDefined
+        assert(scalingLeaves.isEmpty || bounded,
+          s"${q.name}: unconditional broadcast hint over SF-scaling " +
+            s"table(s) ${scalingLeaves.mkString(",")}:\n" +
+            side.toString.take(1500))
+      }
+    }
+  }
+
   test("q62: the whole prep pipeline reads the documents table ONCE") {
     val plan = planOf(TrainPrepQueries.q62.build(spark, sf0001))
     val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
