@@ -167,5 +167,55 @@ object SimilarityQueries {
       ORDER BY vec_id
     """))
 
-  val all: Seq[GraftQuery] = Seq(q45, q46, q65)
+  /** Corpus-scale embedding near-dup mining ([[AnnLsh.nearPairs]] — the
+    * at-scale counterpart of q54's bounded exact face): LSH buckets mine
+    * candidate pairs by self-join, exact cosine verifies. The corpus is
+    * unioned with a half-scaled copy of itself (ids offset by 1e6) — the
+    * planted-duplicate harness a re-crawled-shard dedup run looks like.
+    * Scaling by 0.5 is exact in IEEE arithmetic and leaves every sign
+    * projection unchanged, so each planted pair collides in ALL bucket
+    * tables (recall exactly 1 by construction) with cosine exactly 1;
+    * the synthetic corpus has no natural pair near the 0.9 threshold
+    * (max pairwise cosine ≈ 0.55 at sf0.01), so the LSH output equals
+    * the exact all-pairs oracle and the query is hash-checkable despite
+    * being approximate in general. General-corpus recall (clusters,
+    * closure) is asserted in AnnNearPairsSpec.
+    */
+  val q76 = GraftQuery(
+    "q76_embedding_near_pairs",
+    (s, d) => {
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val planted = base.select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5d)).as("embedding"))
+      AnnLsh.nearPairs(base.union(planted), minCos = 0.9)
+    },
+    Some("""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      u AS (
+        SELECT vec_id, emb FROM base
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(emb, x -> x * 0.5) AS emb
+        FROM base),
+      e AS (
+        SELECT vec_id, emb,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(emb, x -> x * x)),
+                 (acc, v) -> acc + v)) AS nrm
+        FROM u)
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(a.emb, (x, i) -> x * b.emb[i])),
+               (acc, v) -> acc + v) / (a.nrm * b.nrm), 6) AS cosine_r
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(a.emb, (x, i) -> x * b.emb[i])),
+              (acc, v) -> acc + v) / (a.nrm * b.nrm) >= 0.9
+      ORDER BY ia, ib
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q45, q46, q65, q76)
 }
