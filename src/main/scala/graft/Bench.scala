@@ -74,7 +74,11 @@ object Bench {
       }
     } while (degraded && reruns < 1)
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // sorted keys + 3-decimal values: halves the line so the driver's
+    // tail-capture can't truncate away early-serialized entries (round 4
+    // lost ~20 keys including the brand-new q72b number that way)
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val canaryJson = f"""{"before":$canaryBefore%.3f,"after":""" +
@@ -87,7 +91,17 @@ object Bench {
     // throughput alongside the batch timings.
     val (absaRate, vehicleRate) = streamingRates(spark)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate}"""
+    println(line)
+    // belt-and-braces: persist the full line to a stable file so the
+    // committed round artifact can always be reconstructed even if the
+    // stdout capture truncates
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 
