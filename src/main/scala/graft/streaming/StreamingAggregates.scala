@@ -12,7 +12,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * At scale these are the stateful operators that need RocksDB state store
   * + watermark-bounded retention (SURVEY §7.4); the semantics below are
-  * standard Spark event-time, so that swap is pure configuration.
+  * standard Spark event-time, so that swap is pure configuration —
+  * asserted, not assumed: RocksDbStateSpec runs the windowed agg and the
+  * watermarked dedup on RocksDBStateStoreProvider and checks both that
+  * the provider is active (rocksdb* progress metrics) and that
+  * watermark-expired state is evicted (numRowsTotal drops).
   */
 object StreamingAggregates {
 
