@@ -40,6 +40,13 @@ class StorageSpec extends SparkSpec {
           s"bucketed join must not re-shuffle its inputs:\n${plan.take(3000)}")
         assert(plan.contains("SelectedBucketsCount"),
           s"scan must be bucket-aware:\n${plan.take(3000)}")
+        // whole-plan exchange budget: the ONLY shuffle allowed is the
+        // final agg's re-key on o_orderpriority — neither fact table may
+        // move (the q04 shape at 100 TB rests on exactly this)
+        val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+        assert(exchanges <= 1,
+          s"expected at most the agg exchange, found $exchanges:\n" +
+            plan.take(3000))
         // correctness: same result as the plain parquet join
         val expected = Tables(spark, sf0001, "orders")
           .join(Tables(spark, sf0001, "lineitem"),
