@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   * happens in `mapPartitions` so decoder init is paid once per partition,
   * not per row — the JVM analog of the pandas-UDF batch pattern.
   *
-  * The actual image decode is a STUB (`StubImageDecoder`): this container
-  * has no image codec, so it derives deterministic fake dimensions /
+  * The default decode is a STUB (`StubImageDecoder`): this container has
+  * no image LIBRARY, so it derives deterministic fake dimensions /
   * channel stats from the payload bytes. The Spark-side plumbing — schema,
   * batch shape, partition-level lifecycle, feature output — is real and
-  * tested; a production codec implements [[ImageDecoder]] and slots in
-  * unchanged.
+  * tested, and the seam itself is PROVEN real: RealCodecSpec pushes two
+  * genuine pure-JVM codecs (a hand-rolled binary-PPM parser and the JDK's
+  * javax.imageio PNG reader) through [[ImageDecoder]] with zero engine
+  * changes. A production JPEG codec slots in the same way.
   */
 object Multimodal {
 
