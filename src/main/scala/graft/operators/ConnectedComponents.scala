@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.EagerCheckpoint
+
 /** Connected components over a pair list — the step a production dedup
   * pipeline needs AFTER near-dup pair mining (q42/q43/q44/q54): pairs
   * are not a dedup decision until transitively closed (A~B, B~C must
@@ -44,11 +46,11 @@ object ConnectedComponents {
       maxIter: Int = 20, pointerJump: Boolean = false): DataFrame = {
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
-      .localCheckpoint()
+      .eagerCheckpoint()
     var comp = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .eagerCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -73,7 +75,7 @@ object ConnectedComponents {
           .select(col("id").as("comp"), col("comp").as("jumped"))
         propagated.join(mapping, "comp")
           .select(col("id"), col("jumped").as("comp"), col("prev"))
-      }).localCheckpoint()
+      }).eagerCheckpoint()
       converged = next.filter(col("comp") =!= col("prev")).isEmpty
       comp = next.select(col("id"), col("comp"))
       iter += 1

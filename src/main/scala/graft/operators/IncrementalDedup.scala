@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import MinHashDedup._
+import graft.Checkpoints.EagerCheckpoint
 
 /** Incremental near-dup detection: dedupe a NEW batch of documents
   * against an already-indexed corpus without recomputing anything on the
@@ -59,8 +60,8 @@ object IncrementalDedup {
     */
   def writeIndex(corpusDocs: DataFrame, table: String, path: String,
       buckets: Int = 32, textCol: String = "text"): Unit = {
-    val sh = shingles(corpusDocs, textCol).localCheckpoint()
-    val sigTable = signatures(sh).localCheckpoint()
+    val sh = shingles(corpusDocs, textCol).eagerCheckpoint()
+    val sigTable = signatures(sh).eagerCheckpoint()
     writeTables(sh, sigTable, table, path, buckets, "overwrite")
   }
 
@@ -71,8 +72,8 @@ object IncrementalDedup {
     */
   def appendToIndex(newDocs: DataFrame, table: String, path: String,
       buckets: Int = 32, textCol: String = "text"): Unit = {
-    val sh = shingles(newDocs, textCol).localCheckpoint()
-    val sigTable = signatures(sh).localCheckpoint()
+    val sh = shingles(newDocs, textCol).eagerCheckpoint()
+    val sigTable = signatures(sh).eagerCheckpoint()
     writeTables(sh, sigTable, table, path, buckets, "append")
   }
 
@@ -149,10 +150,10 @@ object IncrementalDedup {
   private[operators] def probeStaged(batchDocs: DataFrame,
       corpusDocs: DataFrame, table: String, threshold: Double,
       textCol: String): (DataFrame, DataFrame, DataFrame) = {
-    val shB = shingles(batchDocs, textCol).localCheckpoint()
-    val sigTableB = signatures(shB).localCheckpoint()
+    val shB = shingles(batchDocs, textCol).eagerCheckpoint()
+    val sigTableB = signatures(shB).eagerCheckpoint()
     val cand = candidates(shB, sigTableB, table, threshold)
-      .localCheckpoint() // reused by the id-pushdown AND the verify
+      .eagerCheckpoint() // reused by the id-pushdown AND the verify
 
     val setsB = shB.groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("shset"))
@@ -257,11 +258,11 @@ object IncrementalDedup {
       (if (!keptHasData) deduped
       else deduped.join(
         spark.read.parquet(keptDir).select(col("doc_id")),
-        Seq("doc_id"), "left_anti")).localCheckpoint()
+        Seq("doc_id"), "left_anti")).eagerCheckpoint()
     val (kept, shKept, sigKept) =
       if (!indexUsable) {
-        val shF = shingles(fresh, textCol).localCheckpoint()
-        (fresh, shF, signatures(shF).localCheckpoint())
+        val shF = shingles(fresh, textCol).eagerCheckpoint()
+        (fresh, shF, signatures(shF).eagerCheckpoint())
       } else {
         val corpus = spark.read.parquet(keptDir)
         val (pairs, shF, sigTableF) =
@@ -270,7 +271,7 @@ object IncrementalDedup {
         // materialized: the survivor set feeds TWO writes below and must
         // not be recomputed differently between them
         val kept = fresh.join(dups, Seq("doc_id"), "left_anti")
-          .localCheckpoint()
+          .eagerCheckpoint()
         val keptIds = kept.select(col("doc_id"))
         // reuse the probe's materialized per-doc work for the index
         // append — no second shingle/signature computation

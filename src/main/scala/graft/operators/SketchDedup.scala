@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.EagerCheckpoint
 import graft.functions.MockScorers.normalize
 
 /** Approximate near-dup detection (north-star X15): MinHash + LSH banding
@@ -146,9 +147,10 @@ object MinHashDedup {
     * frames immediately), unlike a normal lazy DataFrame transform. The
     * returned frame is itself checkpointed (a materialized leaf).
     * localCheckpoint blocks are unrecoverable on executor loss and unsafe
-    * under dynamic allocation; on a long-lived cluster deployment prefer
-    * reliable `checkpoint()` (set a checkpoint dir) — the lineage-
-    * truncation benefit is identical, only the storage differs.
+    * under dynamic allocation; a long-lived cluster deployment switches
+    * to reliable `checkpoint()` with pure configuration — set
+    * [[graft.Checkpoints.ReliableKey]]=true plus a checkpoint dir — the
+    * lineage-truncation benefit is identical, only the storage differs.
     */
   def nearDuplicates(docs: DataFrame, threshold: Double,
       textCol: String = "text"): DataFrame = {
@@ -159,8 +161,8 @@ object MinHashDedup {
     // truncates lineage to a leaf; blocks are freed by the ContextCleaner
     // once the frames go out of scope (the returned result is itself
     // checkpointed, so it holds no reference to them).
-    val sh = shingles(docs, textCol).localCheckpoint()
-    val sigTable = signatures(sh).localCheckpoint()
+    val sh = shingles(docs, textCol).eagerCheckpoint()
+    val sigTable = signatures(sh).eagerCheckpoint()
     // int signatures (hashes < 2^31) keep the per-doc footprint small
     // (~150 B); the explicit broadcast hint is size-GATED, because a hint
     // is honored regardless of size — at billions of docs it would OOM
@@ -193,7 +195,7 @@ object MinHashDedup {
     // Materialize the (small) pair result eagerly so the returned frame
     // is a leaf: callers re-evaluating it never recompute the pipeline,
     // and the intermediate checkpoint blocks become collectable.
-    verified.localCheckpoint()
+    verified.eagerCheckpoint()
   }
 }
 
