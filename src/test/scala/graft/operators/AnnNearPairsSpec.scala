@@ -90,6 +90,23 @@ class AnnNearPairsSpec extends SparkSpec {
     }
   }
 
+  test("nearPairs broadcasts NOTHING (both sides are the corpus)") {
+    // the scaladoc claim, asserted: unlike topK there is no bounded
+    // query side, so no join may carry a broadcast hint — the bucket
+    // self-join and the verify joins must all be free to shuffle
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.classic.{Dataset => ClassicDataset}
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val optimized = AnnLsh.nearPairs(emb, 0.8)
+      .asInstanceOf[ClassicDataset[_]].queryExecution.optimizedPlan
+    val hinted = optimized.collect {
+      case j: Join if j.hint.leftHint.exists(_.strategy.isDefined) ||
+        j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    assert(hinted.isEmpty,
+      s"nearPairs must not hint any broadcast:\n${hinted.mkString("\n").take(1500)}")
+  }
+
   test("planted half-scaled duplicates are always recalled (q76 shape)") {
     // scaling by 0.5 flips no projection sign, so a duplicate lands in
     // the SAME bucket in every table — candidate generation cannot miss

@@ -159,15 +159,21 @@ class PlanSpec extends SparkSpec {
     // LSH localCheckpoint, index build) are covered by their own gated
     // plan asserts instead.
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
-    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, In, InSet}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val scaling = Set("customer", "supplier", "part", "orders", "lineitem",
       "events", "documents", "embeddings")
+    // every family whose GraftQuery.build is lazy (no jobs at plan time);
+    // the eager ones (CC fixpoint, LSH localCheckpoint, index build:
+    // q68/q71/q43/q44 and the Sketch family) carry their own gated plan
+    // asserts instead
     val lazyFamilies: Seq[GraftQuery] =
       RelationalQueries.all ++ PipelineQueries.all ++ AdvancedQueries.all ++
         SessionQueries.all ++ ArrayAggQueries.all ++ TextQueries.all ++
-        ReconQueries.all ++ TrainPrepQueries.all ++ SqlSurfaceQueries.all
-    assert(lazyFamilies.size >= 50, "sweep lost a query family")
+        ReconQueries.all ++ TrainPrepQueries.all ++ SqlSurfaceQueries.all ++
+        SimilarityQueries.all ++
+        Seq(DedupQueries.q40, DedupQueries.q41, DedupQueries.q42)
+    assert(lazyFamilies.size >= 55, "sweep lost a query family")
     lazyFamilies.foreach { q =>
       val optimized = q.build(spark, sf0001).asInstanceOf[ClassicDataset[_]]
         .queryExecution.optimizedPlan
@@ -186,9 +192,16 @@ class PlanSpec extends SparkSpec {
           }
           case _ => Nil
         }
+        // a broadcast side over a scaling table is acceptable ONLY when
+        // a filter bounds its cardinality independently of SF: an
+        // In/InSet key list (the ann-lsh query-id pattern) or a constant
+        // comparison on an id column (q45's vec_id < 10 query set)
         val bounded = side.collectFirst {
           case f: Filter if f.condition.exists {
             case _: In | _: InSet => true
+            case c: BinaryComparison
+                if c.references.exists(_.name.endsWith("id")) &&
+                  (c.left.foldable || c.right.foldable) => true
             case _ => false
           } => f
         }.isDefined
