@@ -160,5 +160,42 @@ object TrainPrepQueries {
       ORDER BY o_orderkey
     """))
 
-  val all: Seq[GraftQuery] = Seq(q62, q63, q73)
+  /** Eval-set decontamination ([[Decontaminate.flagged]]): training docs
+    * sharing ≥1 distinct 8-gram with the held-out split. The eval split
+    * is doc_id % 7 = 0 — a deterministic stand-in for a benchmark set
+    * that both engines compute identically. Exact-count oracle: the
+    * collision join and countDistinct are set-exact, no approximation
+    * anywhere.
+    */
+  val q77 = GraftQuery(
+    "q77_decontamination",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Decontaminate.flagged(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        n = 8)
+    },
+    Some(s"""
+      WITH src AS (
+        SELECT doc_id, ${normalizeSql("text")} AS t FROM documents),
+      docs AS (
+        SELECT doc_id, string_split(t, ' ') AS words FROM src),
+      expanded AS (
+        SELECT doc_id, words,
+               unnest(generate_series(1, len(words) - 7)) AS i
+        FROM docs WHERE len(words) >= 8),
+      grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(words[i:i+7], ' ') AS gram
+        FROM expanded),
+      tg AS (SELECT doc_id, gram FROM grams WHERE doc_id % 7 <> 0),
+      eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0)
+      SELECT tg.doc_id, COUNT(*) AS n_hits
+      FROM tg JOIN eg USING (gram)
+      GROUP BY tg.doc_id
+      ORDER BY doc_id
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q62, q63, q73, q77)
 }
