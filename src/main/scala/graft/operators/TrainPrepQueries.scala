@@ -197,5 +197,34 @@ object TrainPrepQueries {
       ORDER BY doc_id
     """))
 
-  val all: Seq[GraftQuery] = Seq(q62, q63, q73, q77)
+  /** Sequence packing ([[SequencePacking.packs]]): 4096-token stream
+    * chunks per language shard. Window sum is per-shard (no global
+    * ordering), integer arithmetic throughout — exact in both engines.
+    */
+  val q78 = GraftQuery(
+    "q78_sequence_packing",
+    (s, d) => SequencePacking.packs(
+      t(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
+      budget = 4096),
+    Some(s"""
+      WITH toks AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(${normalizeSql("text")}, ' ')) AS BIGINT)
+                 AS tokens
+        FROM documents),
+      offs AS (
+        SELECT lang, doc_id, tokens,
+               SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - tokens
+                 AS start_offset
+        FROM toks)
+      SELECT lang, CAST(start_offset // 4096 AS BIGINT) AS pack_id,
+             COUNT(*) AS n_docs,
+             CAST(SUM(tokens) AS BIGINT) AS pack_tokens
+      FROM offs
+      GROUP BY 1, 2
+      ORDER BY lang, pack_id
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q62, q63, q73, q77, q78)
 }
