@@ -311,5 +311,26 @@ object TextQueries {
     """
     })
 
-  val all: Seq[GraftQuery] = Seq(q47, q48, q49, q50, q51, q69, q70)
+  /** Compressibility signal ([[Compressibility]]): per-doc deflate ratio
+    * stats per language. No SQL oracle (DuckDB has no zlib); rows-only
+    * check here, invariants in CompressibilitySpec.
+    */
+  val q79 = GraftQuery(
+    "q79_compressibility",
+    (s, d) =>
+      Compressibility.withRatio(
+        t(s, d, "documents").select(col("doc_id"), col("lang"), col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          // decimal sum of already-rounded ratios: partition-order
+          // independent, like q46's avg
+          round(sum(col("ratio")
+            .cast(org.apache.spark.sql.types.DecimalType(20, 4)))
+            .cast("double") / count(lit(1)), 4).as("avg_ratio"),
+          round(min(col("ratio")), 4).as("min_ratio"),
+          round(max(col("ratio")), 4).as("max_ratio"))
+        .orderBy(col("lang")),
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q47, q48, q49, q50, q51, q69, q70, q79)
 }
