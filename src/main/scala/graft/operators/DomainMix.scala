@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.MockScorers.normalize
+
+/** Domain mixture rebalancing — deciding how much of each source
+  * (web crawl, books, code, …) goes into a token budget, then sampling
+  * to those rates. The mixture TABLE is the artifact a training run
+  * records; the sampler materializes it.
+  *
+  * Scale shape: the plan is one aggregation over (source) — token
+  * counts reuse q49's whitespace definition — producing a frame with
+  * one row per source (dozens, not millions), so the sampler's
+  * rate-join broadcasts trivially and the keep-decision is a
+  * deterministic per-row hash threshold: no shuffle beyond the one
+  * mixture aggregation, and re-running yields the same sample
+  * (retry-stable, like q30/q73 — never `rand()`).
+  */
+object DomainMix {
+
+  /** Per-source corpus mass: (source, n_docs, tok_mass). */
+  def mixture(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(col("source"),
+        size(split(normalize(col(textCol)), " ")).cast("long").as("tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tok_mass"))
+
+  /** Sampling plan for EQUAL shares of `tokenBudget` across sources:
+    * rate_s = min(1, (budget / n_sources) / tok_mass_s). Oversubscribed
+    * sources downsample; undersized ones keep everything (their deficit
+    * is a data-acquisition problem, not a sampling one).
+    */
+  def planEqualShares(docs: DataFrame, tokenBudget: Long,
+      textCol: String = "text"): DataFrame = {
+    val mix = mixture(docs, textCol)
+    // unpartitioned window is safe HERE: it runs over the post-agg
+    // mixture frame (one row per source — dozens), never the corpus,
+    // and reuses the single corpus aggregation
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    mix
+      .withColumn("rate", round(least(lit(1.0),
+        lit(tokenBudget.toDouble) / count(lit(1)).over(w) /
+          col("tok_mass")), 6))
+      .select(col("source"), col("n_docs"), col("tok_mass"), col("rate"))
+      .orderBy(col("source"))
+  }
+
+  /** Deterministic rate-sampling against a (source, rate) plan: keep a
+    * doc iff hash(doc_id) mod 1e6 < rate·1e6 — the same retry-stable
+    * discipline as q30 (a nondeterministic `rand()` here would resample
+    * under fetch-failure recomputation and corrupt the mixture).
+    */
+  def sample(docs: DataFrame, plan: DataFrame): DataFrame =
+    docs.join(plan.select(col("source"), col("rate")), "source")
+      .filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) <
+        (col("rate") * 1000000L).cast("long"))
+      .drop("rate")
+}

@@ -226,5 +226,34 @@ object TrainPrepQueries {
       ORDER BY lang, pack_id
     """))
 
-  val all: Seq[GraftQuery] = Seq(q62, q63, q73, q77, q78)
+  /** Domain mixture plan ([[DomainMix.planEqualShares]]): per-source
+    * token mass and the sampling rate that fits each source into an
+    * equal share of a fixed 10k-token budget (fixed ON PURPOSE: the
+    * budget is a training decision, so rates shrink as the corpus
+    * grows). Pure integer/decimal arithmetic — exact oracle.
+    */
+  val q80 = GraftQuery(
+    "q80_domain_mix",
+    (s, d) => DomainMix.planEqualShares(
+      t(s, d, "documents").select(col("doc_id"), col("source"), col("text")),
+      tokenBudget = 10000),
+    Some(s"""
+      WITH toks AS (
+        SELECT source,
+               CAST(len(string_split(${normalizeSql("text")}, ' ')) AS BIGINT)
+                 AS tokens
+        FROM documents),
+      mix AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(tokens) AS BIGINT) AS tok_mass
+        FROM toks GROUP BY 1)
+      SELECT source, n_docs, tok_mass,
+             round(least(1.0,
+               CAST(10000 AS DOUBLE) / (SELECT COUNT(*) FROM mix)
+                 / tok_mass), 6) AS rate
+      FROM mix
+      ORDER BY source
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q62, q63, q73, q77, q78, q80)
 }
