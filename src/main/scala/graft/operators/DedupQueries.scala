@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Q._
-import graft.functions.MockScorers.normalizeSql
+import graft.functions.MockScorers.{normalize, normalizeSql}
 
 /** Deduplication operators (north-star X6/X15): exact content dedup,
   * deterministic keep-first keyed dedup, and n-gram Jaccard near-dup.
@@ -243,5 +243,76 @@ object DedupQueries {
       ORDER BY batch_doc, corpus_doc
     """))
 
-  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q68, q71)
+  /** Keep-BEST dedup canonicalization: q68 closes near-dup pairs into
+    * clusters and keeps the minimum doc_id; a production pipeline keeps
+    * the highest-QUALITY member instead (drop the boilerplate copy, keep
+    * the clean one). This query is that decision: clusters from the same
+    * closure, survivor = max quality (q48's formula via
+    * [[TextFeatures.quality]]), ties broken by lowest doc_id.
+    *
+    * Scale: the quality join touches only CLUSTERED docs (inner join
+    * comp ⋈ documents before any feature regex runs), and the per-cluster
+    * argmax is a window over cluster_size rows — both ∝ duplicates found,
+    * not corpus size. Text never shuffles: the join moves (doc_id,
+    * quality) pairs.
+    */
+  val q81 = GraftQuery(
+    "q81_dedup_keep_best",
+    (s, d) => {
+      val comp = ConnectedComponents.labels(jaccardPairs(s, d))
+      val scored = t(s, d, "documents")
+        .join(comp, col("doc_id") === col("id"))
+        .withColumn("norm", normalize(col("text")))
+        .withColumn("n_words", size(split(col("norm"), " ")))
+        .withColumn("punct_ratio",
+          round(regexp_count(col("text"), lit("[^a-zA-Z0-9 ]"))
+            .cast("double") / length(col("text")), 4))
+        .withColumn("quality",
+          TextFeatures.quality(col("n_words"), col("punct_ratio")))
+        .select(col("doc_id"), col("comp"), col("quality"))
+      val sized = scored.groupBy(col("comp"))
+        .agg(count(lit(1)).as("cluster_size"))
+      val w = Window.partitionBy(col("comp"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .join(sized, "comp")
+        .select(col("doc_id"), col("comp").as("cluster_id"),
+          col("cluster_size"), col("quality"),
+          (col("rn") === 1).as("is_kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $jaccardPairsSql,
+      nodes AS (
+        SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
+      comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY 1),
+      scored AS (
+        SELECT d.doc_id, c.comp,
+               ${TextFeatures.qualitySql(
+                 s"len(string_split(${normalizeSql("d.text")}, ' '))",
+                 "round(CAST(len(regexp_extract_all(d.text, '[^a-zA-Z0-9 ]')) AS DOUBLE) / length(d.text), 4)")}
+                 AS quality
+        FROM documents d JOIN comp c ON d.doc_id = c.id),
+      sized AS (SELECT comp, COUNT(*) AS cluster_size FROM scored GROUP BY 1),
+      ranked AS (
+        SELECT doc_id, comp, quality,
+               ROW_NUMBER() OVER (PARTITION BY comp
+                                  ORDER BY quality DESC, doc_id) AS rn
+        FROM scored)
+      SELECT r.doc_id, r.comp AS cluster_id, s.cluster_size, r.quality,
+             r.rn = 1 AS is_kept
+      FROM ranked r JOIN sized s USING (comp)
+      ORDER BY doc_id
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q68, q71, q81)
 }
