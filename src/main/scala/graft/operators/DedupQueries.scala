@@ -314,5 +314,40 @@ object DedupQueries {
       ORDER BY doc_id
     """))
 
-  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q68, q71, q81)
+  /** Span-level dedup stats ([[SpanDedup.dupBlockStats]]): verbatim
+    * 20-word runs repeated corpus-wide, per doc — the sub-document
+    * granularity whole-doc dedup can't see. Integer-exact oracle; the
+    * md5 digests make the Spark and DuckDB block identities trivially
+    * identical.
+    */
+  val q82 = GraftQuery(
+    "q82_span_dedup",
+    (s, d) => SpanDedup.dupBlockStats(
+      t(s, d, "documents").select(col("doc_id"), col("text")),
+      blockWords = 20),
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(${normalizeSql("text")}, ' ') AS words
+        FROM documents),
+      expanded AS (
+        SELECT doc_id, words,
+               unnest(generate_series(0,
+                 CAST(len(words) // 20 AS INTEGER) - 1)) AS bi
+        FROM docs WHERE len(words) >= 20),
+      inst AS (
+        SELECT doc_id,
+               md5(array_to_string(words[bi*20+1 : bi*20+20], ' ')) AS bh
+        FROM expanded),
+      occ AS (SELECT bh, COUNT(*) AS n_occ FROM inst GROUP BY 1)
+      SELECT doc_id, COUNT(*) AS n_blocks,
+             CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_blocks,
+             CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) * 20 AS BIGINT)
+               AS dup_tokens
+      FROM inst JOIN occ USING (bh)
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q68, q71, q81, q82)
 }
