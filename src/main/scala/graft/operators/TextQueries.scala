@@ -332,5 +332,39 @@ object TextQueries {
         .orderBy(col("lang")),
     None)
 
-  val all: Seq[GraftQuery] = Seq(q47, q48, q49, q50, q51, q69, q70, q79)
+  /** Bigram-LM quality stats ([[BigramLm.scores]]): per-doc corpus-
+    * frequency mass and hapax-instance counts — the integer-exact face
+    * of LM-perplexity filtering. Oracle mirrors the three-stage
+    * (doc,bigram)→model→join plan with plain CTEs.
+    */
+  val q83 = GraftQuery(
+    "q83_bigram_lm_score",
+    (s, d) => BigramLm.scores(
+      t(s, d, "documents").select(col("doc_id"), col("text"))),
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(${normalizeSql("text")}, ' ') AS words
+        FROM documents),
+      inst AS (
+        SELECT doc_id,
+               words[i] || ' ' || words[i + 1] AS bigram
+        FROM (SELECT doc_id, words,
+                     unnest(generate_series(1, len(words) - 1)) AS i
+              FROM docs WHERE len(words) >= 2)),
+      by_doc AS (
+        SELECT doc_id, bigram, COUNT(*) AS k FROM inst GROUP BY 1, 2),
+      model AS (
+        SELECT bigram, SUM(k) AS n_occ FROM by_doc GROUP BY 1)
+      SELECT doc_id,
+             CAST(SUM(k) AS BIGINT) AS n_bigrams,
+             CAST(SUM(k * n_occ) AS BIGINT) AS sum_freq,
+             CAST(SUM(CASE WHEN n_occ = 1 THEN k ELSE 0 END) AS BIGINT)
+               AS n_unique
+      FROM by_doc JOIN model USING (bigram)
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """))
+
+  val all: Seq[GraftQuery] =
+    Seq(q47, q48, q49, q50, q51, q69, q70, q79, q83)
 }

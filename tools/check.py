@@ -29,6 +29,14 @@ def main(out_dir: str, sf_dir: str) -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # --only-present: skip queries Verify didn't dump (SPARK_GRAFT_ONLY
+    # subset runs) instead of flagging them — local iteration aid only;
+    # the driver always dumps the full set.
+    only_present = "--only-present" in sys.argv
+    if only_present:
+        import os
+        oracle = {n: s for n, s in oracle.items()
+                  if os.path.isdir(f"{out_dir}/{n}")}
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
