@@ -255,5 +255,29 @@ object TrainPrepQueries {
       ORDER BY source
     """))
 
-  val all: Seq[GraftQuery] = Seq(q62, q63, q73, q77, q78, q80)
+  /** Training-shard plan ([[Sharding.shardStats]]): deterministic
+    * LCG shard assignment over 8 shards with per-shard doc/token/span
+    * stats — the balance audit before [[Sharding.writeShards]] commits
+    * the layout. Pure integer arithmetic, exact oracle.
+    */
+  val q84 = GraftQuery(
+    "q84_shard_plan",
+    (s, d) => Sharding.shardStats(
+      t(s, d, "documents").select(col("doc_id"), col("text")), nShards = 8),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id,
+               ((doc_id * 1103515245 + 12345) % 1000000007) % 8 AS shard,
+               CAST(len(string_split(${normalizeSql("text")}, ' ')) AS BIGINT)
+                 AS tokens
+        FROM documents)
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(SUM(tokens) AS BIGINT) AS tok_mass,
+             MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      FROM toks
+      GROUP BY 1
+      ORDER BY shard
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q62, q63, q73, q77, q78, q80, q84)
 }
