@@ -133,5 +133,34 @@ object SketchQueries {
     },
     None)
 
-  val all: Seq[GraftQuery] = Seq(q43, q44, q52, q53, q55, q72a, q72b, q75)
+  /** Bloom span pre-filter ([[BloomDedup]]): corpus 20-word-block
+    * fingerprints sketched at 1% FPP, batch blocks probed inside
+    * codegen, per-doc maybe-dup counts. The "definitely new" fast path
+    * in front of q72's exact probe. Rows-only; no-false-negative and
+    * FPR bounds in BloomDedupSpec.
+    */
+  val q85 = GraftQuery(
+    "q85_bloom_prefilter", {
+      import org.apache.spark.sql.functions._
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val corpus = SpanDedup.blocks(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), blockWords = 20)
+          .select(xxhash64(col("block")).as("fp"))
+        val bloom = BloomDedup.build(corpus, "fp",
+          expectedItems = corpus.count(), fpp = 0.01)
+        SpanDedup.blocks(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0), blockWords = 20)
+          .withColumn("hit",
+            BloomDedup.mightContain(bloom, xxhash64(col("block"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(when(col("hit"), 1L).otherwise(0L)).as("n_maybe_dup"))
+          .orderBy(col("doc_id"))
+      }
+    },
+    None)
+
+  val all: Seq[GraftQuery] =
+    Seq(q43, q44, q52, q53, q55, q72a, q72b, q75, q85)
 }

@@ -37,8 +37,14 @@ object SpanDedup {
     * least one full block, ordered by doc_id. `dup_tokens` =
     * blockWords × n_dup_blocks — the token mass a span-cut would remove.
     */
-  def dupBlockStats(docs: DataFrame, blockWords: Int): DataFrame = {
-    val inst = docs
+  /** Raw block instances over `docs(doc_id, text)`: one row per
+    * consecutive non-overlapping `blockWords`-word block, as
+    * (doc_id, block text). The shared kernel of [[dupBlockStats]] and
+    * the bloom pre-filter ([[BloomDedup]]) — one block definition, so
+    * the exact and sketched paths cannot drift.
+    */
+  def blocks(docs: DataFrame, blockWords: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(normalize(col("text")), " ").as("words"))
       .filter(size(col("words")) >= blockWords)
       .select(col("doc_id"),
@@ -46,9 +52,13 @@ object SpanDedup {
           floor(size(col("words")) / blockWords).cast("int") - 1)).as("bi"),
         col("words"))
       .select(col("doc_id"),
-        md5(concat_ws(" ",
-          slice(col("words"), col("bi") * blockWords + 1, lit(blockWords))))
-          .as("bh"))
+        concat_ws(" ",
+          slice(col("words"), col("bi") * blockWords + 1, lit(blockWords)))
+          .as("block"))
+
+  def dupBlockStats(docs: DataFrame, blockWords: Int): DataFrame = {
+    val inst = blocks(docs, blockWords)
+      .select(col("doc_id"), md5(col("block")).as("bh"))
     val occ = inst.groupBy(col("bh")).agg(count(lit(1)).as("n_occ"))
     inst.join(occ, "bh")
       .groupBy(col("doc_id"))
