@@ -365,6 +365,51 @@ object TextQueries {
       ORDER BY doc_id
     """))
 
+  /** BPE first-merge pair counts — the kernel of tokenizer training at
+    * corpus scale: adjacent character-pair frequencies weighted by word
+    * frequency, top 50. The scale trick is the order of operations:
+    * aggregate the corpus to its VOCABULARY first (one token shuffle —
+    * unavoidable, it IS the vocab build), then explode pairs over
+    * distinct words only, so the pair stage costs vocab-size × avg word
+    * length regardless of corpus size. Top-50 with a total tiebreak
+    * (count desc, pair asc) compiles to TakeOrderedAndProject —
+    * per-partition heaps, no global sort. A real BPE trainer iterates
+    * this step on merged symbols; each iteration is this same
+    * vocab-sized job, never a corpus rescan.
+    */
+  val q86 = GraftQuery(
+    "q86_bpe_pair_counts",
+    (s, d) => {
+      val vocab = t(s, d, "documents")
+        .select(explode(split(normalize(col("text")), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      vocab
+        .select(col("w"), col("wc"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(expr("substr(w, i, 2)").as("pair"), col("wc"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(50)
+    },
+    Some(s"""
+      WITH vocab AS (
+        SELECT w, COUNT(*) AS wc
+        FROM (SELECT unnest(string_split(${normalizeSql("text")}, ' ')) AS w
+              FROM documents)
+        WHERE length(w) >= 2
+        GROUP BY 1),
+      pairs AS (
+        SELECT substr(w, i, 2) AS pair, wc
+        FROM (SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i
+              FROM vocab))
+      SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+      FROM pairs
+      GROUP BY 1
+      ORDER BY n DESC, pair
+      LIMIT 50
+    """))
+
   val all: Seq[GraftQuery] =
-    Seq(q47, q48, q49, q50, q51, q69, q70, q79, q83)
+    Seq(q47, q48, q49, q50, q51, q69, q70, q79, q83, q86)
 }
