@@ -305,4 +305,23 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q82/q83: documents scan reads only doc_id and text") {
+    Seq(DedupQueries.q82, TextQueries.q83).foreach { q =>
+      val readSchema = planOf(q.build(spark, sf0001)).linesIterator
+        .find(_.contains("ReadSchema")).getOrElse("")
+      Seq("doc_id", "text").foreach(c =>
+        assert(readSchema.contains(c), s"${q.name}: $c missing: $readSchema"))
+      Seq("lang", "source", "n_chars").foreach(c =>
+        assert(!readSchema.contains(c), s"${q.name}: $c not pruned: $readSchema"))
+    }
+  }
+
+  test("q85: the bloom gate is joinless — a codegen'd might_contain probe") {
+    val plan = planOf(SketchQueries.q85.build(spark, sf0001))
+    assert(plan.contains("might_contain"),
+      s"bloom probe missing from plan:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"),
+      s"the pre-filter must not introduce any join:\n${plan.take(2000)}")
+  }
 }
