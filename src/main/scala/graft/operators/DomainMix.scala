@@ -60,4 +60,30 @@ object DomainMix {
       .filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) <
         (col("rate") * 1000000L).cast("long"))
       .drop("rate")
+
+  /** Oracle-mirrorable variant of plan+sample in one integer-threshold
+    * step, for compositions that need a cross-engine-exact keep
+    * decision (q87). The per-source threshold is
+    * `min(1e6, floor(1e6 · budget / n_sources / tok_mass))` — kept in
+    * INTEGER space end to end (a float `rate` would truncate in Spark's
+    * long cast but round in DuckDB's, an off-by-one on the keep
+    * boundary) — and the uniform is the mirrorable LCG shared with
+    * q30/q63/q84, not xxhash64 (which DuckDB lacks). Same scale shape
+    * as [[sample]]: one tiny-plan broadcast join, per-row filter.
+    */
+  def sampleThresholds(docs: DataFrame, tokenBudget: Long,
+      textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val plan = mixture(docs, textCol)
+      .withColumn("keep_thresh", least(lit(1000000L),
+        floor(lit(1000000.0) * tokenBudget / count(lit(1)).over(w) /
+          col("tok_mass"))))
+      .select(col("source"), col("keep_thresh"))
+    docs.join(plan, "source")
+      .filter(pmod(col("doc_id") * 1103515245L + 12345L, lit(1000000L)) <
+        col("keep_thresh"))
+      .drop("keep_thresh")
+  }
 }

@@ -62,4 +62,16 @@ private[operators] object TextFeatures {
   /** DuckDB mirror of [[quality]]. */
   def qualitySql(nWordsExpr: String, punctExpr: String): String =
     s"round(least(1.0, CAST($nWordsExpr AS DOUBLE) / 50) * (1.0 - $punctExpr), 4)"
+
+  /** DuckDB mirror of
+    * [[graft.functions.expressions.WordFingerprint]] over a normalized
+    * text expression — shared by q62 and the q87 funnel so the two
+    * oracles cannot drift from each other (or from the expression).
+    */
+  def fingerprintSql(normExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split($normExpr, ' '),
+                   w -> CAST(length(w) * 17 + ascii(w) * 31
+                             + ascii(reverse(w)) AS BIGINT))),
+                 (acc, v) -> (acc * 31 + v) % 1000000007)"""
 }

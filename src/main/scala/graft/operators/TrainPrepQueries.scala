@@ -70,11 +70,7 @@ object TrainPrepQueries {
                CAST(len(string_split(norm, ' ')) AS INTEGER) AS n_words,
                round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
                      / length(text), 4) AS punct_ratio,
-               list_reduce(list_prepend(CAST(0 AS BIGINT),
-                 list_transform(string_split(norm, ' '),
-                   w -> CAST(length(w) * 17 + ascii(w) * 31
-                             + ascii(reverse(w)) AS BIGINT))),
-                 (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
+               ${TextFeatures.fingerprintSql("norm")} AS fingerprint
         FROM scored),
       gated AS (
         SELECT *,
@@ -279,5 +275,123 @@ object TrainPrepQueries {
       ORDER BY shard
     """))
 
-  val all: Seq[GraftQuery] = Seq(q62, q63, q73, q77, q78, q80, q84)
+  /** The END-TO-END curation funnel — every large-scale pipeline's
+    * nightly job, composed from the already-oracled stages so the
+    * COMPOSITION itself gets a hash-exact check: quality gate (q48's
+    * formula) → exact dedup keep-lowest (q62's fingerprint) →
+    * eval-set decontamination (q77's 8-gram collision) → domain-mix
+    * downsampling to a token budget (q80's mixture, integer-threshold
+    * keep) → shard-plan audit (q84's LCG layout). Output is the final
+    * per-shard balance table a trainer signs off on.
+    *
+    * Shuffle inventory at 100 TB, stage by stage: the quality gate is
+    * a pure filter riding the scan; dedup shuffles (fingerprint,
+    * doc_id) pairs only, then survivor ids join back against the
+    * corpus — on a doc_id-bucketed warehouse table ([[graft.sources.Warehouse]])
+    * the corpus side of that join is exchange-free; decontamination
+    * streams exploded survivor grams through a broadcast-hash join
+    * against the fixed-size eval gram set (no hint — AQE picks it, the
+    * q03/q04 lesson); the mixture plan is one per-source aggregation
+    * producing a dozens-row frame whose rate join broadcasts
+    * trivially; the keep decision and shard id are per-row integer
+    * arithmetic. Text is never shuffled anywhere: every exchange moves
+    * ids, fingerprints, or grams. Survivors feed three consumers
+    * (grams, mixture, sample) — a production run materializes the
+    * survivor id set once (it recomputes deterministically here, so
+    * correctness is unaffected; only local runtime pays the rescans).
+    */
+  val q87 = GraftQuery(
+    "q87_curation_funnel",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val evalSet = docs.filter(col("doc_id") % 7 === 0)
+      val feats = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"), col("source"),
+          normalize(col("text")).as("norm"))
+        .withColumn("n_words", size(split(col("norm"), " ")))
+        .withColumn("punct_ratio",
+          round(regexp_count(col("text"), lit("[^a-zA-Z0-9 ]"))
+            .cast("double") / length(col("text")), 4))
+        .withColumn("quality",
+          TextFeatures.quality(col("n_words"), col("punct_ratio")))
+        .withColumn("fingerprint", graft.functions.expressions
+          .WordFingerprint(split(col("norm"), " ")))
+      val gated = feats.filter(col("quality") >= 0.3)
+      val survivorIds = gated.groupBy(col("fingerprint"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val survivors = gated.join(survivorIds, "doc_id")
+      val flaggedIds = Decontaminate
+        .flagged(survivors.select(col("doc_id"), col("text")), evalSet, n = 8)
+        .select(col("doc_id"))
+      val clean = survivors.join(flaggedIds, Seq("doc_id"), "left_anti")
+      val sampled = DomainMix.sampleThresholds(
+        clean.select(col("doc_id"), col("source"), col("text")),
+        tokenBudget = 5000)
+      Sharding.shardStats(
+        sampled.select(col("doc_id"), col("text")), nShards = 4)
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, text, source, ${normalizeSql("text")} AS norm
+        FROM documents WHERE doc_id % 7 <> 0),
+      feats AS (
+        SELECT doc_id, text, source, norm,
+               CAST(len(string_split(norm, ' ')) AS INTEGER) AS n_words,
+               round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+                     / length(text), 4) AS punct_ratio,
+               ${TextFeatures.fingerprintSql("norm")} AS fingerprint
+        FROM base),
+      gated AS (
+        SELECT * FROM (
+          SELECT *,
+                 ${TextFeatures.qualitySql("n_words", "punct_ratio")} AS quality
+          FROM feats)
+        WHERE quality >= 0.3),
+      survivor_ids AS (
+        SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY fingerprint),
+      survivors AS (
+        SELECT g.* FROM gated g JOIN survivor_ids USING (doc_id)),
+      eval_words AS (
+        SELECT doc_id, string_split(${normalizeSql("text")}, ' ') AS words
+        FROM documents WHERE doc_id % 7 = 0),
+      eg AS (
+        SELECT DISTINCT array_to_string(words[i:i+7], ' ') AS gram
+        FROM (SELECT words, unnest(generate_series(1, len(words) - 7)) AS i
+              FROM eval_words WHERE len(words) >= 8)),
+      surv_words AS (
+        SELECT doc_id, string_split(norm, ' ') AS words FROM survivors),
+      tg AS (
+        SELECT DISTINCT doc_id, array_to_string(words[i:i+7], ' ') AS gram
+        FROM (SELECT doc_id, words,
+                     unnest(generate_series(1, len(words) - 7)) AS i
+              FROM surv_words WHERE len(words) >= 8)),
+      flagged AS (
+        SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (gram)),
+      clean AS (
+        SELECT s.* FROM survivors s
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM flagged)),
+      mix AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(n_words AS BIGINT)) AS BIGINT) AS tok_mass
+        FROM clean GROUP BY 1),
+      rates AS (
+        SELECT source,
+               least(1000000, CAST(floor(1000000.0 * 5000
+                 / (SELECT COUNT(*) FROM mix) / tok_mass) AS BIGINT))
+                 AS keep_thresh
+        FROM mix),
+      sampled AS (
+        SELECT c.doc_id, c.n_words FROM clean c JOIN rates USING (source)
+        WHERE (c.doc_id * 1103515245 + 12345) % 1000000 < keep_thresh)
+      SELECT ((doc_id * 1103515245 + 12345) % 1000000007) % 4 AS shard,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CAST(n_words AS BIGINT)) AS BIGINT) AS tok_mass,
+             MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      FROM sampled
+      GROUP BY 1
+      ORDER BY shard
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q62, q63, q73, q77, q78, q80, q84, q87)
 }

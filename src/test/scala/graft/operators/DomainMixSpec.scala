@@ -43,4 +43,37 @@ class DomainMixSpec extends SparkSpec {
     assert(DomainMix.sample(docs, plan).columns.toSet ===
       Set("doc_id", "source", "text"))
   }
+
+  test("integer-threshold sampling: rate-1 source keeps all, retry-stable") {
+    val docs = (1L to 2000L).map { i =>
+      (i, if (i % 2 == 0) "web" else "books", words(if (i % 2 == 0) 40 else 1))
+    }.toDF("doc_id", "source", "text")
+    // budget 20000, 2 sources → 10000 tokens/source. books mass 1000
+    // (under budget → thresh 1e6, keeps all); web mass 40000 → thresh
+    // floor(1e6 · 10000/40000) = 250000 → ~25% of docs.
+    val a = DomainMix.sampleThresholds(docs, tokenBudget = 20000)
+      .select("doc_id").as[Long].collect().toSet
+    val b = DomainMix.sampleThresholds(docs, tokenBudget = 20000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b, "threshold sampling must be retry-stable")
+    val kept = docs.filter($"doc_id".isin(a.toSeq: _*))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("books") === 1000L, "under-budget source must keep every doc")
+    assert(kept("web") > 150 && kept("web") < 350,
+      s"web keep-count far off the 0.25 rate: ${kept("web")}")
+    assert(DomainMix.sampleThresholds(docs, 20000).columns.toSet ===
+      Set("doc_id", "source", "text"))
+  }
+
+  test("curation funnel (q87) is deterministic and ends inside the corpus") {
+    val d = "/root/testdata/sf0.001"
+    val run1 = TrainPrepQueries.q87.build(spark, d).collect().toSeq
+    val run2 = TrainPrepQueries.q87.build(spark, d).collect().toSeq
+    assert(run1 === run2, "funnel must be rerun-stable end to end")
+    assert(run1.nonEmpty, "funnel must survive to the shard audit")
+    val totalDocs = run1.map(_.getLong(1)).sum
+    val corpus = graft.sources.Tables(spark, d, "documents").count()
+    assert(totalDocs > 0 && totalDocs < corpus,
+      s"funnel output $totalDocs must be a strict subset of $corpus docs")
+  }
 }
