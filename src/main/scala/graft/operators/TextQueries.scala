@@ -410,6 +410,35 @@ object TextQueries {
       LIMIT 50
     """))
 
+  /** Full BPE tokenize ([[Bpe]]): learn 30 merges from the corpus, then
+    * re-tokenize every document with them — the tokenizer-training +
+    * application step q86 is the kernel of, end to end. Reports the
+    * real token count next to q49's whitespace estimate and the
+    * compression the merges bought. No SQL oracle (the merge loop is
+    * not SQL-expressible); BpeSpec carries the oracle: hand-verified
+    * merges on a planted corpus, losslessness, agreement of the
+    * expression with the driver-side encoder, and first-merge equality
+    * with the oracled q86 kernel. Train is eager at build time (one
+    * vocab agg + driver loop); the returned frame's encode pass is a
+    * shuffle-free projection.
+    */
+  val q88 = GraftQuery(
+    "q88_bpe_tokenize",
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val merges = Bpe.train(docs, nMerges = 30)
+      docs
+        .select(col("doc_id"), normalize(col("text")).as("norm"))
+        .select(col("doc_id"),
+          graft.functions.expressions.BpeTokenCount(col("norm"), merges)
+            .as("n_tokens_bpe"),
+          size(split(col("norm"), " ")).as("n_tokens_ws"),
+          length(regexp_replace(col("norm"), lit(" "), lit("")))
+            .as("n_chars_packed"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   val all: Seq[GraftQuery] =
-    Seq(q47, q48, q49, q50, q51, q69, q70, q79, q83, q86)
+    Seq(q47, q48, q49, q50, q51, q69, q70, q79, q83, q86, q88)
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Bpe]] — tokenizer training and encoding. The oracle for q88 (the
+  * merge loop is not SQL-expressible): hand-computed merges on a
+  * planted corpus, lossless segmentation, expression/driver agreement,
+  * and first-merge equality with the DuckDB-oracled q86 kernel.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merges match the hand-computed sequence on a planted corpus") {
+    // corpus: "aaab" x3, "ab" x2.
+    //   round 1: (a,a)=6 beats (a,b)=5            -> aaab = [aa,a,b]
+    //   round 2: (a,b)=3+2=5 beats (aa,a)=3       -> [aa,ab], [ab]
+    //   round 3: only (aa,ab)=3 remains           -> [aaab], [ab]
+    val docs = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, nMerges = 5)
+    assert(merges === Seq(("a", "a"), ("a", "b"), ("aa", "ab")),
+      "training must stop when no pairs remain and break ties (count desc, pair asc)")
+  }
+
+  test("encoding is greedy by rank and lossless") {
+    val ranks = Bpe.ranks(Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    assert(Bpe.encodeWord("aaab", ranks).toSeq === Seq("aaab"))
+    // (a,a) fires first by rank, leaving [aa,b] with no ranked pair —
+    // NOT the [a,ab] a left-to-right-by-position encoder would produce
+    assert(Bpe.encodeWord("aab", ranks).toSeq === Seq("aa", "b"))
+    assert(Bpe.encodeWord("ba", ranks).toSeq === Seq("b", "a"))
+    assert(Bpe.encodeWord("x", ranks).toSeq === Seq("x"))
+    for (w <- Seq("aaaaab", "abab", "bbaa", "aba", ""))
+      assert(Bpe.encodeWord(w, ranks).mkString === w,
+        s"segmentation of '$w' must concatenate back to the word")
+    assert(Bpe.countTokens("aaab ab aab", ranks) === 1 + 1 + 2)
+  }
+
+  test("expression agrees with the driver-side encoder and stays codegen'd") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables(spark, d, "documents")
+      .select($"doc_id", $"text")
+    val merges = Bpe.train(docs, nMerges = 10)
+    val ranks = Bpe.ranks(merges)
+    val df = docs
+      .select($"doc_id",
+        graft.functions.MockScorers.normalize($"text").as("norm"))
+      .select($"doc_id", $"norm",
+        graft.functions.expressions.BpeTokenCount($"norm", merges)
+          .as("n_bpe"))
+    df.as[(Long, String, Int)].collect().foreach { case (id, norm, n) =>
+      assert(n === Bpe.countTokens(norm, ranks),
+        s"doc $id: expression and driver encoder disagree")
+    }
+    // the projection must not fall out of whole-stage codegen: the
+    // `*(n)` prefix marks operators inside a codegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_bpe_tokens") && l.trim.startsWith("*")),
+      s"BpeTokenCount fenced codegen:\n$plan")
+  }
+
+  test("first learned merge equals the oracled q86 top pair on sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables(spark, d, "documents")
+      .select($"doc_id", $"text")
+    val Seq((a, b), _*) = Bpe.train(docs, nMerges = 1)
+    val top = TextQueries.q86.build(spark, d)
+      .select($"pair").as[String].head()
+    assert(a + b === top,
+      "train round 1 must reproduce the DuckDB-checked q86 kernel")
+  }
+
+  test("q88 tokenizes the corpus: fewer tokens than chars, more than words") {
+    val out = TextQueries.q88.build(spark, "/root/testdata/sf0.001")
+      .as[(Long, Int, Int, Int)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, bpe, ws, chars) =>
+      assert(bpe >= ws, s"doc $id: a word never splits below 1 token")
+      assert(bpe <= chars, s"doc $id: tokens can never exceed characters")
+    }
+    // 30 merges on word-soup text must actually compress somewhere
+    assert(out.exists { case (_, bpe, _, chars) => bpe < chars },
+      "no document compressed below character count — merges unused?")
+  }
+}
