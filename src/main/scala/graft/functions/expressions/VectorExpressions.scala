@@ -294,6 +294,79 @@ case class NearestCentroidId(child: Expression, centroids: Seq[Double],
     copy(child = c)
 }
 
+/** Random projection to `k` dimensions over a flat row-major plane
+  * matrix — the Johnson–Lindenstrauss dimensionality reduction a
+  * similarity tier runs before storing or indexing embeddings (k·dim
+  * multiply-adds per row, one fused loop, no per-row allocation beyond
+  * the output array). Same reference-object discipline as
+  * [[SignLshBuckets]]: the matrix is ONE codegen reference, not k×dim
+  * literal plan nodes. Accumulation order is ascending i, so the result
+  * is bit-identical to a sequential fold (and to DuckDB's list_reduce —
+  * the q89 oracle depends on this).
+  */
+case class RandomProject(child: Expression, planes: Seq[Double],
+    k: Int, dim: Int)
+    extends UnaryExpression {
+
+  // Seq field for content equality (see SignLshBuckets note)
+  @transient private lazy val planesArr: Array[Double] = planes.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_random_project expects array<double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def compute(v: ArrayData): Array[Double] = {
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val base = j * dim
+      var acc = 0d
+      var i = 0
+      while (i < n) { acc += planesArr(base + i) * v.getDouble(i); i += 1 }
+      out(j) = acc
+      j += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(compute(a.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.addReferenceObj("planes", planesArr, "double[]")
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |double[] $out = new double[$k];
+         |for (int $j = 0; $j < $k; $j++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $p[$j * $dim + $i] * $a.getDouble($i);
+         |  }
+         |  $out[$j] = $acc;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override def prettyName: String = "graft_random_project"
+
+  override protected def withNewChildInternal(c: Expression): RandomProject =
+    copy(child = c)
+}
+
 object VectorFunctions {
   /** Column API for [[DotProduct]]. */
   def dot(a: Column, b: Column): Column =
@@ -317,4 +390,10 @@ object VectorFunctions {
       dim: Int): Column =
     Bridge.column(NearestCentroidId(Bridge.expression(emb),
       centroids.toIndexedSeq, cells, dim))
+
+  /** Column API for [[RandomProject]] — planes flattened row-major. */
+  def randomProject(emb: Column, planes: Array[Double], k: Int,
+      dim: Int): Column =
+    Bridge.column(RandomProject(Bridge.expression(emb),
+      planes.toIndexedSeq, k, dim))
 }

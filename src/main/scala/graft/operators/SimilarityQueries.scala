@@ -217,5 +217,52 @@ object SimilarityQueries {
       ORDER BY ia, ib
     """))
 
-  val all: Seq[GraftQuery] = Seq(q45, q46, q65, q76)
+  /** Mirrorable uniform[-1,1] JL plane matrix, row-major: entry x =
+    * j·dim+i is (((x·1103515245 + 12345) mod 2001) − 1000)/1000 — the
+    * repo's LCG discipline so the q89 oracle can regenerate it in SQL.
+    * (Uniform planes satisfy JL like Gaussians — Achlioptas 2003 —
+    * with variance 1/3, so |Pv|²·3/k estimates |v|².)
+    */
+  private[operators] def jlPlanes(k: Int, dim: Int): Array[Double] =
+    Array.tabulate(k * dim)(x =>
+      (((x * 1103515245L + 12345L) % 2001L) - 1000L) / 1000.0)
+
+  /** Random projection 64→16 dims ([[graft.functions.expressions.RandomProject]])
+    * — the storage/index-shrinking step of the similarity tier (4×
+    * smaller vectors for ANN candidate generation; exact rerank stays
+    * on the originals, the q55 two-stage pattern). Map-only pass, no
+    * shuffle; the oracle checks the first four projected coordinates
+    * bit-exactly (same fold order in both engines), the spec covers
+    * all 16 plus the JL distance-preservation property.
+    */
+  val q89 = GraftQuery(
+    "q89_random_projection",
+    (s, d) => {
+      val (k, dim) = (16, 64)
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .select(col("vec_id"),
+          graft.functions.expressions.VectorFunctions
+            .randomProject(col("emb"), jlPlanes(k, dim), k, dim).as("p"))
+        .select(Seq(col("vec_id")) ++ (0 until 4).map(j =>
+          round(element_at(col("p"), j + 1), 6).as(s"p$j")): _*)
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      def proj(j: Int) =
+        s"""round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(emb, (x, i) ->
+                 x * ((CAST($j * 64 + (i - 1) AS BIGINT) * 1103515245
+                       + 12345) % 2001 - 1000) / 1000.0)),
+               (acc, v) -> acc + v), 6) AS p$j"""
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+      SELECT vec_id,
+             ${(0 until 4).map(proj).mkString(",\n             ")}
+      FROM e
+      ORDER BY vec_id
+    """
+    })
+
+  val all: Seq[GraftQuery] = Seq(q45, q46, q65, q76, q89)
 }
