@@ -393,5 +393,43 @@ object TrainPrepQueries {
       ORDER BY shard
     """))
 
-  val all: Seq[GraftQuery] = Seq(q62, q63, q73, q77, q78, q80, q84, q87)
+  /** EXACT-k per-stratum sampling: q63's rate sampler yields binomial
+    * counts (fine for rebalancing, wrong for "give me exactly 40
+    * eval docs per language"); this keeps exactly min(k, n) docs per
+    * stratum, chosen by the mirrorable LCG priority — deterministic,
+    * retry-stable, unbiased by crawl order (the LCG decorrelates
+    * doc_id locality, the q84 argument). Runs through the native
+    * [[graft.plans.TopKPerGroup]] physical operator: per-partition
+    * k-row heaps cut the shuffle to ≤ k·strata rows per split — at
+    * 100 TB the window-function formulation would sort every
+    * stratum's full row set instead.
+    */
+  val q90 = GraftQuery(
+    "q90_stratified_exact_k",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("pri",
+          pmod(col("doc_id") * 1103515245L + 12345L, lit(1000000007L)))
+      graft.plans.TopK.perGroup(docs,
+          groupCols = Seq(col("lang")),
+          orderCols = Seq(col("pri"), col("doc_id")),
+          k = 40)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, lang, n_chars
+      FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang
+                 ORDER BY (doc_id * 1103515245 + 12345) % 1000000007,
+                          doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 40
+      ORDER BY lang, doc_id
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q62, q63, q73, q77, q78, q80, q84, q87, q90)
 }

@@ -306,6 +306,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q90: exact-k stratified sample runs through the native top-k op") {
+    val plan = planOf(TrainPrepQueries.q90.build(spark, sf0001))
+    assert(plan.contains("TopKPerGroup"),
+      s"q90 fell back to a window sort:\n$plan")
+    assert(!plan.contains("Window"),
+      s"q90 must not contain a window operator:\n$plan")
+  }
+
   test("q82/q83: documents scan reads only doc_id and text") {
     Seq(DedupQueries.q82, TextQueries.q83).foreach { q =>
       val readSchema = planOf(q.build(spark, sf0001)).linesIterator
