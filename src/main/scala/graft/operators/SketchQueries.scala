@@ -161,6 +161,52 @@ object SketchQueries {
     },
     None)
 
+  /** Heavy hitters, sketch-gated but EXACT — and therefore fully
+    * SQL-oracled, unlike the rest of this file: tokens occurring ≥
+    * total/200 times. Pass 1 folds the stream into one fixed-size
+    * count-min sketch (built-in `count_min_sketch` aggregate —
+    * mergeable, partial-final, ~100 KB regardless of corpus size);
+    * pass 2 re-streams tokens through the codegen'd
+    * [[graft.functions.expressions.CmsHeavyGate]] (no false negatives
+    * — CMS only overestimates) so ONLY candidate rows reach the exact
+    * group-by, whose result is then exactly filtered. At 100 TB the
+    * win is the shuffle: a plain heavy-hitter group-by moves every
+    * token; this moves the sketch (once) plus the heavy candidates (a
+    * vanishing fraction at any real threshold). Over-threshold light
+    * tokens admitted by overestimation cost shuffle bytes, never
+    * correctness — the final HAVING is exact.
+    */
+  val q91 = GraftQuery(
+    "q91_heavy_hitters", {
+      import org.apache.spark.sql.functions._
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val threshold = toks.count() / 200
+        val sketchBytes = toks
+          .agg(count_min_sketch(col("tok"), lit(0.001), lit(0.99), lit(42)))
+          .head().getAs[Array[Byte]](0)
+        toks
+          .filter(graft.functions.expressions.CmsHeavyGate(col("tok"),
+            sketchBytes, threshold))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= threshold)
+          .orderBy(col("n").desc, col("tok"))
+      }
+    },
+    Some("""
+      WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      t2 AS (SELECT tok FROM toks WHERE tok <> '')
+      SELECT tok, COUNT(*) AS n
+      FROM t2
+      GROUP BY tok
+      HAVING COUNT(*) >= (SELECT COUNT(*) // 200 FROM t2)
+      ORDER BY n DESC, tok
+    """))
+
   val all: Seq[GraftQuery] =
-    Seq(q43, q44, q52, q53, q55, q72a, q72b, q75, q85)
+    Seq(q43, q44, q52, q53, q55, q72a, q72b, q75, q85, q91)
 }
