@@ -296,9 +296,12 @@ object TrainPrepQueries {
     * trivially; the keep decision and shard id are per-row integer
     * arithmetic. Text is never shuffled anywhere: every exchange moves
     * ids, fingerprints, or grams. Survivors feed three consumers
-    * (grams, mixture, sample) — a production run materializes the
-    * survivor id set once (it recomputes deterministically here, so
-    * correctness is unaffected; only local runtime pays the rescans).
+    * (grams, anti-join, mixture+sample), so the funnel materializes
+    * them ONCE through [[graft.Checkpoints.eager]] — the same
+    * eager-truncation (and cluster-reliability opt-in) the dedup/CC
+    * operators use; without it every consumer re-pays the
+    * normalize+fingerprint+dedup chain. Eager-execution semantics:
+    * building this query runs the upstream stages at call time.
     */
   val q87 = GraftQuery(
     "q87_curation_funnel",
@@ -320,7 +323,8 @@ object TrainPrepQueries {
       val survivorIds = gated.groupBy(col("fingerprint"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      val survivors = gated.join(survivorIds, "doc_id")
+      val survivors =
+        graft.Checkpoints.eager(gated.join(survivorIds, "doc_id"))
       val flaggedIds = Decontaminate
         .flagged(survivors.select(col("doc_id"), col("text")), evalSet, n = 8)
         .select(col("doc_id"))
