@@ -207,6 +207,38 @@ object SketchQueries {
       ORDER BY n DESC, tok
     """))
 
+  /** MERGEABLE cardinality tier (DataSketches HLL, built-in): per-source
+    * distinct-token sketches plus a `__all__` row whose estimate comes
+    * from UNIONING the stored sketches — never re-scanning the corpus.
+    * This is the property q34's `approx_count_distinct` lacks (its HLL±±
+    * state is agg-internal): here the sketch is a first-class binary
+    * column a pipeline persists per shard/day, so "distinct tokens
+    * corpus-wide" is a union over stored KBs — the incremental-audit
+    * shape at 100 TB (one corpus pass ever, re-aggregation is
+    * sketch-sized). Rows-only; relative-error and union-consistency
+    * bounds are asserted in CmsHeavySpec's sibling tests.
+    */
+  val q92 = GraftQuery(
+    "q92_hll_mergeable", {
+      import org.apache.spark.sql.functions._
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val perSource = toks.groupBy(col("source"))
+          .agg(hll_sketch_agg(col("tok"), 12).as("sk"))
+        val bySource = perSource
+          .select(col("source"), hll_sketch_estimate(col("sk")).as("est"))
+        val union = perSource
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+            .as("est"))
+          .select(lit("__all__").as("source"), col("est"))
+        bySource.unionByName(union).orderBy(col("source"))
+      }
+    },
+    None)
+
   val all: Seq[GraftQuery] =
-    Seq(q43, q44, q52, q53, q55, q72a, q72b, q75, q85, q91)
+    Seq(q43, q44, q52, q53, q55, q72a, q72b, q75, q85, q91, q92)
 }

@@ -47,6 +47,29 @@ class CmsHeavySpec extends SparkSpec {
     assert(gated.nonEmpty, "threshold left no heavy hitters — test is vacuous")
   }
 
+  test("q92: HLL estimates track exact distincts; union row is consistent") {
+    val d = "/root/testdata/sf0.001"
+    val out = SketchQueries.q92.build(spark, d)
+      .as[(String, Long)].collect().toMap
+    val toks = graft.sources.Tables(spark, d, "documents")
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+    val exactBySource = toks.groupBy($"source")
+      .agg(countDistinct($"tok").as("n"))
+      .as[(String, Long)].collect().toMap
+    val exactAll = toks.select($"tok").distinct().count()
+    exactBySource.foreach { case (src, exact) =>
+      val est = out(src)
+      assert(math.abs(est - exact) <= math.max(2, exact * 0.05),
+        s"source $src: HLL estimate $est vs exact $exact")
+    }
+    // the union-of-stored-sketches row answers global distinct without a
+    // second corpus pass — within the same error envelope
+    assert(math.abs(out("__all__") - exactAll) <= math.max(2, exactAll * 0.05),
+      s"union estimate ${out("__all__")} vs exact $exactAll")
+    assert(out.size === exactBySource.size + 1)
+  }
+
   test("the gate filter stays inside whole-stage codegen") {
     // must be a file-backed source: over a LocalRelation the optimizer
     // folds the filter away at plan time and nothing remains to assert
