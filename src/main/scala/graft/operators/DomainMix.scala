@@ -71,17 +71,31 @@ object DomainMix {
     * q30/q63/q84, not xxhash64 (which DuckDB lacks). Same scale shape
     * as [[sample]]: one tiny-plan broadcast join, per-row filter.
     */
+  /** `hintBroadcastPlan`: broadcast the (source, keep_thresh) plan at
+    * PLANNING time, size-gated on [[graft.Limits.BroadcastRows]] (an
+    * eager count — callers that set this are already eager). Without
+    * the hint, AQE's runtime SMJ→BHJ conversion still executes the
+    * probe-side shuffle it replaces, which moves every doc's text —
+    * the exchange the q87 funnel structurally forbids.
+    */
   def sampleThresholds(docs: DataFrame, tokenBudget: Long,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", hintBroadcastPlan: Boolean = false)
+      : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val plan = mixture(docs, textCol)
+    val plan0 = mixture(docs, textCol)
       .withColumn("keep_thresh", least(lit(1000000L),
         floor(lit(1000000.0) * tokenBudget / count(lit(1)).over(w) /
           col("tok_mass"))))
       .select(col("source"), col("keep_thresh"))
-    docs.join(plan, "source")
+    // materialize before gating so count() + join don't each re-run the
+    // mixture aggregation (the plan frame is one row per source — KBs)
+    val plan = if (hintBroadcastPlan) graft.Checkpoints.eager(plan0) else plan0
+    val planHinted =
+      if (hintBroadcastPlan && plan.count() <= graft.Limits.BroadcastRows)
+        broadcast(plan) else plan
+    docs.join(planHinted, "source")
       .filter(pmod(col("doc_id") * 1103515245L + 12345L, lit(1000000L)) <
         col("keep_thresh"))
       .drop("keep_thresh")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -294,18 +295,33 @@ object TrainPrepQueries {
     * q03/q04 lesson); the mixture plan is one per-source aggregation
     * producing a dozens-row frame whose rate join broadcasts
     * trivially; the keep decision and shard id are per-row integer
-    * arithmetic. Text is never shuffled anywhere: every exchange moves
-    * ids, fingerprints, or grams. Survivors feed three consumers
-    * (grams, anti-join, mixture+sample), so the funnel materializes
-    * them ONCE through [[graft.Checkpoints.eager]] — the same
-    * eager-truncation (and cluster-reliability opt-in) the dedup/CC
-    * operators use; without it every consumer re-pays the
-    * normalize+fingerprint+dedup chain. Eager-execution semantics:
-    * building this query runs the upstream stages at call time.
+    * arithmetic. Document text crosses AT MOST ONE exchange — the
+    * survivor re-join by doc_id when the id side outgrows the
+    * broadcast threshold (zero below it, and zero on a doc_id-bucketed
+    * warehouse corpus, the X19 layout); every other exchange moves
+    * ids, fingerprints, or grams, and no broadcast ever carries text —
+    * the flagged-id and rate-plan joins use size-GATED hints (the
+    * SketchDedup/Limits discipline; an ungated hint is the q03/q04 bug
+    * class) because AQE's late SMJ→BHJ conversion still executes the
+    * probe-side text shuffle it replaces. PlanSpec pins both bounds
+    * structurally. Survivors feed three consumers (grams, anti-join,
+    * mixture+sample), so the funnel materializes them ONCE through
+    * [[graft.Checkpoints.eager]] — the same eager-truncation (and
+    * cluster-reliability opt-in) the dedup/CC operators use. Eager-
+    * execution semantics: building this query runs the upstream stages
+    * at call time.
     */
   val q87 = GraftQuery(
     "q87_curation_funnel",
-    (s, d) => {
+    (s, d) => curationFunnel(s, d, graft.Checkpoints.eager),
+    Some(q87OracleSql))
+
+  /** q87's stage chain with the survivor materialization injectable:
+    * the plan-audit test passes `identity` so the full lineage stays
+    * visible to the exchange walk (a checkpoint truncates it).
+    */
+  private[operators] def curationFunnel(s: SparkSession, d: String,
+      materialize: DataFrame => DataFrame): DataFrame = {
       val docs = t(s, d, "documents")
       val evalSet = docs.filter(col("doc_id") % 7 === 0)
       val feats = docs.filter(col("doc_id") % 7 =!= 0)
@@ -323,19 +339,40 @@ object TrainPrepQueries {
       val survivorIds = gated.groupBy(col("fingerprint"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      val survivors =
-        graft.Checkpoints.eager(gated.join(survivorIds, "doc_id"))
-      val flaggedIds = Decontaminate
+      // the AT-MOST-ONE text-bearing exchange lives here: when the
+      // survivor id set outgrows AQE's broadcast threshold, the join
+      // sort-merges and text shuffles ONCE into the materialization; at
+      // small scale AQE broadcasts the ids and text never shuffles at
+      // all. Everything downstream reads the cached frame.
+      val survivors = materialize(gated.join(survivorIds, "doc_id"))
+      // materialized so the gate's count() doesn't re-run the gram join
+      // the anti-join is about to consume
+      val flaggedIds = materialize(Decontaminate
         .flagged(survivors.select(col("doc_id"), col("text")), evalSet, n = 8)
-        .select(col("doc_id"))
-      val clean = survivors.join(flaggedIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")))
+      // gated hints (the SketchDedup/Limits discipline — an UNgated hint
+      // is the q03/q04 bug class): the flagged set is tiny by nature
+      // (docs colliding with a fixed benchmark) and the rate plan is one
+      // row per source, so both sides broadcast AT PLANNING TIME — AQE's
+      // late SMJ→BHJ conversion would still execute the probe-side text
+      // shuffle it replaces (it re-reads the shuffle locally), which is
+      // exactly the exchange this funnel promises not to have. Past the
+      // gate the join degrades to a shuffle, never a driver OOM.
+      val flaggedHinted =
+        if (flaggedIds.count() <= graft.Limits.BroadcastRows)
+          broadcast(flaggedIds) else flaggedIds
+      // no materialization here: with the broadcast hint the anti-join
+      // is a map-side pass over the cached survivors — cheaper to run
+      // twice (mixture, sample) than to copy the text a second time
+      val clean = survivors.join(flaggedHinted, Seq("doc_id"), "left_anti")
       val sampled = DomainMix.sampleThresholds(
         clean.select(col("doc_id"), col("source"), col("text")),
-        tokenBudget = 5000)
+        tokenBudget = 5000, hintBroadcastPlan = true)
       Sharding.shardStats(
         sampled.select(col("doc_id"), col("text")), nShards = 4)
-    },
-    Some(s"""
+  }
+
+  private def q87OracleSql: String = s"""
       WITH base AS (
         SELECT doc_id, text, source, ${normalizeSql("text")} AS norm
         FROM documents WHERE doc_id % 7 <> 0),
@@ -395,7 +432,7 @@ object TrainPrepQueries {
       FROM sampled
       GROUP BY 1
       ORDER BY shard
-    """))
+    """
 
   /** EXACT-k per-stratum sampling: q63's rate sampler yields binomial
     * counts (fine for rebalancing, wrong for "give me exactly 40

@@ -306,6 +306,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q87 funnel: text shuffles once (in the survivor job), never after") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case r: ReusedExchangeExec => nodes(r.child)
+      case other => other.children.flatMap(nodes)
+    })
+    def planNodes(df: DataFrame) = nodes(df.asInstanceOf[ClassicDataset[_]]
+      .queryExecution.executedPlan)
+    def carriesText(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]) =
+      out.exists(a => a.name == "text" || a.name == "norm")
+    def textShuffles(ns: Seq[SparkPlan]) = ns.collect {
+      case e: ShuffleExchangeLike if carriesText(e.output) => e
+    }
+    def textBroadcasts(ns: Seq[SparkPlan]) = ns.collect {
+      case e: BroadcastExchangeLike if carriesText(e.output) => e
+    }
+    // capture each stage on its way into the materialization, so the
+    // pre-checkpoint jobs and the downstream plan are all walkable
+    val stages = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val df = TrainPrepQueries.curationFunnel(spark, sf0001,
+      d => { stages += d; graft.Checkpoints.eager(d) })
+    df.collect() // materialize AQE's final plans
+    val all = stages.toSeq.flatMap(planNodes) ++ planNodes(df)
+    assert(textShuffles(all).size <= 1,
+      "text may cross at most ONE exchange — the survivor join's merge " +
+        "path when the id side outgrows the broadcast threshold; " +
+        s"found:\n${textShuffles(all).mkString("\n")}")
+    assert(textBroadcasts(all).isEmpty,
+      s"document text must never broadcast:\n${textBroadcasts(all).mkString("\n")}")
+  }
+
   test("q90: exact-k stratified sample runs through the native top-k op") {
     val plan = planOf(TrainPrepQueries.q90.build(spark, sf0001))
     assert(plan.contains("TopKPerGroup"),
