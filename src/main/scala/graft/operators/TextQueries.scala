@@ -260,9 +260,9 @@ object TextQueries {
     */
   val q70 = GraftQuery(
     "q70_pii_scrub", {
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val urlRe = "https?://[A-Za-z0-9./_-]+"
-      val phoneRe = "\\+[0-9]{7,}"
+      val emailRe = Pii.EmailRe
+      val urlRe = Pii.UrlRe
+      val phoneRe = Pii.PhoneRe
       (s, d) =>
         t(s, d, "documents")
           .select(col("doc_id"),
@@ -279,17 +279,13 @@ object TextQueries {
             regexp_count(col("aug"), lit(emailRe)).as("n_emails"),
             regexp_count(col("aug"), lit(urlRe)).as("n_urls"),
             regexp_count(col("aug"), lit(phoneRe)).as("n_phones"),
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(col("aug"), urlRe, "<URL>"),
-                emailRe, "<EMAIL>"),
-              phoneRe, "<PHONE>").as("redacted"))
+            Pii.redact(col("aug")).as("redacted"))
           .orderBy(col("doc_id"))
     },
     Some {
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val urlRe = "https?://[A-Za-z0-9./_-]+"
-      val phoneRe = "\\+[0-9]{7,}"
+      val emailRe = Pii.EmailRe
+      val urlRe = Pii.UrlRe
+      val phoneRe = Pii.PhoneRe
       s"""
       WITH aug AS (
         SELECT doc_id,
