@@ -77,4 +77,34 @@ class PropertySpec extends SparkSpec {
       assert(Set("car", "bus", "truck", "motorbike")(r.getString(1)))
     }
   }
+
+  test("BPE segmentation is lossless for any word under any merge table") {
+    import graft.operators.Bpe
+    val word = Gen.listOfN(12, Gen.oneOf("a", "b", "c")).map(_.mkString)
+    val pair = for {
+      a <- Gen.listOfN(2, Gen.oneOf("a", "b", "c")).map(_.mkString)
+      b <- Gen.listOfN(1, Gen.oneOf("a", "b", "c", "ab", "bc")).map(_.mkString)
+    } yield (a.take(1 + a.length % 2), b)
+    val cases = Gen.listOfN(300, Gen.zip(word, Gen.listOfN(6, pair)))
+      .sample.get
+    cases.foreach { case (w, merges) =>
+      val ranks = Bpe.ranks(merges.distinct)
+      val toks = Bpe.encodeWord(w, ranks)
+      assert(toks.mkString === w,
+        s"'$w' under ${merges.distinct} segmented to ${toks.toSeq}")
+      assert(w.isEmpty || toks.nonEmpty)
+    }
+  }
+
+  test("BPE training is corpus-order and partitioning invariant") {
+    import graft.operators.Bpe
+    val docs = Gen.listOfN(40,
+      Gen.listOfN(8, Gen.oneOf("aa", "ab", "abc", "bca", "cab", "aabb"))
+        .map(_.mkString(" "))).sample.get
+    val base = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val a = Bpe.train(base.toDF("doc_id", "text"), nMerges = 8)
+    val b = Bpe.train(base.reverse.toDF("doc_id", "text").repartition(7),
+      nMerges = 8)
+    assert(a === b, "merge table must not depend on row order or layout")
+  }
 }
