@@ -435,6 +435,112 @@ object TextQueries {
     },
     None)
 
+  /** Document chunking — the RAG/embedding-pipeline step that splits
+    * every document into overlapping token windows (64-token chunks,
+    * stride 48) with stable chunk identities. One explode over the
+    * start offsets, a slice per chunk, and the q50 fingerprint as the
+    * chunk id — a pure map-side pass: no shuffle at all until a
+    * consumer aggregates (the final ORDER BY here is presentation).
+    * Chunk ids are content-derived (fingerprint), so re-chunking a
+    * re-crawled identical doc yields identical ids — embedding caches
+    * survive recrawls.
+    */
+  val q93 = GraftQuery(
+    "q93_chunking",
+    (s, d) => {
+      val (win, stride) = (64, 48)
+      t(s, d, "documents")
+        .select(col("doc_id"), split(normalize(col("text")), " ").as("words"))
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("words")), lit(stride)))
+            .as("chunk_start"),
+          col("words"))
+        .select(col("doc_id"), col("chunk_start"),
+          slice(col("words"), col("chunk_start"), lit(win)).as("chunk"))
+        .select(col("doc_id"), col("chunk_start"),
+          size(col("chunk")).as("n_tokens"),
+          graft.functions.expressions.WordFingerprint(col("chunk"))
+            .as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_start"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(${normalizeSql("text")}, ' ') AS words
+        FROM documents),
+      starts AS (
+        SELECT doc_id, words,
+               unnest(generate_series(1, len(words), 48)) AS chunk_start
+        FROM docs)
+      SELECT doc_id, CAST(chunk_start AS INTEGER) AS chunk_start,
+             CAST(len(words[chunk_start:chunk_start+63]) AS INTEGER)
+               AS n_tokens,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(words[chunk_start:chunk_start+63],
+                 w -> CAST(length(w) * 17 + ascii(w) * 31
+                           + ascii(reverse(w)) AS BIGINT))),
+               (acc, v) -> (acc * 31 + v) % 1000000007) AS chunk_fp
+      FROM starts
+      ORDER BY doc_id, chunk_start
+    """))
+
+  /** TF-IDF keyword extraction — top-3 terms per document by
+    * tf·ln(N/df), the classic metadata/quality signal. Scale shape:
+    * term frequencies shuffle as (doc_id, word) partial counts (X7
+    * map-side combine collapses within-doc repeats), document
+    * frequencies are a vocab-sized frame whose join Catalyst/AQE
+    * broadcasts when it fits (no hint — the q03/q04 rule), and the
+    * per-doc top-3 runs through the native [[graft.plans.TopKPerGroup]]
+    * heaps — never a full per-doc sort. ln over integer-derived
+    * doubles is bit-identical across engines, so the oracle is exact.
+    */
+  val q94 = GraftQuery(
+    "q94_tfidf_keywords",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val nDocs = docs.count()
+      val words = docs
+        .select(col("doc_id"),
+          explode(split(normalize(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val tf = words.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = words.select(col("doc_id"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "w")
+        .withColumn("tfidf",
+          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      graft.plans.TopK.perGroup(scored,
+          groupCols = Seq(col("doc_id")),
+          orderCols = Seq(col("tfidf").desc, col("w")),
+          k = 3)
+        .select(col("doc_id"), col("w"), col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("tfidf").desc, col("w"))
+    },
+    Some(s"""
+      WITH words AS (
+        SELECT doc_id, unnest(string_split(${normalizeSql("text")}, ' ')) AS w
+        FROM documents),
+      w2 AS (SELECT doc_id, w FROM words WHERE w <> ''),
+      tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf FROM w2 GROUP BY 1, 2),
+      dfreq AS (
+        SELECT w, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, w FROM w2) GROUP BY 1),
+      scored AS (
+        SELECT doc_id, w, tf, df,
+               round(tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                             / df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (w)),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, w) AS rn
+        FROM scored)
+      SELECT doc_id, w, tf, df, tfidf
+      FROM ranked
+      WHERE rn <= 3
+      ORDER BY doc_id, tfidf DESC, w
+    """))
+
   val all: Seq[GraftQuery] =
-    Seq(q47, q48, q49, q50, q51, q69, q70, q79, q83, q86, q88)
+    Seq(q47, q48, q49, q50, q51, q69, q70, q79, q83, q86, q88, q93, q94)
 }

@@ -350,6 +350,22 @@ class PlanSpec extends SparkSpec {
       s"q90 must not contain a window operator:\n$plan")
   }
 
+  test("q93: chunking is map-side — the only exchange is the output sort") {
+    val plan = planOf(TextQueries.q93.build(spark, sf0001))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size === 1 &&
+      exchanges.head.contains("rangepartitioning"),
+      s"chunking must not shuffle before the presentation sort:\n$plan")
+  }
+
+  test("q94: per-doc keyword top-3 runs through the native top-k op") {
+    val plan = planOf(TextQueries.q94.build(spark, sf0001))
+    assert(plan.contains("TopKPerGroup"),
+      s"q94 fell back to a window sort:\n$plan")
+    assert(!plan.contains("Window"),
+      s"q94 must not contain a window operator:\n$plan")
+  }
+
   test("q82/q83: documents scan reads only doc_id and text") {
     Seq(DedupQueries.q82, TextQueries.q83).foreach { q =>
       val readSchema = planOf(q.build(spark, sf0001)).linesIterator
