@@ -541,6 +541,84 @@ object TextQueries {
       ORDER BY doc_id, tfidf DESC, w
     """))
 
+  /** Zipf rank-frequency audit — the corpus-health check that flags
+    * synthetic, boilerplate-heavy, or truncated corpora: fit
+    * ln(freq) = intercept + slope·ln(rank) over the top-1000 tokens
+    * (natural text slopes ≈ −1). Scale shape: the vocab aggregation is
+    * the one corpus-sized job; everything after runs on a
+    * TakeOrderedAndProject-capped 1000-row frame (the unpartitioned
+    * ranking window is BOUNDED by that cap — never vocab-sized). The
+    * regression sums follow q74's discipline: ln values are exact
+    * doubles in both engines (ln of identical integers), summed as
+    * DECIMAL(30,14) so the totals are associative and
+    * partition-order-free, with ONE double formula evaluation at the
+    * end — hash-exact.
+    */
+  val q95 = GraftQuery(
+    "q95_zipf_audit",
+    (s, d) => {
+      val topV = 1000
+      val x = log(col("rnk").cast("double"))
+      val y = log(col("n").cast("double"))
+      def dec14(c: org.apache.spark.sql.Column) =
+        c.cast(org.apache.spark.sql.types.DecimalType(30, 14))
+      val nn = col("n_terms").cast("double")
+      val slope = (nn * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (nn * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      t(s, d, "documents")
+        .select(explode(split(normalize(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(topV)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("w"))))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(dec14(x)).as("sx"), sum(dec14(y)).as("sy"),
+          sum(dec14(x * x)).as("sxx"), sum(dec14(x * y)).as("sxy"))
+        .select(col("n_terms"),
+          round(slope, 4).as("zipf_slope"),
+          round((col("sy").cast("double") -
+            slope * col("sx").cast("double")) / nn, 4).as("ln_intercept"))
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT w, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(${normalizeSql("text")}, ' ')) AS w
+              FROM documents)
+        WHERE w <> ''
+        GROUP BY 1
+        ORDER BY n DESC, w
+        LIMIT 1000),
+      ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rnk
+        FROM counts),
+      sums AS (
+        SELECT COUNT(*) AS n_terms,
+               SUM(CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(30,14))) AS sx,
+               SUM(CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(30,14))) AS sy,
+               SUM(CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE))
+                   AS DECIMAL(30,14))) AS sxx,
+               SUM(CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(n AS DOUBLE))
+                   AS DECIMAL(30,14))) AS sxy
+        FROM ranked)
+      SELECT n_terms,
+             round((n_terms * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (n_terms * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+               AS zipf_slope,
+             round((CAST(sy AS DOUBLE)
+                    - (n_terms * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (n_terms * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE)) / n_terms, 4) AS ln_intercept
+      FROM sums
+    """))
+
   val all: Seq[GraftQuery] =
-    Seq(q47, q48, q49, q50, q51, q69, q70, q79, q83, q86, q88, q93, q94)
+    Seq(q47, q48, q49, q50, q51, q69, q70, q79, q83, q86, q88, q93, q94, q95)
 }
