@@ -316,12 +316,26 @@ object TrainPrepQueries {
     (s, d) => curationFunnel(s, d, graft.Checkpoints.eager),
     Some(q87OracleSql))
 
+  /** The funnel's named intermediate frames, shared by q87 (shard
+    * audit) and q96 (per-doc provenance) so the two cannot drift.
+    */
+  private[operators] case class FunnelStages(feats: DataFrame,
+      survivorIds: DataFrame, survivors: DataFrame, flaggedIds: DataFrame,
+      clean: DataFrame, sampled: DataFrame)
+
   /** q87's stage chain with the survivor materialization injectable:
     * the plan-audit test passes `identity` so the full lineage stays
     * visible to the exchange walk (a checkpoint truncates it).
     */
   private[operators] def curationFunnel(s: SparkSession, d: String,
       materialize: DataFrame => DataFrame): DataFrame = {
+    val st = funnelStages(s, d, materialize)
+    Sharding.shardStats(
+      st.sampled.select(col("doc_id"), col("text")), nShards = 4)
+  }
+
+  private[operators] def funnelStages(s: SparkSession, d: String,
+      materialize: DataFrame => DataFrame): FunnelStages = {
       val docs = t(s, d, "documents")
       val evalSet = docs.filter(col("doc_id") % 7 === 0)
       val feats = docs.filter(col("doc_id") % 7 =!= 0)
@@ -368,11 +382,13 @@ object TrainPrepQueries {
       val sampled = DomainMix.sampleThresholds(
         clean.select(col("doc_id"), col("source"), col("text")),
         tokenBudget = 5000, hintBroadcastPlan = true)
-      Sharding.shardStats(
-        sampled.select(col("doc_id"), col("text")), nShards = 4)
+      FunnelStages(feats, survivorIds, survivors, flaggedIds, clean, sampled)
   }
 
-  private def q87OracleSql: String = s"""
+  /** Shared WITH-chain for the q87/q96 oracles — ONE SQL rendering of
+    * the funnel stages, two final selects.
+    */
+  private def funnelPrefixSql: String = s"""
       WITH base AS (
         SELECT doc_id, text, source, ${normalizeSql("text")} AS norm
         FROM documents WHERE doc_id % 7 <> 0),
@@ -383,12 +399,12 @@ object TrainPrepQueries {
                      / length(text), 4) AS punct_ratio,
                ${TextFeatures.fingerprintSql("norm")} AS fingerprint
         FROM base),
+      scored AS (
+        SELECT *,
+               ${TextFeatures.qualitySql("n_words", "punct_ratio")} AS quality
+        FROM feats),
       gated AS (
-        SELECT * FROM (
-          SELECT *,
-                 ${TextFeatures.qualitySql("n_words", "punct_ratio")} AS quality
-          FROM feats)
-        WHERE quality >= 0.3),
+        SELECT * FROM scored WHERE quality >= 0.3),
       survivor_ids AS (
         SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY fingerprint),
       survivors AS (
@@ -424,7 +440,9 @@ object TrainPrepQueries {
         FROM mix),
       sampled AS (
         SELECT c.doc_id, c.n_words FROM clean c JOIN rates USING (source)
-        WHERE (c.doc_id * 1103515245 + 12345) % 1000000 < keep_thresh)
+        WHERE (c.doc_id * 1103515245 + 12345) % 1000000 < keep_thresh)"""
+
+  private def q87OracleSql: String = funnelPrefixSql + s"""
       SELECT ((doc_id * 1103515245 + 12345) % 1000000007) % 4 AS shard,
              COUNT(*) AS n_docs,
              CAST(SUM(CAST(n_words AS BIGINT)) AS BIGINT) AS tok_mass,
@@ -433,6 +451,53 @@ object TrainPrepQueries {
       GROUP BY 1
       ORDER BY shard
     """
+
+  /** Per-doc curation PROVENANCE — the "why did my document disappear"
+    * audit every production pipeline needs: for every non-eval doc,
+    * which funnel stage decided its fate. Dispositions are evaluated
+    * in stage order (gated → duplicate → contaminated → sampled_out →
+    * kept), reusing q87's exact stage frames ([[funnelStages]]) and
+    * oracle CTEs, so the provenance can never disagree with the
+    * funnel. Scale shape: the disposition is four LEFT joins of the
+    * per-doc feature frame against small id sets — ids and one double
+    * shuffle; text is untouched (only stage construction moves it,
+    * under q87's asserted bound).
+    */
+  val q96 = GraftQuery(
+    "q96_curation_provenance",
+    (s, d) => {
+      val st = funnelStages(s, d, graft.Checkpoints.eager)
+      val surv = st.survivorIds.withColumn("m_surv", lit(true))
+      val flag = st.flaggedIds.withColumn("m_flag", lit(true))
+      val samp = st.sampled.select(col("doc_id"))
+        .withColumn("m_samp", lit(true))
+      st.feats.select(col("doc_id"), col("quality"))
+        .join(surv, Seq("doc_id"), "left")
+        .join(flag, Seq("doc_id"), "left")
+        .join(samp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("quality") < 0.3, "gated")
+            .when(col("m_surv").isNull, "duplicate")
+            .when(col("m_flag").isNotNull, "contaminated")
+            .when(col("m_samp").isNull, "sampled_out")
+            .otherwise("kept").as("disposition"))
+        .orderBy(col("doc_id"))
+    },
+    Some(funnelPrefixSql + s"""
+      SELECT doc_id,
+             CASE
+               WHEN quality < 0.3 THEN 'gated'
+               WHEN doc_id NOT IN (SELECT doc_id FROM survivor_ids)
+                 THEN 'duplicate'
+               WHEN doc_id IN (SELECT doc_id FROM flagged)
+                 THEN 'contaminated'
+               WHEN doc_id NOT IN (SELECT doc_id FROM sampled)
+                 THEN 'sampled_out'
+               ELSE 'kept'
+             END AS disposition
+      FROM scored
+      ORDER BY doc_id
+    """))
 
   /** EXACT-k per-stratum sampling: q63's rate sampler yields binomial
     * counts (fine for rebalancing, wrong for "give me exactly 40
@@ -472,5 +537,6 @@ object TrainPrepQueries {
       ORDER BY lang, doc_id
     """))
 
-  val all: Seq[GraftQuery] = Seq(q62, q63, q73, q77, q78, q80, q84, q87, q90)
+  val all: Seq[GraftQuery] =
+    Seq(q62, q63, q73, q77, q78, q80, q84, q87, q90, q96)
 }
