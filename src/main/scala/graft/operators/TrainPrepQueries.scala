@@ -467,7 +467,11 @@ object TrainPrepQueries {
     "q96_curation_provenance",
     (s, d) => {
       val st = funnelStages(s, d, graft.Checkpoints.eager)
-      val surv = st.survivorIds.withColumn("m_surv", lit(true))
+      // survivors' doc_ids ARE survivorIds (the join intersects them
+      // with gated ids, a superset's subset) — read the materialized
+      // frame instead of re-deriving the fingerprint aggregation
+      val surv = st.survivors.select(col("doc_id"))
+        .withColumn("m_surv", lit(true))
       val flag = st.flaggedIds.withColumn("m_flag", lit(true))
       val samp = st.sampled.select(col("doc_id"))
         .withColumn("m_samp", lit(true))
