@@ -149,5 +149,62 @@ object SessionQueries {
       ORDER BY ia, ib
     """))
 
-  val all: Seq[GraftQuery] = Seq(q35, q36, q54)
+  /** Time-series subsequence similarity (the retrieved EDBT/ICDE
+    * streaming-similarity family): the 25 closest length-8 windows of
+    * any user's value series to a fixed query pattern, by squared L2.
+    * Scale shape: ONE user-partition shuffle builds the lag chain (the
+    * same clustering q35 uses — at 100 TB the two share an exchange),
+    * the distance to the constant pattern is a projection (explicit
+    * left-associated 8-term sum, bit-identical in both engines), and
+    * the global top-25 compiles to TakeOrderedAndProject — per-
+    * partition heaps, no global sort. The z-normalized and
+    * multi-pattern variants change the projection, not the plan.
+    */
+  val q97 = GraftQuery(
+    "q97_ts_pattern_match", {
+      val pattern = Seq(0.0, 1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0)
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val lags = pattern.indices.map(i =>
+          lag(col("value"), pattern.size - 1 - i).over(w))
+        val dist = lags.zip(pattern)
+          .map { case (v, p) => (v - p) * (v - p) }
+          .reduceLeft(_ + _)
+        t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("dist2", dist)
+          .filter(col("dist2").isNotNull)
+          .select(col("user_id"), col("event_id").as("anchor_event"),
+            round(col("dist2"), 6).as("dist2_r"))
+          .orderBy(col("dist2_r"), col("user_id"), col("anchor_event"))
+          .limit(25)
+      }
+    },
+    Some {
+      val pattern = Seq(0.0, 1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0)
+      val lagCols = pattern.indices.map(i =>
+        s"LAG(value, ${pattern.size - 1 - i}) OVER w AS v$i")
+        .mkString(",\n               ")
+      val distExpr = pattern.zipWithIndex
+        .map { case (p, i) => s"(v$i - $p) * (v$i - $p)" }
+        .mkString(" + ")
+      s"""
+      WITH lagged AS (
+        SELECT user_id, event_id, value,
+               $lagCols
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      scored AS (
+        SELECT user_id, event_id AS anchor_event,
+               round($distExpr, 6) AS dist2_r
+        FROM lagged WHERE v0 IS NOT NULL)
+      SELECT user_id, anchor_event, dist2_r
+      FROM scored
+      ORDER BY dist2_r, user_id, anchor_event
+      LIMIT 25
+    """
+    })
+
+  val all: Seq[GraftQuery] = Seq(q35, q36, q54, q97)
 }

@@ -366,6 +366,15 @@ class PlanSpec extends SparkSpec {
       s"q94 must not contain a window operator:\n$plan")
   }
 
+  test("q97: pattern match is one window shuffle + a top-k, no global sort") {
+    val plan = planOf(SessionQueries.q97.build(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-25 must compile to TakeOrderedAndProject:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size === 1 && exchanges.head.contains("user_id"),
+      s"only the user-partition window exchange is allowed:\n$plan")
+  }
+
   test("q82/q83: documents scan reads only doc_id and text") {
     Seq(DedupQueries.q82, TextQueries.q83).foreach { q =>
       val readSchema = planOf(q.build(spark, sf0001)).linesIterator
