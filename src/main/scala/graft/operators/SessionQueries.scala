@@ -206,5 +206,114 @@ object SessionQueries {
     """
     })
 
-  val all: Seq[GraftQuery] = Seq(q35, q36, q54, q97)
+  /** Retention cohort matrix — (first-activity day, day offset,
+    * distinct active users): the product-analytics table every event
+    * warehouse serves. Two user-keyed aggregations (first day, then
+    * the distinct-day activity), both map-side combined; day
+    * arithmetic is integer floor over epoch seconds, exact in both
+    * engines.
+    */
+  val q98 = GraftQuery(
+    "q98_retention_cohorts",
+    (s, d) => {
+      val day = floor(col("ts").cast("double") / 86400).cast("long")
+      val activity = t(s, d, "events")
+        .select(col("user_id"), day.as("day")).distinct()
+      val firstDay = activity.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      activity.join(firstDay, "user_id")
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""
+      WITH activity AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        FROM events),
+      cohorts AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY 1)
+      SELECT cohort_day, day - cohort_day AS day_offset,
+             COUNT(DISTINCT a.user_id) AS n_users
+      FROM activity a JOIN cohorts USING (user_id)
+      GROUP BY 1, 2
+      ORDER BY cohort_day, day_offset
+    """))
+
+  /** STRICT sequential funnel (signup → view → click → purchase, each
+    * stage after a qualified prior stage): per-user stage flags built
+    * as three chained cumulative-max window layers over ONE (user_id,
+    * ts, event_id) clustering — the q35 discipline: every layer reuses
+    * the same exchange, so the whole funnel costs a single shuffle at
+    * any scale (a per-stage conditional-min join chain would re-shuffle
+    * the event stream once per stage). Output: users reaching each
+    * stage.
+    */
+  val q99 = GraftQuery(
+    "q99_event_funnel",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val l1 = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("seen_signup",
+          max(when(col("event_type") === "signup", 1).otherwise(0)).over(w))
+      val l2 = l1.withColumn("seen_view",
+        max(when(col("event_type") === "view" && col("seen_signup") === 1, 1)
+          .otherwise(0)).over(w))
+      val l3 = l2.withColumn("seen_click",
+        max(when(col("event_type") === "click" && col("seen_view") === 1, 1)
+          .otherwise(0)).over(w))
+      val l4 = l3.withColumn("seen_purchase",
+        max(when(col("event_type") === "purchase" && col("seen_click") === 1,
+          1).otherwise(0)).over(w))
+      l4.groupBy(col("user_id"))
+        .agg(max(col("seen_signup")).as("s1"), max(col("seen_view")).as("s2"),
+          max(col("seen_click")).as("s3"), max(col("seen_purchase")).as("s4"))
+        .agg(sum(col("s1")).as("n_signup"),
+          sum(col("s2")).as("n_view_after"),
+          sum(col("s3")).as("n_click_after"),
+          sum(col("s4")).as("n_purchase_after"))
+    },
+    Some("""
+      WITH l1 AS (
+        SELECT user_id, ts, event_id, event_type,
+               MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                 OVER w AS seen_signup
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)),
+      l2 AS (
+        SELECT *, MAX(CASE WHEN event_type = 'view' AND seen_signup = 1
+                           THEN 1 ELSE 0 END) OVER w AS seen_view
+        FROM l1
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)),
+      l3 AS (
+        SELECT *, MAX(CASE WHEN event_type = 'click' AND seen_view = 1
+                           THEN 1 ELSE 0 END) OVER w AS seen_click
+        FROM l2
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)),
+      l4 AS (
+        SELECT *, MAX(CASE WHEN event_type = 'purchase' AND seen_click = 1
+                           THEN 1 ELSE 0 END) OVER w AS seen_purchase
+        FROM l3
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)),
+      per_user AS (
+        SELECT user_id, MAX(seen_signup) AS s1, MAX(seen_view) AS s2,
+               MAX(seen_click) AS s3, MAX(seen_purchase) AS s4
+        FROM l4 GROUP BY 1)
+      SELECT CAST(SUM(s1) AS BIGINT) AS n_signup,
+             CAST(SUM(s2) AS BIGINT) AS n_view_after,
+             CAST(SUM(s3) AS BIGINT) AS n_click_after,
+             CAST(SUM(s4) AS BIGINT) AS n_purchase_after
+      FROM per_user
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q35, q36, q54, q97, q98, q99)
 }

@@ -375,6 +375,14 @@ class PlanSpec extends SparkSpec {
       s"only the user-partition window exchange is allowed:\n$plan")
   }
 
+  test("q99: four funnel window layers share one user-partition exchange") {
+    val plan = planOf(SessionQueries.q99.build(spark, sf0001))
+    val userExchanges = plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning(user_id")).toSeq
+    assert(userExchanges.size === 1,
+      s"chained window layers must reuse one clustering:\n$plan")
+  }
+
   test("q82/q83: documents scan reads only doc_id and text") {
     Seq(DedupQueries.q82, TextQueries.q83).foreach { q =>
       val readSchema = planOf(q.build(spark, sf0001)).linesIterator
