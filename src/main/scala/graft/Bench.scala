@@ -92,12 +92,16 @@ object Bench {
     val (absaRate, vehicleRate) = streamingRates(spark)
     val curationRate = curationIngestRate(spark)
 
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate,"curation_docs_per_sec":$curationRate}"""
+    // r5-vs-r6 ran byte-identical code and still saw ±25-30 % per-query
+    // swings (q42 +25 %, q68 −30 %): the recorded statistic is min-of-N
+    // and the note travels in the artifact so a future reader never
+    // adjudicates a single-query delta inside that band as a regression.
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_$repeat","noise_note":"per-query swings up to +/-30pct on identical code (r5 vs r6 calibration); only cross-round deltas beyond that band are regressions","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate,"curation_docs_per_sec":$curationRate}"""
     println(line)
-    // belt-and-braces: persist the full line to a stable file so the
-    // committed round artifact can always be reconstructed even if the
-    // stdout capture truncates
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
+    // persist the full line INSIDE the repo (the round commits it), so
+    // all per-query times stay recoverable even when the driver's
+    // stdout tail-capture truncates the line (r4 lost ~20 keys that way)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       line + "\n")
     catch { case e: Throwable =>
@@ -121,7 +125,10 @@ object Bench {
   }
 
   /** Sustained throughput of the X46 streaming-curation loop: n docs
-    * (every 10th a near-dup, every 7th low-quality) through
+    * (every 7th low-quality — the gate wins i%70 collisions; every
+    * other 10th a near-dup of the nearest PRECEDING SURVIVING doc, so
+    * the dup source is always a text that actually entered the index)
+    * through
     * gate → redact → index probe → kept/index appends across four
     * micro-batches — the full per-batch cost including the parquet and
     * bucketed-index writes, not just the transforms. NOTE the number is
@@ -138,13 +145,17 @@ object Bench {
     val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
       "eta", "theta", "iota", "kappa", "lambda", "mu")
     def text(i: Int): String = {
-      if (i % 7 == 0) "too short" // gated out
+      if (i % 7 == 0) "too short" // gated out (wins i%70 collisions)
       else {
         val base = (0 until 20).map(j => words((i * 7 + j * 3) % words.length))
-        // every 10th doc near-duplicates its predecessor's text
-        val src = if (i % 10 == 0 && i > 0) (0 until 20)
-          .map(j => words(((i - 1) * 7 + j * 3) % words.length)).drop(1)
-        else base
+        // every 10th doc near-duplicates the nearest preceding
+        // NON-GATED doc (never two consecutive multiples of 7, so one
+        // step back at most) — duplicating a gated-out "too short"
+        // predecessor would make the doc unique, not a near-dup
+        val src = if (i % 10 == 0 && i > 0) {
+          val p = if ((i - 1) % 7 == 0) i - 2 else i - 1
+          (0 until 20).map(j => words((p * 7 + j * 3) % words.length)).drop(1)
+        } else base
         src.mkString(" ")
       }
     }

@@ -133,6 +133,67 @@ case class TinyDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared null discipline for the fused vector kernels below
+  * ([[SignLshBuckets]], [[NearestCentroidId]], [[RandomProject]]): a
+  * null ELEMENT in the input array nulls the result — mirroring
+  * [[WordFingerprint]]'s fold propagation — instead of reading
+  * undefined data through `getDouble` on a null slot. Only the first
+  * `min(numElements, dim)` slots are scanned: slots past `dim` are
+  * never read, so their nullness cannot affect the result. The codegen
+  * scan (and the nullable bit) is emitted only when the schema says
+  * elements can actually be null, so `containsNull=false` inputs pay
+  * nothing.
+  */
+trait NullSafeVectorKernel { self: UnaryExpression =>
+
+  protected def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  // the result can be null when an ELEMENT is null, not only when the
+  // array itself is (see WordFingerprint for the codegen consequence)
+  override def nullable: Boolean = child.nullable || elementsNullable
+
+  /** Eval-path scan: true iff a null element exists in the first `n`
+    * slots (constant false when the schema forbids null elements).
+    */
+  protected def hasNullElement(v: ArrayData, n: Int): Boolean = {
+    if (elementsNullable) {
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) return true
+        i += 1
+      }
+    }
+    false
+  }
+
+  /** Codegen-path scan: wraps `body` (which assigns ev.value) so a null
+    * element in the first `n` slots of `a` sets ev.isNull instead.
+    * `ev.isNull` is the literal `false` when nullable=false, so the
+    * branch is emitted only when elements can actually be null.
+    */
+  protected def guardNullElements(ctx: CodegenContext, ev: ExprCode,
+      a: String, n: String, body: String): String =
+    if (!elementsNullable) body
+    else {
+      val i = ctx.freshName("ni")
+      val hasNull = ctx.freshName("hasNull")
+      s"""
+         |boolean $hasNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { $hasNull = true; break; }
+         |}
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  $body
+         |}
+       """.stripMargin
+    }
+}
+
 /** All sign-LSH table buckets of an embedding in one fused pass.
   *
   * The composable form — one `array(lit...)` plane literal plus a
@@ -149,7 +210,7 @@ case class TinyDot(left: Expression, right: Expression)
   */
 case class SignLshBuckets(child: Expression, planes: Seq[Double],
     tables: Int, bits: Int, dim: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with NullSafeVectorKernel {
 
   // Seq field (not Array): array equality is by reference, which would
   // make semanticEquals/canonicalization never match two logically
@@ -186,9 +247,12 @@ case class SignLshBuckets(child: Expression, planes: Seq[Double],
     out
   }
 
-  override def nullSafeEval(a: Any): Any =
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-      .fromPrimitiveArray(compute(a.asInstanceOf[ArrayData]))
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    if (hasNullElement(v, math.min(v.numElements(), dim))) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(compute(v))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
@@ -201,23 +265,27 @@ case class SignLshBuckets(child: Expression, planes: Seq[Double],
       val acc = ctx.freshName("acc")
       val bucket = ctx.freshName("bucket")
       val base = ctx.freshName("base")
+      val body =
+        s"""
+           |int[] $out = new int[$tables];
+           |for (int $t = 0; $t < $tables; $t++) {
+           |  int $bucket = 0;
+           |  for (int $j = 0; $j < $bits; $j++) {
+           |    int $base = ($t * $bits + $j) * $dim;
+           |    double $acc = 0.0;
+           |    for (int $i = 0; $i < $n; $i++) {
+           |      $acc += $p[$base + $i] * $a.getDouble($i);
+           |    }
+           |    if ($acc > 0) $bucket |= (1 << $j);
+           |  }
+           |  $out[$t] = $bucket;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |  .fromPrimitiveArray($out);
+         """.stripMargin
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $dim);
-         |int[] $out = new int[$tables];
-         |for (int $t = 0; $t < $tables; $t++) {
-         |  int $bucket = 0;
-         |  for (int $j = 0; $j < $bits; $j++) {
-         |    int $base = ($t * $bits + $j) * $dim;
-         |    double $acc = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      $acc += $p[$base + $i] * $a.getDouble($i);
-         |    }
-         |    if ($acc > 0) $bucket |= (1 << $j);
-         |  }
-         |  $out[$t] = $bucket;
-         |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray($out);
+         |${guardNullElements(ctx, ev, a, n, body)}
        """.stripMargin
     })
 
@@ -231,7 +299,7 @@ case class SignLshBuckets(child: Expression, planes: Seq[Double],
   */
 case class NearestCentroidId(child: Expression, centroids: Seq[Double],
     cells: Int, dim: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with NullSafeVectorKernel {
 
   // Seq field for content equality (see SignLshBuckets note)
   @transient private lazy val centroidsArr: Array[Double] = centroids.toArray
@@ -247,6 +315,7 @@ case class NearestCentroidId(child: Expression, centroids: Seq[Double],
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val n = math.min(v.numElements(), dim)
+    if (hasNullElement(v, n)) return null
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
@@ -274,19 +343,23 @@ case class NearestCentroidId(child: Expression, centroids: Seq[Double],
       val d = ctx.freshName("d")
       val i = ctx.freshName("i")
       val diff = ctx.freshName("diff")
+      val body =
+        s"""
+           |int $best = 0;
+           |double $bestD = Double.MAX_VALUE;
+           |for (int $c = 0; $c < $cells; $c++) {
+           |  double $d = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $diff = $a.getDouble($i) - $cs[$c * $dim + $i];
+           |    $d += $diff * $diff;
+           |  }
+           |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+           |}
+           |${ev.value} = $best;
+         """.stripMargin
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $dim);
-         |int $best = 0;
-         |double $bestD = Double.MAX_VALUE;
-         |for (int $c = 0; $c < $cells; $c++) {
-         |  double $d = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $diff = $a.getDouble($i) - $cs[$c * $dim + $i];
-         |    $d += $diff * $diff;
-         |  }
-         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
-         |}
-         |${ev.value} = $best;
+         |${guardNullElements(ctx, ev, a, n, body)}
        """.stripMargin
     })
 
@@ -306,7 +379,7 @@ case class NearestCentroidId(child: Expression, centroids: Seq[Double],
   */
 case class RandomProject(child: Expression, planes: Seq[Double],
     k: Int, dim: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with NullSafeVectorKernel {
 
   // Seq field for content equality (see SignLshBuckets note)
   @transient private lazy val planesArr: Array[Double] = planes.toArray
@@ -334,9 +407,12 @@ case class RandomProject(child: Expression, planes: Seq[Double],
     out
   }
 
-  override def nullSafeEval(a: Any): Any =
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-      .fromPrimitiveArray(compute(a.asInstanceOf[ArrayData]))
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    if (hasNullElement(v, math.min(v.numElements(), dim))) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(compute(v))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
@@ -346,18 +422,22 @@ case class RandomProject(child: Expression, planes: Seq[Double],
       val j = ctx.freshName("j")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val body =
+        s"""
+           |double[] $out = new double[$k];
+           |for (int $j = 0; $j < $k; $j++) {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $acc += $p[$j * $dim + $i] * $a.getDouble($i);
+           |  }
+           |  $out[$j] = $acc;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |  .fromPrimitiveArray($out);
+         """.stripMargin
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $dim);
-         |double[] $out = new double[$k];
-         |for (int $j = 0; $j < $k; $j++) {
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += $p[$j * $dim + $i] * $a.getDouble($i);
-         |  }
-         |  $out[$j] = $acc;
-         |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray($out);
+         |${guardNullElements(ctx, ev, a, n, body)}
        """.stripMargin
     })
 

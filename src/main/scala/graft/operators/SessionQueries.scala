@@ -198,9 +198,10 @@ object SessionQueries {
       scored AS (
         SELECT user_id, event_id AS anchor_event,
                round($distExpr, 6) AS dist2_r
-        FROM lagged WHERE v0 IS NOT NULL)
+        FROM lagged)
       SELECT user_id, anchor_event, dist2_r
       FROM scored
+      WHERE dist2_r IS NOT NULL
       ORDER BY dist2_r, user_id, anchor_event
       LIMIT 25
     """

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** sf1-decade scaling spot-check (r6 verdict stretch item 8): build a
+  * 10× documents corpus from sf0.1 (replica r prefixes every word with
+  * `r<r>`, so WITHIN-replica dup/cluster structure is preserved exactly
+  * while no cross-replica near-dups are invented — pair and cluster
+  * counts scale ×10, matching a genuine corpus decade), then time the
+  * five most expensive suite queries and print observed t(10×)/t(1×)
+  * ratios for SCALE.md's measured table. Not part of the library.
+  *
+  * Run: sbt "Test/runMain graft.ProfileSfx"
+  */
+object ProfileSfx {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val dst = s"${sys.props("java.io.tmpdir")}/graft-sfx1"
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val offset = 10000000L
+    val replicas = (0 until 10).map { r =>
+      val d = docs.withColumn("doc_id", col("doc_id") + lit(r * offset))
+      if (r == 0) d
+      else d.withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", s"r$r$$1"))
+    }
+    replicas.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    val n = spark.read.parquet(s"$dst/documents.parquet").count()
+    println(s"[prof] sfx1 documents rows = $n (10x sf0.1)")
+
+    val five = Seq(
+      graft.operators.DedupQueries.q68,
+      graft.operators.DedupQueries.q81,
+      graft.operators.TrainPrepQueries.q87,
+      graft.operators.TrainPrepQueries.q96,
+      graft.operators.SketchQueries.q72a)
+
+    def minOf(reps: Int)(f: => Unit): Double =
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+
+    five.foreach { q =>
+      val t01 = minOf(2)(q.build(spark, src).count())
+      val t1 = minOf(2)(q.build(spark, dst).count())
+      println(f"[prof] ${q.name}: sf0.1 $t01%.2f s -> sfx1 $t1%.2f s " +
+        f"(ratio ${t1 / t01}%.1fx, exponent ${math.log10(t1 / t01)}%.2f)")
+    }
+    spark.stop()
+  }
+}
