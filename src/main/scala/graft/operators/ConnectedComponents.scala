@@ -18,11 +18,17 @@ import graft.Checkpoints.EagerCheckpoint
   * other, so components are near-cliques; diameters in the low single
   * digits). `localCheckpoint` truncates lineage each round, keeping the
   * plan O(1) instead of O(iterations). For graphs with genuinely long
-  * chains, the two-phase large-star/small-star variant (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond", SoCC'14) converges
-  * in O(log d) rounds with the same per-round shuffle shape; the plain
-  * propagation is kept here because the extra phase only pays off past
-  * diameters this workload never produces.
+  * chains, pointer jumping (label(label(id)), the shortcut behind the
+  * two-phase variants of Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC'14) converges in O(log d) rounds at one
+  * extra (id, comp)-longs shuffle per round. Measured on this box
+  * (ProfileCcChain, local[32], min-of-3): diameter 255 → 33.3 s plain
+  * vs 3.5 s jumped (9.4×), diameter 63 → 5.6×, diameter 15 → 1.4×;
+  * near-clique triangles → jumped is 1.2-1.7× SLOWER. Hence the
+  * ADAPTIVE default: plain rounds first (cliques converge in 2-3 and
+  * never pay the extra join), and jumping switches on automatically at
+  * `jumpAfter` unconverged rounds, capping any adversarial chain at
+  * O(jumpAfter + log d) rounds instead of O(d).
   *
   * No reference counterpart (the reference has no dedup at all —
   * SURVEY §2.8 X15 extension).
@@ -34,16 +40,23 @@ object ConnectedComponents {
     *
     * @param maxIter hard cap; a `require` fires if the fixpoint is not
     *                reached, rather than returning wrong labels.
-    * @param pointerJump add a label(label(id)) shortcut join per round —
-    *                O(log d) rounds instead of O(d) at one extra
-    *                (id, comp)-longs shuffle per round. Worth it only
-    *                for long-chain graphs; near-dup clusters are
-    *                near-cliques (diameter ~2-3), where the extra join
-    *                costs more than the rounds it saves — measured, see
-    *                ConnectedComponentsSpec and SCALE.md.
+    * @param pointerJump force the label(label(id)) shortcut join from
+    *                round 0 — O(log d) rounds instead of O(d) at one
+    *                extra (id, comp)-longs shuffle per round. Only
+    *                worth forcing when the graph is KNOWN long-chained;
+    *                otherwise leave the adaptive default.
+    * @param jumpAfter enable pointer jumping automatically once this
+    *                many rounds have run without converging. Near-dup
+    *                clusters are near-cliques (diameter ~2-3) and
+    *                converge before the threshold, paying nothing; the
+    *                measured chain crossover is diameter ~15 (see
+    *                scaladoc above), so 8 plain rounds bound the
+    *                wasted-work region while deep chains still finish
+    *                in O(log d). `Int.MaxValue` disables.
     */
   def labels(pairs: DataFrame, a: String = "doc_a", b: String = "doc_b",
-      maxIter: Int = 20, pointerJump: Boolean = false): DataFrame = {
+      maxIter: Int = 20, pointerJump: Boolean = false,
+      jumpAfter: Int = 8): DataFrame = {
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
       .eagerCheckpoint()
@@ -66,7 +79,8 @@ object ConnectedComponents {
           col("comp").as("prev")))
         .groupBy(col("id"))
         .agg(min(col("cand")).as("comp"), max(col("prev")).as("prev"))
-      val next = (if (!pointerJump) propagated
+      val jumpNow = pointerJump || iter >= jumpAfter
+      val next = (if (!jumpNow) propagated
       else {
         // label(id) := label(label(id)): comp values are node ids, and
         // every node has a row, so the self-join is total; jumping

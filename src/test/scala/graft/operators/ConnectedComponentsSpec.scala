@@ -101,6 +101,22 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(m.keySet === (1L to 12L).toSet)
   }
 
+  test("adaptive jumping closes a 64-node path inside the default cap") {
+    // diameter 63 ≫ maxIter=20: plain propagation alone cannot converge,
+    // so this passes only because jumping auto-enables at jumpAfter=8
+    // (8 plain + O(log 63) jumped rounds). Forcing jumping OFF must
+    // fail loudly on the same graph — proving the adaptive switch, not
+    // a generous cap, is what closed it.
+    val edges = (1L until 64L).map(i => i -> (i + 1))
+    val m = ConnectedComponents.labels(pairs(edges: _*))
+      .as[(Long, Long)].collect().toMap
+    assert(m.values.toSet === Set(1L))
+    assert(m.keySet === (1L to 64L).toSet)
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.labels(pairs(edges: _*), jumpAfter = Int.MaxValue)
+    }
+  }
+
   test("closure over the LSH pair miner matches the exact-pair closure") {
     // The at-scale wiring is labels(nearDuplicates(...)) — LSH-mined
     // pairs, not the quadratic exact miner. On a PLANTED corpus whose
