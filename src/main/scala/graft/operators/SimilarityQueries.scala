@@ -264,5 +264,95 @@ object SimilarityQueries {
     """
     })
 
-  val all: Seq[GraftQuery] = Seq(q45, q46, q65, q76, q89)
+  /** Semantic dedup, the SemDeDup composition ([[SemanticDedup]], X53):
+    * unit-normalize → coarse centroid cell (the q55/q65 LCG-matrix
+    * discipline, so the oracle regenerates the centroids in SQL) →
+    * within-cell cosine pairs → transitive closure → keep the group
+    * member farthest from its centroid. The corpus is unioned with a
+    * half-scaled copy (q76's planted harness): scaling by 0.5 is exact
+    * and unit-normalization cancels it bit-for-bit, so every planted
+    * pair lands in its original's cell with cosine exactly 1 and the
+    * output is hash-checkable end to end — cells, closure, and keep
+    * rule all exercised. minCos = 0.5 sits below the corpus's natural
+    * max pairwise cosine, so natural same-cell pairs participate too.
+    */
+  val q100 = GraftQuery(
+    "q100_semantic_dedup",
+    (s, d) => {
+      val (cells, dim) = (8, 64)
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val planted = base.select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5d)).as("embedding"))
+      SemanticDedup.prune(base.union(planted), jlPlanes(cells, dim),
+        cells, dim, minCos = 0.5)
+    },
+    Some("""
+      WITH RECURSIVE base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      uall AS (
+        SELECT vec_id, emb FROM base
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(emb, x -> x * 0.5) AS emb
+        FROM base),
+      u AS (
+        SELECT vec_id,
+               list_transform(emb, x -> x /
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(emb, y -> y * y)),
+                   (acc, v) -> acc + v))) AS unit
+        FROM uall),
+      cellscore AS (
+        SELECT u.vec_id, CAST(c.cell AS INTEGER) AS cell,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(u.unit, (x, i) ->
+                   (x - ((CAST(c.cell * 64 + (i - 1) AS BIGINT) * 1103515245
+                          + 12345) % 2001 - 1000) / 1000.0)
+                   * (x - ((CAST(c.cell * 64 + (i - 1) AS BIGINT) * 1103515245
+                            + 12345) % 2001 - 1000) / 1000.0))),
+                 (acc, v) -> acc + v) AS d
+        FROM u CROSS JOIN range(8) AS c(cell)),
+      assigned AS (
+        SELECT vec_id, cell, d AS cdist
+        FROM (SELECT vec_id, cell, d,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d, cell) AS rk
+              FROM cellscore)
+        WHERE rk = 1),
+      pairs AS (
+        SELECT x.vec_id AS ia, y.vec_id AS ib
+        FROM assigned x
+        JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        JOIN u ux ON ux.vec_id = x.vec_id
+        JOIN u uy ON uy.vec_id = y.vec_id
+        WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(ux.unit, (x, i) -> x * uy.unit[i])),
+                (acc, v) -> acc + v) >= 0.5),
+      nodes AS (
+        SELECT ia AS id FROM pairs UNION SELECT ib FROM pairs),
+      edges AS (
+        SELECT ia AS src, ib AS dst FROM pairs
+        UNION ALL
+        SELECT ib, ia FROM pairs),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
+      comp AS (SELECT id, MIN(r) AS group_id FROM reach GROUP BY 1),
+      sized AS (
+        SELECT group_id, COUNT(*) AS group_size FROM comp GROUP BY 1)
+      SELECT c.id AS vec_id, a.cell, c.group_id, s.group_size,
+             round(a.cdist, 6) AS cdist_r,
+             ROW_NUMBER() OVER (PARTITION BY c.group_id
+                                ORDER BY a.cdist DESC, c.id) = 1 AS kept
+      FROM comp c
+      JOIN sized s USING (group_id)
+      JOIN assigned a ON a.vec_id = c.id
+      ORDER BY vec_id
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q45, q46, q65, q76, q89, q100)
 }

@@ -541,6 +541,64 @@ object TrainPrepQueries {
       ORDER BY lang, doc_id
     """))
 
+  /** DSIR importance resampling ([[ImportanceResampling]], X54): score
+    * every doc by the log-likelihood ratio of its bigram bag under a
+    * target-corpus model (here: the `lang = 'en'` slice, standing in
+    * for a curated target) vs the raw-corpus model, then Gumbel-top-50
+    * resample ∝ weight. `logw_r` is a decimal sum of rounded terms, so
+    * the weights themselves hash-match, not just the selection.
+    */
+  val q101 = GraftQuery(
+    "q101_importance_resample",
+    (s, d) => ImportanceResampling.resample(
+      t(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
+      isTarget = col("lang") === "en", k = 50),
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, lang,
+               string_split(${normalizeSql("text")}, ' ') AS words
+        FROM documents),
+      inst AS (
+        SELECT doc_id, lang, words[i] || ' ' || words[i + 1] AS bigram
+        FROM (SELECT doc_id, lang, words,
+                     unnest(generate_series(1, len(words) - 1)) AS i
+              FROM docs WHERE len(words) >= 2)),
+      by_doc AS (
+        SELECT doc_id, lang, bigram, COUNT(*) AS k
+        FROM inst GROUP BY 1, 2, 3),
+      raw_model AS (
+        SELECT bigram, SUM(k) AS n_raw FROM by_doc GROUP BY 1),
+      tgt_model AS (
+        SELECT bigram, SUM(k) AS n_tgt FROM by_doc
+        WHERE lang = 'en' GROUP BY 1),
+      totals AS (
+        SELECT (SELECT SUM(k) FROM by_doc) AS t_raw,
+               (SELECT SUM(k) FROM by_doc WHERE lang = 'en') AS t_tgt,
+               (SELECT COUNT(*) FROM raw_model) AS v),
+      scored AS (
+        SELECT doc_id, lang,
+               CAST(SUM(k) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(round(k * ln(
+                 CAST((COALESCE(n_tgt, 0) + 1) * (t_raw + v) AS DOUBLE) /
+                 CAST((n_raw + 1) * (t_tgt + v) AS DOUBLE)), 6)
+                 AS DECIMAL(20,6))) AS DOUBLE) AS logw_r
+        FROM by_doc
+        JOIN raw_model USING (bigram)
+        LEFT JOIN tgt_model USING (bigram)
+        CROSS JOIN totals
+        GROUP BY 1, 2),
+      sampled AS (
+        SELECT doc_id, lang, n_bigrams, logw_r
+        FROM scored
+        ORDER BY logw_r - ln(-ln(
+            (((doc_id * 1103515245 + 12345) % 1000000) + 1) / 1000001.0))
+          DESC, doc_id
+        LIMIT 50)
+      SELECT doc_id, lang, n_bigrams, logw_r
+      FROM sampled
+      ORDER BY doc_id
+    """))
+
   val all: Seq[GraftQuery] =
-    Seq(q62, q63, q73, q77, q78, q80, q84, q87, q90, q96)
+    Seq(q62, q63, q73, q77, q78, q80, q84, q87, q90, q96, q101)
 }

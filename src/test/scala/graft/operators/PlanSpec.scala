@@ -213,6 +213,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q101: 1-row totals broadcasts unhinted; top-k avoids a global sort") {
+    // the totals frame is a grouping-key-free aggregate (maxRows = 1):
+    // Catalyst must broadcast the cross join off that estimate with NO
+    // hint (a hint would put SF-scaling lineage behind a broadcast — the
+    // sweep above forbids it), and the Gumbel-top-k must compile to
+    // per-partition heaps, not a full sort
+    val plan = planOf(TrainPrepQueries.q101.build(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"totals cross join must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product over the corpus:\n${plan.take(1500)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n${plan.take(1500)}")
+  }
+
   test("q62: the whole prep pipeline reads the documents table ONCE") {
     val plan = planOf(TrainPrepQueries.q62.build(spark, sf0001))
     val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
