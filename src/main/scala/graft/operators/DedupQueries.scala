@@ -349,5 +349,56 @@ object DedupQueries {
       ORDER BY doc_id
     """))
 
-  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q68, q71, q81, q82)
+  /** Boilerplate removal ([[SpanDedup.removeBoilerplate]], X55) — the
+    * REWRITE face of q82's detection, the C4/CCNet line-dedup step:
+    * blocks occurring in ≥ 2 distinct docs are cut, survivors + the
+    * sub-block tail reassembled in order. 3-word blocks because this
+    * corpus's cross-doc repetition lives at that scale (~19 % of
+    * distinct 3-blocks are shared; 20-word blocks would make the
+    * rewrite a no-op here). The oracle groups by block text where Spark
+    * groups by md5(block) — same classes, so the rewritten TEXT itself
+    * hash-matches.
+    */
+  val q102 = GraftQuery(
+    "q102_boilerplate_removal",
+    (s, d) => SpanDedup.removeBoilerplate(
+      t(s, d, "documents").select(col("doc_id"), col("text")),
+      blockWords = 3, minDocs = 2),
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(${normalizeSql("text")}, ' ') AS words
+        FROM documents),
+      p AS (
+        SELECT doc_id, words,
+               GREATEST(CAST(len(words) // 3 AS INTEGER), 0) AS nb
+        FROM docs),
+      expanded AS (
+        SELECT doc_id, words,
+               unnest(generate_series(0,
+                 CAST(len(words) // 3 AS INTEGER) - 1)) AS bi
+        FROM docs WHERE len(words) >= 3),
+      inst AS (
+        SELECT doc_id, bi,
+               array_to_string(words[bi*3+1 : bi*3+3], ' ') AS block
+        FROM expanded),
+      df AS (
+        SELECT block, COUNT(DISTINCT doc_id) AS n_docs
+        FROM inst GROUP BY 1),
+      kept AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(block, ' ' ORDER BY bi) AS kept_text
+        FROM inst JOIN df USING (block)
+        WHERE n_docs < 2
+        GROUP BY doc_id)
+      SELECT p.doc_id,
+             COALESCE(concat_ws(' ', NULLIF(kept_text, ''),
+               NULLIF(array_to_string(
+                 words[p.nb*3+1 : len(words)], ' '), '')), '') AS clean_text,
+             CAST(p.nb AS BIGINT) AS n_blocks,
+             CAST(p.nb - COALESCE(n_kept, 0) AS BIGINT) AS n_removed
+      FROM p LEFT JOIN kept USING (doc_id)
+      ORDER BY doc_id
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q68, q71, q81, q82, q102)
 }

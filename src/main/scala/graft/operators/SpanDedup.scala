@@ -39,9 +39,12 @@ object SpanDedup {
     */
   /** Raw block instances over `docs(doc_id, text)`: one row per
     * consecutive non-overlapping `blockWords`-word block, as
-    * (doc_id, block text). The shared kernel of [[dupBlockStats]] and
-    * the bloom pre-filter ([[BloomDedup]]) — one block definition, so
-    * the exact and sketched paths cannot drift.
+    * (doc_id, bi, block text) with `bi` the 0-based block position —
+    * the position makes order-preserving reassembly
+    * ([[removeBoilerplate]]) possible. The shared kernel of
+    * [[dupBlockStats]], the bloom pre-filter ([[BloomDedup]]), and the
+    * boilerplate rewrite — one block definition, so the exact and
+    * sketched paths cannot drift.
     */
   def blocks(docs: DataFrame, blockWords: Int): DataFrame =
     docs
@@ -51,10 +54,61 @@ object SpanDedup {
         explode(sequence(lit(0),
           floor(size(col("words")) / blockWords).cast("int") - 1)).as("bi"),
         col("words"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("bi"),
         concat_ws(" ",
           slice(col("words"), col("bi") * blockWords + 1, lit(blockWords)))
           .as("block"))
+
+  /** Boilerplate REMOVAL — the rewrite face of [[dupBlockStats]]'s
+    * detection, the C4/CCNet line-dedup step re-expressed on the shared
+    * block unit: a block is boilerplate when its content occurs in at
+    * least `minDocs` DISTINCT documents (doc frequency, not occurrence
+    * count — a phrase repeated inside ONE document is repetition, q69's
+    * concern, not boilerplate). Every boilerplate block instance is cut
+    * and each document's surviving blocks plus its sub-block tail are
+    * reassembled in original order.
+    *
+    * Output per input doc: (doc_id, clean_text, n_blocks, n_removed),
+    * docs shorter than one block pass through untouched.
+    *
+    * Scale shape: doc frequency shuffles 16-byte digests after a
+    * distinct that collapses within-doc repeats map-side; the only
+    * text-carrying exchange is the reassembly groupBy, which moves
+    * exactly the KEPT block text once — there is no way to rewrite a
+    * corpus without moving the survivors. Reassembly is
+    * sort_array(collect_list(struct(bi, block))) per doc — in-memory
+    * sort of ≤ words/blockWords entries, no window, no second shuffle.
+    */
+  def removeBoilerplate(docs: DataFrame, blockWords: Int,
+      minDocs: Int): DataFrame = {
+    val parsed = docs
+      .select(col("doc_id"), split(normalize(col("text")), " ").as("words"))
+      .withColumn("nb",
+        greatest(floor(size(col("words")) / blockWords).cast("int"), lit(0)))
+    val inst = blocks(docs, blockWords)
+      .withColumn("bh", md5(col("block")))
+    val docFreq = inst.select(col("bh"), col("doc_id")).distinct()
+      .groupBy(col("bh")).agg(count(lit(1)).as("n_docs"))
+    val kept = inst.join(docFreq, "bh")
+      .filter(col("n_docs") < minDocs)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        transform(sort_array(collect_list(struct(col("bi"), col("block")))),
+          x => x.getField("block")).as("kept_blocks"))
+    parsed
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(concat(
+          coalesce(col("kept_blocks"),
+            array().cast("array<string>")),
+          slice(col("words"), col("nb") * blockWords + 1,
+            size(col("words")) - col("nb") * blockWords)), " ")
+          .as("clean_text"),
+        col("nb").cast("long").as("n_blocks"),
+        (col("nb") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
 
   def dupBlockStats(docs: DataFrame, blockWords: Int): DataFrame = {
     val inst = blocks(docs, blockWords)
