@@ -100,8 +100,10 @@ object Bench {
     println(line)
     // persist the full line INSIDE the repo (the round commits it), so
     // all per-query times stay recoverable even when the driver's
-    // stdout tail-capture truncates the line (r4 lost ~20 keys that way)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    // stdout tail-capture truncates the line (r4 lost ~20 keys that way);
+    // cwd-relative so a clone anywhere still writes it (sbt runs from
+    // the project root)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       line + "\n")
     catch { case e: Throwable =>

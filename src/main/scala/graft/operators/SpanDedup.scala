@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.EagerCheckpoint
 import graft.functions.MockScorers.normalize
 
 /** Sub-document (span-level) deduplication: documents that are NOT
@@ -47,8 +48,19 @@ object SpanDedup {
     * sketched paths cannot drift.
     */
   def blocks(docs: DataFrame, blockWords: Int): DataFrame =
-    docs
-      .select(col("doc_id"), split(normalize(col("text")), " ").as("words"))
+    blocksFromWords(
+      docs.select(col("doc_id"),
+        split(normalize(col("text")), " ").as("words")),
+      blockWords)
+
+  /** [[blocks]] over an already-tokenized `(doc_id, words)` frame — the
+    * seam that lets [[removeBoilerplate]] tokenize the corpus exactly
+    * once and derive every downstream frame from the same scan.
+    */
+  private def blocksFromWords(parsed: DataFrame,
+      blockWords: Int): DataFrame =
+    parsed
+      .select(col("doc_id"), col("words"))
       .filter(size(col("words")) >= blockWords)
       .select(col("doc_id"),
         explode(sequence(lit(0),
@@ -71,11 +83,15 @@ object SpanDedup {
     * Output per input doc: (doc_id, clean_text, n_blocks, n_removed),
     * docs shorter than one block pass through untouched.
     *
-    * Scale shape: doc frequency shuffles 16-byte digests after a
-    * distinct that collapses within-doc repeats map-side; the only
-    * text-carrying exchange is the reassembly groupBy, which moves
-    * exactly the KEPT block text once — there is no way to rewrite a
-    * corpus without moving the survivors. Reassembly is
+    * Scale shape: the corpus is tokenized ONCE — `parsed` is eagerly
+    * materialized (q87's discipline) and instances, doc frequency, and
+    * the reassembly all derive from it, instead of re-running the
+    * normalize+split scan per consumer (measured: the naive three-branch
+    * form executed 3 FileScans with zero exchange reuse). Doc frequency
+    * shuffles 16-byte digests after a distinct that collapses within-doc
+    * repeats map-side; the only text-carrying exchange is the reassembly
+    * groupBy, which moves exactly the KEPT block text once — there is no
+    * way to rewrite a corpus without moving the survivors. Reassembly is
     * sort_array(collect_list(struct(bi, block))) per doc — in-memory
     * sort of ≤ words/blockWords entries, no window, no second shuffle.
     */
@@ -85,7 +101,8 @@ object SpanDedup {
       .select(col("doc_id"), split(normalize(col("text")), " ").as("words"))
       .withColumn("nb",
         greatest(floor(size(col("words")) / blockWords).cast("int"), lit(0)))
-    val inst = blocks(docs, blockWords)
+      .eagerCheckpoint()
+    val inst = blocksFromWords(parsed, blockWords)
       .withColumn("bh", md5(col("block")))
     val docFreq = inst.select(col("bh"), col("doc_id")).distinct()
       .groupBy(col("bh")).agg(count(lit(1)).as("n_docs"))
