@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.MockScorers.normalize
+
+/** The Gopher document-quality rules (Rae et al., "Scaling Language
+  * Models: Methods, Analysis & Insights from Training Gopher", 2021,
+  * Appendix A — the ruleset RedPajama and similar corpus builds reuse)
+  * as named, composable Column predicates plus a per-document verdict.
+  * [[graft.operators.TextQueries]]'s q48 scores quality continuously;
+  * this is the published DECISION ruleset — each rule individually
+  * reportable so a corpus audit can say which rule gated a doc, and the
+  * conjunction pluggable into the q87 funnel's gate stage.
+  *
+  * Rules kept (of Appendix A): word count bounds, mean word length
+  * bounds, alphabetic-word fraction, and minimum stop-word hits. The
+  * line-shape rules (bullet/ellipsis line fractions) need line
+  * structure this corpus does not have and are omitted rather than
+  * stubbed.
+  *
+  * Scale shape: everything is ONE map-side projection over the token
+  * array — no shuffle, no join, no UDF; the word stats fold in codegen
+  * via `aggregate`/`transform`. Integer sums divided once keep every
+  * ratio cross-engine exact.
+  */
+object GopherRules {
+
+  val MinWords = 50
+  val MaxWords = 100000
+  val MinMeanLen = 3.0
+  val MaxMeanLen = 10.0
+  val MinAlphaFrac = 0.8
+  val MinStopHits = 2
+
+  /** Gopher's stop-word probe list (Appendix A): a doc of natural prose
+    * contains at least two of these.
+    */
+  val StopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private def words(text: Column): Column = split(normalize(text), " ")
+
+  private def intSum(arr: Column): Column =
+    aggregate(arr, lit(0L), (acc, v) => acc + v)
+
+  /** Per-document rule columns over `docs(doc_id, text)`: stats, one
+    * boolean per rule, and the conjunction verdict; ordered by doc_id.
+    */
+  def audit(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w)
+    val meanLen = intSum(transform(w, x => length(x).cast("long")))
+      .cast("double") / nWords
+    val alphaFrac = intSum(transform(w,
+      x => when(x.rlike("[a-z]"), 1L).otherwise(0L)))
+      .cast("double") / nWords
+    val stopHits = intSum(transform(w,
+      x => when(x.isInCollection(StopWords), 1L).otherwise(0L)))
+    docs
+      .select(col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(alphaFrac, 6).as("alpha_frac"),
+        stopHits.as("stop_hits"))
+      .withColumn("ok_word_count",
+        col("n_words") >= MinWords && col("n_words") <= MaxWords)
+      .withColumn("ok_mean_len",
+        col("mean_word_len") >= MinMeanLen &&
+          col("mean_word_len") <= MaxMeanLen)
+      .withColumn("ok_alpha", col("alpha_frac") >= MinAlphaFrac)
+      .withColumn("ok_stop_words", col("stop_hits") >= MinStopHits)
+      .withColumn("pass",
+        col("ok_word_count") && col("ok_mean_len") &&
+          col("ok_alpha") && col("ok_stop_words"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -619,6 +619,48 @@ object TextQueries {
       FROM sums
     """))
 
+  /** The Gopher quality ruleset ([[GopherRules]], X56): per-doc stats,
+    * one boolean per published rule, and the conjunction — the named
+    * DECISION layer over q48's continuous scores. One map-side
+    * projection, integer sums divided once, so every ratio and verdict
+    * hash-matches.
+    */
+  val q103 = GraftQuery(
+    "q103_gopher_rules",
+    (s, d) => GopherRules.audit(
+      t(s, d, "documents").select(col("doc_id"), col("text"))),
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(${normalizeSql("text")}, ' ') AS words
+        FROM documents),
+      stats AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               round(CAST(list_sum(list_transform(words,
+                 x -> length(x))) AS DOUBLE) / len(words), 6)
+                 AS mean_word_len,
+               round(CAST(list_sum(list_transform(words,
+                 x -> CASE WHEN regexp_matches(x, '[a-z]')
+                      THEN 1 ELSE 0 END)) AS DOUBLE) / len(words), 6)
+                 AS alpha_frac,
+               CAST(list_sum(list_transform(words,
+                 x -> CASE WHEN x IN ('the','be','to','of','and','that',
+                                      'have','with')
+                      THEN 1 ELSE 0 END)) AS BIGINT) AS stop_hits
+        FROM docs)
+      SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+             n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+             mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mean_len,
+             alpha_frac >= 0.8 AS ok_alpha,
+             stop_hits >= 2 AS ok_stop_words,
+             (n_words >= 50 AND n_words <= 100000)
+               AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+               AND alpha_frac >= 0.8 AND stop_hits >= 2 AS pass
+      FROM stats
+      ORDER BY doc_id
+    """))
+
   val all: Seq[GraftQuery] =
-    Seq(q47, q48, q49, q50, q51, q69, q70, q79, q83, q86, q88, q93, q94, q95)
+    Seq(q47, q48, q49, q50, q51, q69, q70, q79, q83, q86, q88, q93, q94,
+      q95, q103)
 }

@@ -37,7 +37,11 @@ object ProfileSfx {
       graft.operators.DedupQueries.q81,
       graft.operators.TrainPrepQueries.q87,
       graft.operators.TrainPrepQueries.q96,
-      graft.operators.SketchQueries.q72a)
+      graft.operators.SketchQueries.q72a,
+      // r7 additions (document-reading, so the replica corpus covers
+      // them; q100 reads embeddings and has no replica harness here)
+      graft.operators.TrainPrepQueries.q101,
+      graft.operators.DedupQueries.q102)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
