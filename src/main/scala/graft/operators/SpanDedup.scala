@@ -83,17 +83,21 @@ object SpanDedup {
     * Output per input doc: (doc_id, clean_text, n_blocks, n_removed),
     * docs shorter than one block pass through untouched.
     *
-    * Scale shape: the corpus is tokenized ONCE — `parsed` is eagerly
-    * materialized (q87's discipline) and instances, doc frequency, and
-    * the reassembly all derive from it, instead of re-running the
-    * normalize+split scan per consumer (measured: the naive three-branch
-    * form executed 3 FileScans with zero exchange reuse). Doc frequency
-    * shuffles 16-byte digests after a distinct that collapses within-doc
-    * repeats map-side; the only text-carrying exchange is the reassembly
-    * groupBy, which moves exactly the KEPT block text once — there is no
-    * way to rewrite a corpus without moving the survivors. Reassembly is
-    * sort_array(collect_list(struct(bi, block))) per doc — in-memory
-    * sort of ≤ words/blockWords entries, no window, no second shuffle.
+    * Scale shape — TEXT CROSSES EXACTLY ONE EXCHANGE (PlanSpec-walked,
+    * q87's contract): the corpus is tokenized once (`parsed` eagerly
+    * materialized, q87's discipline — the naive three-branch form
+    * executed 3 FileScans with zero exchange reuse), the candidate path
+    * runs entirely on (doc_id, bi, digest) triples — doc frequency,
+    * the ≥ minDocs filter, and the per-doc removed-position collection
+    * shuffle 16-byte digests and int positions, never a block string —
+    * and the rewrite itself is an index lambda over the original words
+    * array (`filter((w, i) → …)`, codegen'd): a word survives unless
+    * its block position was collected as boilerplate, the tail
+    * (positions ≥ nb·blockWords) always survives. The one text-carrying
+    * exchange is the join that brings the removed-position sets to the
+    * words — co-locating corpus text with a globally-derived per-doc
+    * verdict cannot cost less. No collect_list of text, no sort, no
+    * reconcatenation: the document is never taken apart.
     */
   def removeBoilerplate(docs: DataFrame, blockWords: Int,
       minDocs: Int): DataFrame = {
@@ -102,28 +106,26 @@ object SpanDedup {
       .withColumn("nb",
         greatest(floor(size(col("words")) / blockWords).cast("int"), lit(0)))
       .eagerCheckpoint()
-    val inst = blocksFromWords(parsed, blockWords)
-      .withColumn("bh", md5(col("block")))
-    val docFreq = inst.select(col("bh"), col("doc_id")).distinct()
+    // digest-only instance stream: (doc_id, bi, bh) — text stays put
+    val instIds = blocksFromWords(parsed, blockWords)
+      .select(col("doc_id"), col("bi"), md5(col("block")).as("bh"))
+    val docFreq = instIds.select(col("bh"), col("doc_id")).distinct()
       .groupBy(col("bh")).agg(count(lit(1)).as("n_docs"))
-    val kept = inst.join(docFreq, "bh")
-      .filter(col("n_docs") < minDocs)
+    val removedPerDoc = instIds.join(docFreq, "bh")
+      .filter(col("n_docs") >= minDocs)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        transform(sort_array(collect_list(struct(col("bi"), col("block")))),
-          x => x.getField("block")).as("kept_blocks"))
+      .agg(collect_list(col("bi")).as("removed_bis"))
     parsed
-      .join(kept, Seq("doc_id"), "left")
+      .join(removedPerDoc, Seq("doc_id"), "left")
+      .withColumn("removed",
+        coalesce(col("removed_bis"), array().cast("array<int>")))
       .select(col("doc_id"),
-        array_join(concat(
-          coalesce(col("kept_blocks"),
-            array().cast("array<string>")),
-          slice(col("words"), col("nb") * blockWords + 1,
-            size(col("words")) - col("nb") * blockWords)), " ")
-          .as("clean_text"),
+        array_join(filter(col("words"), (w, i) =>
+          !(i < col("nb") * blockWords &&
+            array_contains(col("removed"), floor(i / blockWords).cast("int")))),
+          " ").as("clean_text"),
         col("nb").cast("long").as("n_blocks"),
-        (col("nb") - coalesce(col("n_kept"), lit(0L))).cast("long")
-          .as("n_removed"))
+        size(col("removed")).cast("long").as("n_removed"))
       .orderBy(col("doc_id"))
   }
 

@@ -357,6 +357,41 @@ class PlanSpec extends SparkSpec {
       s"document text must never broadcast:\n${textBroadcasts(all).mkString("\n")}")
   }
 
+  test("q102 rewrite: text crosses one hash exchange; candidate path is digest-only") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case r: ReusedExchangeExec => nodes(r.child)
+      case other => other.children.flatMap(nodes)
+    })
+    def carriesText(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]) =
+      out.exists(a => Set("text", "words", "block", "clean_text")(a.name))
+    val df = DedupQueries.q102.build(spark, sf0001)
+    df.collect() // materialize AQE's final plans
+    val all = nodes(df.asInstanceOf[ClassicDataset[_]]
+      .queryExecution.executedPlan)
+    // the presentation ORDER BY (range partitioning) is the oracle
+    // gate's determinism sort, not part of the rewrite — a production
+    // run writes without it; every HASH exchange is the real contract
+    val textHashShuffles = all.collect {
+      case e: ShuffleExchangeLike
+          if carriesText(e.output) &&
+            !e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }
+    assert(textHashShuffles.size <= 1,
+      "words/blocks may cross at most the ONE verdict-join exchange; " +
+        s"found:\n${textHashShuffles.mkString("\n")}")
+    val textBroadcasts = all.collect {
+      case e: BroadcastExchangeLike if carriesText(e.output) => e
+    }
+    assert(textBroadcasts.isEmpty,
+      s"document text must never broadcast:\n${textBroadcasts.mkString("\n")}")
+  }
+
   test("q90: exact-k stratified sample runs through the native top-k op") {
     val plan = planOf(TrainPrepQueries.q90.build(spark, sf0001))
     assert(plan.contains("TopKPerGroup"),
