@@ -35,7 +35,8 @@ object GopherRules {
   val MinStopHits = 2
 
   /** Gopher's stop-word probe list (Appendix A): a doc of natural prose
-    * contains at least two of these.
+    * contains at least two DISTINCT words of this list — membership,
+    * not occurrences ("the the …" hits ONE list word, not two).
     */
   val StopWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -56,8 +57,11 @@ object GopherRules {
     val alphaFrac = intSum(transform(w,
       x => when(x.rlike("[a-z]"), 1L).otherwise(0L)))
       .cast("double") / nWords
-    val stopHits = intSum(transform(w,
-      x => when(x.isInCollection(StopWords), 1L).otherwise(0L)))
+    // distinct membership (the published rule), not occurrence count:
+    // one array_contains per list word, summed — 8 codegen'd probes
+    val stopHits = StopWords
+      .map(sw => when(array_contains(w, sw), 1L).otherwise(0L))
+      .reduce(_ + _)
     docs
       .select(col("doc_id"),
         nWords.cast("long").as("n_words"),

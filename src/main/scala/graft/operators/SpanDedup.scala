@@ -90,14 +90,17 @@ object SpanDedup {
     * runs entirely on (doc_id, bi, digest) triples — doc frequency,
     * the ≥ minDocs filter, and the per-doc removed-position collection
     * shuffle 16-byte digests and int positions, never a block string —
-    * and the rewrite itself is an index lambda over the original words
-    * array (`filter((w, i) → …)`, codegen'd): a word survives unless
-    * its block position was collected as boilerplate, the tail
-    * (positions ≥ nb·blockWords) always survives. The one text-carrying
-    * exchange is the join that brings the removed-position sets to the
-    * words — co-locating corpus text with a globally-derived per-doc
-    * verdict cannot cost less. No collect_list of text, no sort, no
-    * reconcatenation: the document is never taken apart.
+    * and the rewrite itself derives the kept block positions as
+    * `array_except(all positions, removed positions)` — a hash-set
+    * complement, O(blocks + removed) per doc (a per-word
+    * `array_contains` scan would be O(words × removed), a per-doc
+    * quadratic face on boilerplate-heavy docs) — then slices the
+    * original words array per kept position, tail (positions ≥
+    * nb·blockWords) always appended. The one text-carrying exchange is
+    * the join that brings the removed-position sets to the words —
+    * co-locating corpus text with a globally-derived per-doc verdict
+    * cannot cost less. No collect_list of text, no sort: the document
+    * is never taken apart into shuffled block strings.
     */
   def removeBoilerplate(docs: DataFrame, blockWords: Int,
       minDocs: Int): DataFrame = {
@@ -119,11 +122,20 @@ object SpanDedup {
       .join(removedPerDoc, Seq("doc_id"), "left")
       .withColumn("removed",
         coalesce(col("removed_bis"), array().cast("array<int>")))
+      // ascending kept positions; sequence(0, -1) would DESCEND, so the
+      // nb = 0 case must short-circuit to an empty array
+      .withColumn("kept_bis",
+        when(col("nb") > 0,
+          array_except(
+            sequence(lit(0), col("nb") - 1), col("removed")))
+          .otherwise(array().cast("array<int>")))
       .select(col("doc_id"),
-        array_join(filter(col("words"), (w, i) =>
-          !(i < col("nb") * blockWords &&
-            array_contains(col("removed"), floor(i / blockWords).cast("int")))),
-          " ").as("clean_text"),
+        array_join(flatten(concat(
+          transform(col("kept_bis"), bi =>
+            slice(col("words"), bi * blockWords + 1, lit(blockWords))),
+          array(slice(col("words"), col("nb") * blockWords + 1,
+            size(col("words")) - col("nb") * blockWords)))), " ")
+          .as("clean_text"),
         col("nb").cast("long").as("n_blocks"),
         size(col("removed")).cast("long").as("n_removed"))
       .orderBy(col("doc_id"))

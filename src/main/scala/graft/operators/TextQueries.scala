@@ -623,13 +623,26 @@ object TextQueries {
     * one boolean per published rule, and the conjunction — the named
     * DECISION layer over q48's continuous scores. One map-side
     * projection, integer sums divided once, so every ratio and verdict
-    * hash-matches.
+    * hash-matches. On THIS corpus the faithful distinct-membership
+    * stop-word rule gates every document (≤1 of the 8 probe words
+    * appears) — the correct verdict for a synthetic word stream, the
+    * same judgment q95's Zipf audit renders; the per-rule booleans are
+    * the discriminating output (word-count and mean-length vary), and
+    * GopherRulesSpec pins both pass and per-rule outcomes on
+    * constructed prose.
     */
   val q103 = GraftQuery(
     "q103_gopher_rules",
     (s, d) => GopherRules.audit(
       t(s, d, "documents").select(col("doc_id"), col("text"))),
-    Some(s"""
+    Some {
+      // thresholds and the stop list interpolate from GopherRules so
+      // the oracle cannot drift from the constants it gates
+      import GopherRules._
+      val stopSum = StopWords
+        .map(sw => s"CASE WHEN list_contains(words, '$sw') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""
       WITH docs AS (
         SELECT doc_id, string_split(${normalizeSql("text")}, ' ') AS words
         FROM documents),
@@ -643,22 +656,23 @@ object TextQueries {
                  x -> CASE WHEN regexp_matches(x, '[a-z]')
                       THEN 1 ELSE 0 END)) AS DOUBLE) / len(words), 6)
                  AS alpha_frac,
-               CAST(list_sum(list_transform(words,
-                 x -> CASE WHEN x IN ('the','be','to','of','and','that',
-                                      'have','with')
-                      THEN 1 ELSE 0 END)) AS BIGINT) AS stop_hits
+               CAST($stopSum AS BIGINT) AS stop_hits
         FROM docs)
       SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
-             n_words >= 50 AND n_words <= 100000 AS ok_word_count,
-             mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mean_len,
-             alpha_frac >= 0.8 AS ok_alpha,
-             stop_hits >= 2 AS ok_stop_words,
-             (n_words >= 50 AND n_words <= 100000)
-               AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-               AND alpha_frac >= 0.8 AND stop_hits >= 2 AS pass
+             n_words >= $MinWords AND n_words <= $MaxWords AS ok_word_count,
+             mean_word_len >= $MinMeanLen AND mean_word_len <= $MaxMeanLen
+               AS ok_mean_len,
+             alpha_frac >= $MinAlphaFrac AS ok_alpha,
+             stop_hits >= $MinStopHits AS ok_stop_words,
+             (n_words >= $MinWords AND n_words <= $MaxWords)
+               AND (mean_word_len >= $MinMeanLen
+                    AND mean_word_len <= $MaxMeanLen)
+               AND alpha_frac >= $MinAlphaFrac
+               AND stop_hits >= $MinStopHits AS pass
       FROM stats
       ORDER BY doc_id
-    """))
+    """
+    })
 
   val all: Seq[GraftQuery] =
     Seq(q47, q48, q49, q50, q51, q69, q70, q79, q83, q86, q88, q93, q94,

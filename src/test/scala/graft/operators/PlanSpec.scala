@@ -15,6 +15,29 @@ class PlanSpec extends SparkSpec {
   private def planOf(df: DataFrame): String =
     df.asInstanceOf[ClassicDataset[_]].queryExecution.executedPlan.toString
 
+  /** AQE-aware plan flattener shared by the text-movement walks (q87,
+    * q102): descends through adaptive wrappers, query stages, and
+    * reused exchanges so no exchange hides from the contract.
+    */
+  private def deepNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    p +: (p match {
+      case a: AdaptiveSparkPlanExec => deepNodes(a.executedPlan)
+      case q: QueryStageExec => deepNodes(q.plan)
+      case r: ReusedExchangeExec => deepNodes(r.child)
+      case other => other.children.flatMap(deepNodes)
+    })
+  }
+
+  private def executedNodes(df: DataFrame) =
+    deepNodes(df.asInstanceOf[ClassicDataset[_]].queryExecution.executedPlan)
+
+  private def carriesAny(names: Set[String])(
+      out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]): Boolean =
+    out.exists(a => names(a.name))
+
   private def formatted(df: DataFrame): String =
     df.asInstanceOf[ClassicDataset[_]].queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -324,18 +347,8 @@ class PlanSpec extends SparkSpec {
   test("q87 funnel: text shuffles once (in the survivor job), never after") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
-    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case q: QueryStageExec => nodes(q.plan)
-      case r: ReusedExchangeExec => nodes(r.child)
-      case other => other.children.flatMap(nodes)
-    })
-    def planNodes(df: DataFrame) = nodes(df.asInstanceOf[ClassicDataset[_]]
-      .queryExecution.executedPlan)
-    def carriesText(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]) =
-      out.exists(a => a.name == "text" || a.name == "norm")
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    val carriesText = carriesAny(Set("text", "norm")) _
     def textShuffles(ns: Seq[SparkPlan]) = ns.collect {
       case e: ShuffleExchangeLike if carriesText(e.output) => e
     }
@@ -348,7 +361,7 @@ class PlanSpec extends SparkSpec {
     val df = TrainPrepQueries.curationFunnel(spark, sf0001,
       d => { stages += d; graft.Checkpoints.eager(d) })
     df.collect() // materialize AQE's final plans
-    val all = stages.toSeq.flatMap(planNodes) ++ planNodes(df)
+    val all = stages.toSeq.flatMap(executedNodes) ++ executedNodes(df)
     assert(textShuffles(all).size <= 1,
       "text may cross at most ONE exchange — the survivor join's merge " +
         "path when the id side outgrows the broadcast threshold; " +
@@ -358,22 +371,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q102 rewrite: text crosses one hash exchange; candidate path is digest-only") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
     import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
-    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case q: QueryStageExec => nodes(q.plan)
-      case r: ReusedExchangeExec => nodes(r.child)
-      case other => other.children.flatMap(nodes)
-    })
-    def carriesText(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]) =
-      out.exists(a => Set("text", "words", "block", "clean_text")(a.name))
+    val carriesText = carriesAny(Set("text", "words", "block", "clean_text")) _
     val df = DedupQueries.q102.build(spark, sf0001)
     df.collect() // materialize AQE's final plans
-    val all = nodes(df.asInstanceOf[ClassicDataset[_]]
-      .queryExecution.executedPlan)
+    val all = executedNodes(df)
     // the presentation ORDER BY (range partitioning) is the oracle
     // gate's determinism sort, not part of the rewrite — a production
     // run writes without it; every HASH exchange is the real contract
