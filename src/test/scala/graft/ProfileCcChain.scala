@@ -46,31 +46,42 @@ object ProfileCcChain {
     }
 
     println(s"[prof] chains=$chains depth=$depth (diameter ${depth - 1}) + 2000 triangles control")
-    // correctness cross-check once per shape
+    // correctness cross-check once per shape, all three modes
     val plainLabels = ConnectedComponents
-      .labels(chainEdges, maxIter = depth + 2)
+      .labels(chainEdges, maxIter = depth + 2, jumpAfter = Int.MaxValue)
       .as[(Long, Long)].collect().toMap
     val jumpLabels = ConnectedComponents
       .labels(chainEdges, maxIter = depth + 2, pointerJump = true)
       .as[(Long, Long)].collect().toMap
+    val adaptiveLabels = ConnectedComponents
+      .labels(chainEdges, maxIter = depth + 2)
+      .as[(Long, Long)].collect().toMap
     require(plainLabels == jumpLabels, "plain and jumped labels diverge")
+    require(plainLabels == adaptiveLabels, "plain and adaptive labels diverge")
     require(plainLabels.values.toSet.size == chains, "wrong component count")
 
     val chainPlain = minOf3(s"chain depth=$depth plain") {
-      ConnectedComponents.labels(chainEdges, maxIter = depth + 2).count()
+      ConnectedComponents.labels(chainEdges, maxIter = depth + 2,
+        jumpAfter = Int.MaxValue).count()
     }
     val chainJump = minOf3(s"chain depth=$depth pointerJump") {
       ConnectedComponents.labels(chainEdges, maxIter = depth + 2,
         pointerJump = true).count()
     }
+    val chainAdaptive = minOf3(s"chain depth=$depth adaptive(default)") {
+      ConnectedComponents.labels(chainEdges, maxIter = depth + 2).count()
+    }
     val cliquePlain = minOf3("triangles plain") {
-      ConnectedComponents.labels(cliqueEdges).count()
+      ConnectedComponents.labels(cliqueEdges, jumpAfter = Int.MaxValue).count()
     }
     val cliqueJump = minOf3("triangles pointerJump") {
       ConnectedComponents.labels(cliqueEdges, pointerJump = true).count()
     }
-    println(f"[prof] SUMMARY depth=$depth: chain plain $chainPlain%.2f s vs jumped $chainJump%.2f s (${chainPlain / chainJump}%.1fx); " +
-      f"triangles plain $cliquePlain%.2f s vs jumped $cliqueJump%.2f s (${cliquePlain / cliqueJump}%.1fx)")
+    val cliqueAdaptive = minOf3("triangles adaptive(default)") {
+      ConnectedComponents.labels(cliqueEdges).count()
+    }
+    println(f"[prof] SUMMARY depth=$depth: chain plain $chainPlain%.2f s vs jumped $chainJump%.2f s vs adaptive $chainAdaptive%.2f s; " +
+      f"triangles plain $cliquePlain%.2f s vs jumped $cliqueJump%.2f s vs adaptive $cliqueAdaptive%.2f s")
     spark.stop()
   }
 }
