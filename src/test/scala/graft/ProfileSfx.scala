@@ -32,16 +32,37 @@ object ProfileSfx {
     val n = spark.read.parquet(s"$dst/documents.parquet").count()
     println(s"[prof] sfx1 documents rows = $n (10x sf0.1)")
 
+    // embeddings ×10: replica r cyclically shifts coordinates by r·7 —
+    // norms and every WITHIN-replica cosine are preserved exactly (the
+    // dup/cluster structure scales ×10) while cross-replica cosines
+    // scramble to generic values; any that land over a probe threshold
+    // only ADD pairs, which is the conservative direction for a cost
+    // probe
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = 64
+    val embReplicas = (0 until 10).map { r =>
+      val s = (r * 7) % dim
+      val e = emb.withColumn("vec_id", col("vec_id") + lit(r * offset))
+      if (r == 0) e
+      else e.withColumn("embedding",
+        concat(slice(col("embedding"), s + 1, dim - s),
+          slice(col("embedding"), 1, s)))
+    }
+    embReplicas.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    println(s"[prof] sfx1 embeddings rows = " +
+      spark.read.parquet(s"$dst/embeddings.parquet").count())
+
     val five = Seq(
       graft.operators.DedupQueries.q68,
       graft.operators.DedupQueries.q81,
       graft.operators.TrainPrepQueries.q87,
       graft.operators.TrainPrepQueries.q96,
       graft.operators.SketchQueries.q72a,
-      // r7 additions (document-reading, so the replica corpus covers
-      // them; q100 reads embeddings and has no replica harness here)
+      // r7 additions
       graft.operators.TrainPrepQueries.q101,
-      graft.operators.DedupQueries.q102)
+      graft.operators.DedupQueries.q102,
+      graft.operators.SimilarityQueries.q100)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
