@@ -100,10 +100,18 @@ object Bench {
     println(line)
     // persist the full line INSIDE the repo (the round commits it), so
     // all per-query times stay recoverable even when the driver's
-    // stdout tail-capture truncates the line (r4 lost ~20 keys that way);
-    // cwd-relative so a clone anywhere still writes it (sbt runs from
-    // the project root)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // stdout tail-capture truncates the line (r4 lost ~20 keys that
+    // way); anchored to the project root found by walking up from the
+    // cwd (a bare relative path lands outside the repo when the runner
+    // isn't launched from the root; a hardcoded absolute path breaks
+    // every other clone)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      var dir = java.nio.file.Paths.get("").toAbsolutePath
+      while (dir != null && !java.nio.file.Files.exists(dir.resolve("build.sbt")))
+        dir = dir.getParent
+      (if (dir == null) java.nio.file.Paths.get("BENCH_FULL.json")
+      else dir.resolve("BENCH_FULL.json")).toString
+    })
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       line + "\n")
     catch { case e: Throwable =>

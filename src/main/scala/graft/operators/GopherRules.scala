@@ -20,10 +20,15 @@ import graft.functions.MockScorers.normalize
   * structure this corpus does not have and are omitted rather than
   * stubbed.
   *
-  * Scale shape: everything is ONE map-side projection over the token
-  * array — no shuffle, no join, no UDF; the word stats fold in codegen
-  * via `aggregate`/`transform`. Integer sums divided once keep every
-  * ratio cross-engine exact.
+  * Scale shape: everything is ONE map-side projection — no shuffle, no
+  * join, no UDF — and every stat is computed with codegen'd primitives
+  * (`aggregate`/`transform` array folds are CodegenFallback and would
+  * knock the projection out of whole-stage codegen — the
+  * MockScorers.aspectPred lesson): the word-length sum falls out of
+  * arithmetic on the single-spaced normalized string
+  * (`length − (n_words − 1)`), digit-only words are counted with one
+  * `regexp_count`, and the stop probes are `array_contains` calls.
+  * Integer sums divided once keep every ratio cross-engine exact.
   */
 object GopherRules {
 
@@ -41,22 +46,26 @@ object GopherRules {
   val StopWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  private def words(text: Column): Column = split(normalize(text), " ")
-
-  private def intSum(arr: Column): Column =
-    aggregate(arr, lit(0L), (acc, v) => acc + v)
-
   /** Per-document rule columns over `docs(doc_id, text)`: stats, one
     * boolean per rule, and the conjunction verdict; ordered by doc_id.
     */
   def audit(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
+    val norm = normalize(col("text"))
+    val w = split(norm, " ")
     val nWords = size(w)
-    val meanLen = intSum(transform(w, x => length(x).cast("long")))
-      .cast("double") / nWords
-    val alphaFrac = intSum(transform(w,
-      x => when(x.rlike("[a-z]"), 1L).otherwise(0L)))
-      .cast("double") / nWords
+    // normalize single-spaces and trims, so Σ word lengths is exactly
+    // total length minus the n−1 separators — no array fold needed
+    val meanLen = (length(norm) - (nWords - 1)).cast("double") / nWords
+    // alphabetic words = words that are not digit-only; normalize's
+    // alphabet is [a-z0-9], so one anchored regexp_count suffices
+    // (the DuckDB oracle reaches the same VALUE via a per-word list
+    // fold — RE2 lacks lookbehind, and only the values must agree)
+    val digitWords =
+      regexp_count(norm, lit("(^|(?<= ))[0-9]+(?= |$)")).cast("long")
+    // empty text → split yields one "" word, which contains no letter:
+    // the fold/oracle scores it 0, so the arithmetic form must too
+    val alphaFrac = when(length(norm) === 0, 0.0d)
+      .otherwise((nWords - digitWords).cast("double") / nWords)
     // distinct membership (the published rule), not occurrence count:
     // one array_contains per list word, summed — 8 codegen'd probes
     val stopHits = StopWords

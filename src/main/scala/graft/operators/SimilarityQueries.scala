@@ -283,6 +283,13 @@ object SimilarityQueries {
       val base = t(s, d, "embeddings")
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("embedding"))
+      // the planted-id band must be disjoint or prune's join on id
+      // silently fans out — and the oracle, applying the same offset,
+      // would hash-match the corruption; fail loudly instead (one
+      // tiny agg job on an already-eager query)
+      val maxId = base.agg(max(col("vec_id"))).head().getLong(0)
+      require(maxId < 1000000L,
+        s"planted-id offset collides: max vec_id $maxId >= 1000000")
       val planted = base.select(
         (col("vec_id") + lit(1000000L)).as("vec_id"),
         transform(col("embedding"), x => x * lit(0.5d)).as("embedding"))

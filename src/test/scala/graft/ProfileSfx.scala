@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * `r<r>`, so WITHIN-replica dup/cluster structure is preserved exactly
   * while no cross-replica near-dups are invented — pair and cluster
   * counts scale ×10, matching a genuine corpus decade), then time the
-  * five most expensive suite queries and print observed t(10×)/t(1×)
+  * most expensive suite queries and print observed t(10×)/t(1×)
   * ratios for SCALE.md's measured table. Not part of the library.
   *
   * Run: sbt "Test/runMain graft.ProfileSfx"
@@ -53,7 +53,7 @@ object ProfileSfx {
     println(s"[prof] sfx1 embeddings rows = " +
       spark.read.parquet(s"$dst/embeddings.parquet").count())
 
-    val five = Seq(
+    val probed = Seq(
       graft.operators.DedupQueries.q68,
       graft.operators.DedupQueries.q81,
       graft.operators.TrainPrepQueries.q87,
@@ -69,7 +69,7 @@ object ProfileSfx {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }.min
 
-    five.foreach { q =>
+    probed.foreach { q =>
       val t01 = minOf(2)(q.build(spark, src).count())
       val t1 = minOf(2)(q.build(spark, dst).count())
       println(f"[prof] ${q.name}: sf0.1 $t01%.2f s -> sfx1 $t1%.2f s " +

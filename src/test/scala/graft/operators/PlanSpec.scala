@@ -395,6 +395,21 @@ class PlanSpec extends SparkSpec {
       s"document text must never broadcast:\n${textBroadcasts.mkString("\n")}")
   }
 
+  test("q103: the rules projection stays inside whole-stage codegen") {
+    // aggregate/transform array folds are CodegenFallback and would
+    // break the stage — the rules are arithmetic + regexp_count +
+    // array_contains precisely to avoid that (GopherRules scaladoc)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = planOf(TextQueries.q103.build(spark, sf0001))
+      assert(plan.linesIterator.exists(l =>
+        l.trim.matches("""[+\-: ]*\*\(\d+\) Project.*""")),
+        s"rules projection not codegen'd:\n${plan.take(1500)}")
+      assert(!plan.contains("aggregate(") && !plan.contains("transform("),
+        s"array folds crept back into the rules projection:\n${plan.take(1500)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q90: exact-k stratified sample runs through the native top-k op") {
     val plan = planOf(TrainPrepQueries.q90.build(spark, sf0001))
     assert(plan.contains("TopKPerGroup"),
