@@ -105,13 +105,20 @@ object Bench {
     // cwd (a bare relative path lands outside the repo when the runner
     // isn't launched from the root; a hardcoded absolute path breaks
     // every other clone)
+    // anchor on a graft-unique marker (build.sbt alone would match any
+    // nested sbt project the runner happens to be launched from)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
       var dir = java.nio.file.Paths.get("").toAbsolutePath
-      while (dir != null && !java.nio.file.Files.exists(dir.resolve("build.sbt")))
+      while (dir != null &&
+          !(java.nio.file.Files.exists(dir.resolve("build.sbt")) &&
+            java.nio.file.Files.exists(
+              dir.resolve("src/main/scala/graft/SparkEntry.scala"))))
         dir = dir.getParent
       (if (dir == null) java.nio.file.Paths.get("BENCH_FULL.json")
       else dir.resolve("BENCH_FULL.json")).toString
     })
+    // a mis-anchored write should be visible, not silent
+    System.err.println(s"[bench] writing artifact to $outFile")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       line + "\n")
     catch { case e: Throwable =>

@@ -95,7 +95,11 @@ object ImportanceResampling {
         sum(col("term").cast(DecimalType(20, 6))).cast("double").as("logw_r"))
 
     // Gumbel-top-k: priority = logw + G, G = −ln(−ln u) with q73's
-    // mirrorable LCG uniform — sampling ∝ w, retry-stable
+    // mirrorable LCG uniform — sampling ∝ w, retry-stable. Spark's pmod
+    // is always non-negative while SQL % follows the dividend's sign,
+    // so the q101 oracle mirrors pmod explicitly as
+    // ((x % m + m) % m) — identical for ANY doc_id sign, no
+    // non-negativity precondition to enforce at runtime
     val u = (pmod(col("doc_id") * 1103515245L + 12345L, lit(1000000L)) + 1)
       .cast("double") / 1000001.0
     scored

@@ -65,7 +65,12 @@ object SemanticDedup {
   /** Per-CLUSTERED-vector disposition: (id, cell, group_id, group_size,
     * cdist_r, kept). Vectors in no semantic group do not appear (they
     * are all trivially kept), mirroring q68's clustered-docs-only
-    * output contract.
+    * output contract. Zero-norm vectors are excluded EXPLICITLY before
+    * normalization (cosine is undefined without a direction, so a zero
+    * vector cannot be a semantic duplicate of anything) — without the
+    * filter they'd become NaN unit vectors that silently fail every
+    * minCos comparison, an implicit drop this repo's fail-loud
+    * discipline forbids relying on.
     *
     * @param minCos   cosine threshold on UNIT vectors (cosine == dot).
     * @param centroids flattened c-major `cells × dim` matrix; must be
@@ -81,6 +86,9 @@ object SemanticDedup {
     val unitized = vectors
       .select(col(id).as("uid"), col(vec).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(VectorFunctions.sqNorm(col("v"))))
+      // zero vectors have no direction: excluded by contract (scaladoc)
+      // rather than left to NaN-never-matches fallthrough
+      .filter(col("nrm") > lit(0.0d))
       .withColumn("unit", transform(col("v"), x => x / col("nrm")))
       .withColumn("cell",
         VectorFunctions.nearestCentroidId(col("unit"), centroids, cells, dim))

@@ -287,7 +287,10 @@ object SimilarityQueries {
       // silently fans out — and the oracle, applying the same offset,
       // would hash-match the corruption; fail loudly instead (one
       // tiny agg job on an already-eager query)
-      val maxId = base.agg(max(col("vec_id"))).head().getLong(0)
+      val maxRow = base.agg(max(col("vec_id"))).head()
+      // max over an empty table is NULL: empty is trivially
+      // collision-free, not an NPE
+      val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
       require(maxId < 1000000L,
         s"planted-id offset collides: max vec_id $maxId >= 1000000")
       val planted = base.select(

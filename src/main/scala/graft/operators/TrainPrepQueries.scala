@@ -591,7 +591,8 @@ object TrainPrepQueries {
         SELECT doc_id, lang, n_bigrams, logw_r
         FROM scored
         ORDER BY logw_r - ln(-ln(
-            (((doc_id * 1103515245 + 12345) % 1000000) + 1) / 1000001.0))
+            ((((doc_id * 1103515245 + 12345) % 1000000 + 1000000) % 1000000)
+             + 1) / 1000001.0))
           DESC, doc_id
         LIMIT 50)
       SELECT doc_id, lang, n_bigrams, logw_r

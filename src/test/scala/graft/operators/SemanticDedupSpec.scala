@@ -62,6 +62,23 @@ class SemanticDedupSpec extends AnyFunSuite with SparkSpec {
     assert(m(4L).getAs[Int]("cell") === m(2L).getAs[Int]("cell"))
   }
 
+  test("zero-norm vectors are excluded by contract, not NaN fallthrough") {
+    val s = spark
+    import s.implicits._
+    // a zero vector has no direction: it must vanish from the output
+    // (explicit nrm > 0 filter) and must not poison its cellmates —
+    // the rest of the corpus clusters exactly as without it
+    val withZero = corpus.union(
+      Seq((8L, Seq(0.0, 0.0))).toDF("vec_id", "embedding"))
+    val m = SemanticDedup
+      .prune(withZero, centroids, cells = 2, dim = 2, minCos = 0.9)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!m.contains(8L), "zero vector must not appear in any group")
+    assert(m.keySet === Set(1L, 2L, 3L, 4L))
+    assert(m.collect { case (id, r) if r.getAs[Boolean]("kept") => id }
+      .toSet === Set(3L))
+  }
+
   test("cell-boundary separation is the documented approximation") {
     // ids 6 and 7 are 4° apart (cosine ≈ 0.998, far above minCos) yet
     // assigned to different cells — SemDeDup by design never mines a
