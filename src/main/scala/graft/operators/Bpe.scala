@@ -41,15 +41,9 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
 
   /** Learn `nMerges` merges from the corpus. Driver memory is bounded
-    * by `vocabCap` words (default 64k ≈ a few MB), never corpus size.
-    *
-    * Driver CPU is O(nMerges × vocab × word length) as written — fine
-    * for the audit-scale merge counts used here (tens), but a
-    * production 32k-merge tokenizer train over a 1M-word vocab wants
-    * the classic incremental trainer (re-count only words containing
-    * the merged pair per round) — a driver-side refinement, not a
-    * distribution change: the cluster's share is still the single
-    * vocab aggregation.
+    * by `vocabCap` words (default 64k ≈ a few MB), never corpus size —
+    * the cluster's share is the single vocab aggregation; training then
+    * runs on the driver via [[trainFromVocab]].
     */
   def train(docs: DataFrame, nMerges: Int, vocabCap: Int = 1 << 16,
       textCol: String = "text"): Seq[(String, String)] = {
@@ -58,30 +52,128 @@ object Bpe {
       .limit(vocabCap)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    var words: Array[(Array[String], Long)] =
-      top.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    trainFromVocab(top.toSeq, nMerges)
+  }
+
+  /** The classic INCREMENTAL trainer (Sennrich 2016's released
+    * implementation refines the same way): pair counts and a
+    * pair→word-occurrence index are built once, and each merge round
+    * re-counts ONLY the words that contain the winning pair —
+    * decrement the word's old adjacent pairs, rewrite it, increment
+    * the new ones. The argmax is a lazy-deletion max-heap: every count
+    * change pushes a (count, pair) snapshot, and pops discard
+    * snapshots that no longer match the live count — so each round's
+    * winner costs O(log heap) amortized instead of a full scan of the
+    * live pair set. Per-round cost is O(Σ|affected word| · log) instead
+    * of O(vocab × word length): occurrence sets shrink geometrically
+    * with pair frequency, so a production 32k-merge train is dominated
+    * by the early frequent merges rather than paying the full-vocab
+    * scan 32k times (ProfileBpe measures the gap at 1k merges / 64k
+    * words).
+    *
+    * Determinism: the heap comparator (count desc, left asc, right
+    * asc) is the same strict total order the naive loop's argmax uses,
+    * and a valid snapshot exists for every live pair's CURRENT count
+    * (each change pushes one), so the first non-stale pop IS the true
+    * argmax — bit-identical to the naive rescan-everything loop on any
+    * input (BpeSpec pins equality).
+    */
+  def trainFromVocab(vocabCounts: Seq[(String, Long)],
+      nMerges: Int): Seq[(String, String)] = {
+    val words: Array[Array[String]] =
+      vocabCounts.map(_._1.map(_.toString).toArray).toArray
+    val wc: Array[Long] = vocabCounts.map(_._2).toArray
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occur = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // max-heap of (count, left, right) snapshots; stale entries are
+    // discarded at pop time by comparing against the live count
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String),
+            b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(a._1, b._1)
+          if (c != 0) c
+          else {
+            val l = b._2.compareTo(a._2) // smaller left wins ties
+            if (l != 0) l else b._3.compareTo(a._3)
+          }
+        }
+      })
+
+    // inc pushes the exact new count; dec pushes nothing (a stale-HIGH
+    // snapshot is repaired at pop time), so heap traffic ∝ created
+    // adjacencies, not every touched one
+    def inc(k: (String, String), c: Long, idx: Int): Unit = {
+      val n = counts.getOrElse(k, 0L) + c
+      counts.update(k, n)
+      occur.getOrElseUpdate(k, mutable.BitSet.empty) += idx
+      heap.enqueue((n, k._1, k._2))
+    }
+    // occurrence-index membership is NOT retracted here: the word may
+    // hold the pair at another position, and a stale index entry only
+    // costs a no-op scan when that pair later wins (counts stay exact
+    // either way)
+    def dec(k: (String, String), c: Long): Unit = {
+      val n = counts.getOrElse(k, 0L) - c
+      if (n <= 0L) { counts.remove(k); occur.remove(k) }
+      else counts.update(k, n)
+    }
+
+    // SITE-LOCAL rewrite: merging (a,b) at one site only disturbs the
+    // three adjacencies around it — (prev,a), (a,b), (b,next) die and
+    // (prev,ab), (ab,next) are born — so a word updates O(sites) pairs,
+    // not O(|word|). `prev` is read from the rewritten prefix so
+    // back-to-back sites chain correctly (…abab… → (ab,ab)).
+    def mergeWord(idx: Int, a: String, b: String, ab: String): Unit = {
+      val syms = words(idx); val c = wc(idx); val len = syms.length
+      val out = new Array[String](len)
+      var o = 0; var i = 0
+      while (i < len) {
+        if (i < len - 1 && syms(i) == a && syms(i + 1) == b) {
+          if (o > 0) { dec((out(o - 1), a), c); inc((out(o - 1), ab), c, idx) }
+          dec((a, b), c)
+          if (i + 2 < len) { dec((b, syms(i + 2)), c); inc((ab, syms(i + 2)), c, idx) }
+          out(o) = ab; o += 1; i += 2
+        } else { out(o) = syms(i); o += 1; i += 1 }
+      }
+      if (o < len) words(idx) = java.util.Arrays.copyOfRange(
+        out.asInstanceOf[Array[AnyRef]], 0, o).asInstanceOf[Array[String]]
+    }
+
+    // build counts without per-position heap pushes, then seed one
+    // snapshot per live pair
+    words.indices.foreach { idx =>
+      val syms = words(idx); var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts.update(k, counts.getOrElse(k, 0L) + wc(idx))
+        occur.getOrElseUpdate(k, mutable.BitSet.empty) += idx
+        i += 1
+      }
+    }
+    counts.foreach { case (k, n) => heap.enqueue((n, k._1, k._2)) }
+
     val merges = mutable.ArrayBuffer.empty[(String, String)]
-    var exhausted = false
-    while (merges.size < nMerges && !exhausted) {
-      val counts = mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts.update(k, counts.getOrElse(k, 0L) + c)
-          i += 1
-        }
+    while (merges.size < nMerges && counts.nonEmpty) {
+      var best: (String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val (n, l, r) = heap.dequeue()
+        val cur = counts.getOrElse((l, r), -1L)
+        if (cur == n) best = (l, r)
+        // decremented since this snapshot: re-enter at the live count
+        // so it still competes (and wins ties) at its true rank
+        else if (cur > 0L) heap.enqueue((cur, l, r))
       }
-      if (counts.isEmpty) exhausted = true
-      else {
-        val best = counts.keysIterator.reduceLeft { (p, q) =>
-          val np = counts(p); val nq = counts(q)
-          if (nq > np || (nq == np && (q._1 < p._1 ||
-            (q._1 == p._1 && q._2 < p._2)))) q else p
-        }
-        merges += best
-        words = words.map { case (syms, c) => (applyMerge(syms, best), c) }
-      }
+      require(best != null,
+        "heap exhausted while live pairs remain — snapshot invariant broken")
+      merges += best
+      val ab = best._1 + best._2
+      occur.get(best).map(_.toArray).getOrElse(Array.emptyIntArray)
+        .foreach(mergeWord(_, best._1, best._2, ab))
+      // every occurrence of the winner was just rewritten away; a
+      // residual count means the occurrence index lost track of a word
+      require(!counts.contains(best),
+        s"incremental pair index out of sync after merging $best")
     }
     merges.toSeq
   }

@@ -21,6 +21,30 @@ class BpeSpec extends SparkSpec {
       "training must stop when no pairs remain and break ties (count desc, pair asc)")
   }
 
+  test("incremental trainer is bit-identical to the naive rescan loop") {
+    // deterministic word-soup vocab: enough shared subwords that merges
+    // interact (created pairs win later rounds), exercising the
+    // occurrence-index maintenance the incremental path depends on
+    var seed = 42L
+    def next(m: Int): Int = { seed = seed * 1103515245L + 12345L
+      ((seed % m + m) % m).toInt }
+    val alphabet = "abcde"
+    val vocab = (1 to 400).map { _ =>
+      val w = (0 until (2 + next(9)))
+        .map(_ => alphabet(next(alphabet.length))).mkString
+      (w, (1 + next(50)).toLong)
+    }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    for (n <- Seq(1, 5, 50, 500))
+      assert(Bpe.trainFromVocab(vocab, n) === BpeNaive.trainFromVocab(vocab, n),
+        s"divergence at nMerges=$n")
+    // exhaustion: both must stop at the same merge count when no pairs
+    // remain, well before the requested 10k
+    val inc = Bpe.trainFromVocab(vocab, 10000)
+    assert(inc === BpeNaive.trainFromVocab(vocab, 10000))
+    assert(inc.size < 10000, "exhaustion never reached — vocab unconsumed?")
+  }
+
   test("encoding is greedy by rank and lossless") {
     val ranks = Bpe.ranks(Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
     assert(Bpe.encodeWord("aaab", ranks).toSeq === Seq("aaab"))
