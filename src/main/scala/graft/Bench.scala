@@ -91,12 +91,13 @@ object Bench {
     // throughput alongside the batch timings.
     val (absaRate, vehicleRate) = streamingRates(spark)
     val curationRate = curationIngestRate(spark)
+    val annRecallJson = annRecall(spark, sfDir)
 
     // r5-vs-r6 ran byte-identical code and still saw ±25-30 % per-query
     // swings (q42 +25 %, q68 −30 %): the recorded statistic is min-of-N
     // and the note travels in the artifact so a future reader never
     // adjudicates a single-query delta inside that band as a regression.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_$repeat","noise_note":"per-query swings up to +/-30pct on identical code (r5 vs r6 calibration); only cross-round deltas beyond that band are regressions","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate,"curation_docs_per_sec":$curationRate}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_$repeat","noise_note":"per-query swings up to +/-30pct on identical code (r5 vs r6 calibration); only cross-round deltas beyond that band are regressions","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate,"curation_docs_per_sec":$curationRate,"ann_recall":$annRecallJson}"""
     println(line)
     // persist the full line INSIDE the repo (the round commits it), so
     // all per-query times stay recoverable even when the driver's
@@ -155,6 +156,43 @@ object Bench {
     * batches amortize the constant — this entry exists to make
     * regressions in that constant visible, not to claim peak rate.
     */
+  /** Approximate-tier QUALITY, tracked per round alongside throughput
+    * (VERDICT r7 item 5: recall thresholds living only in pass/fail
+    * specs can't surface gradual regressions — an artifact diff can).
+    * recall@5 of the sign-LSH (q52) and IVF (q55) top-k against the
+    * exact q45 brute-force baseline on the bench corpus, plus the
+    * SemDeDup planted-pair recall (fraction of q100's cosine-1 planted
+    * twins grouped with their original — 1.0 by construction, so any
+    * dip is a real defect, not tuning).
+    */
+  private def annRecall(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.col
+    try {
+      def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSet).toMap
+      val brute = topSets(operators.SimilarityQueries.q45.build(spark, sfDir))
+      def recallAt5(approx: Map[Long, Set[Long]]): Double =
+        brute.keysIterator.map(q =>
+          (approx.getOrElse(q, Set.empty[Long]) intersect brute(q)).size)
+          .sum.toDouble / (brute.size * 5)
+      val lsh = recallAt5(topSets(operators.SketchQueries.q52.build(spark, sfDir)))
+      val ivf = recallAt5(topSets(operators.SketchQueries.q55.build(spark, sfDir)))
+      val groups = operators.SimilarityQueries.q100.build(spark, sfDir)
+        .select(col("vec_id"), col("group_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val nBase = graft.sources.Tables(spark, sfDir, "embeddings").count()
+      val twinned = groups.keysIterator.filter(_ < 1000000L).count(i =>
+        groups.get(i + 1000000L).contains(groups(i)))
+      val sem = twinned.toDouble / nBase
+      f"""{"lsh_at5":$lsh%.4f,"ivf_at5":$ivf%.4f,"semdedup_planted":$sem%.4f}"""
+    } catch { case e: Throwable =>
+      // the bench line must stay parseable even if a recall probe dies
+      System.err.println(s"[bench] ann recall probe failed: ${e.getMessage}")
+      """{"error":true}"""
+    }
+  }
+
   private def curationIngestRate(spark: SparkSession): Double = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
