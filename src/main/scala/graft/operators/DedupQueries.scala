@@ -400,5 +400,140 @@ object DedupQueries {
       ORDER BY doc_id
     """))
 
-  val all: Seq[GraftQuery] = Seq(q40, q41, q42, q68, q71, q81, q82, q102)
+  /** Shared winnowed-fingerprint frame for q104/q105: one codegen'd
+    * [[graft.functions.expressions.WinnowSelect]] pass per doc (k=4
+    * words, window w=5 → any shared run of ≥ 8 words is guaranteed a
+    * common fingerprint at ~1/3 selection density), exploded to
+    * (doc_id, fp) longs. Text never leaves the scan projection.
+    *
+    * The skeys projection is eagerly materialized BEFORE the explode,
+    * for two reasons that both matter at scale: (a) the frame feeds two
+    * consumers downstream (occurrence counts + the join/self-join back)
+    * and must not run the kernel twice; (b) without the barrier,
+    * `InferFiltersFromGenerate` clones the generator's child into a
+    * pre-explode `size(..)>0 AND isnotnull(..)` filter — re-running the
+    * O(n) kernel up to 3× per doc. Past the checkpoint the inferred
+    * filter lands on the cheap materialized array attribute instead.
+    * PlanSpec pins exactly-one-evaluation structurally via the
+    * `materialize` hook.
+    */
+  private[operators] def winnowFps(s: SparkSession, d: String,
+      materialize: DataFrame => DataFrame = graft.Checkpoints.eager)
+      : DataFrame =
+    materialize(
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.expressions.WinnowSelect(
+            split(normalize(col("text")), " "), 4, 5).as("skeys")))
+      .select(col("doc_id"), explode(col("skeys")).as("skey"))
+      .select(col("doc_id"),
+        shiftright(col("skey"), graft.operators.Winnowing.PosBits).as("fp"))
+
+  /** The winnowing SQL mirror: the oracle rebuilds EVERY k-gram as a row
+    * and takes the window min of the same skey encoding — correctness
+    * mirror of the kernel, not the plan (Spark selects in-expression and
+    * explodes only the ~2/(w+1) survivors).
+    */
+  private def winnowFpsSql(k: Int, w: Int): String = s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(${normalizeSql("text")}, ' ') AS ws
+        FROM documents),
+      grams AS (
+        SELECT doc_id, unnest(range(0, len(ws) - $k + 1)) AS pos, ws
+        FROM docs WHERE len(ws) >= $k),
+      hashed AS (
+        SELECT doc_id, pos,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(ws[pos+1 : pos+$k],
+                   w -> CAST(length(w) * 17 + ascii(w) * 31
+                             + ascii(reverse(w)) AS BIGINT))),
+                 (acc, v) -> (acc * 31 + v) % 1000000007) * 2097152
+               + (2097151 - pos) AS skey
+        FROM grams),
+      win AS (
+        SELECT doc_id, pos,
+               min(skey) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING)
+                 AS wkey,
+               count(*) OVER (PARTITION BY doc_id) AS ng
+        FROM hashed),
+      sel AS (
+        SELECT DISTINCT doc_id, wkey
+        FROM win WHERE pos <= greatest(ng - $w, 0)),
+      fps AS (
+        SELECT doc_id, wkey // 2097152 AS fp FROM sel)"""
+
+  /** Winnowing fingerprint dup stats (X57, Schleimer et al. SIGMOD'03):
+    * per-doc selected fingerprints and how many of them recur
+    * corpus-wide — the SHIFTED-run detector q82's aligned blocks cannot
+    * be: a verbatim ≥ 8-word run is flagged wherever it starts. Scale:
+    * selection is inside the scan projection, the fp→occurrence join
+    * shuffles longs at 2/(w+1) density, partial-agg map-side.
+    *
+    * The DISTINCT in the oracle's `fps` frame mirrors the kernel exactly:
+    * [[graft.operators.Winnowing.selectSkeys]] returns distinct skeys,
+    * and distinct skey = distinct (fp, pos) per doc.
+    */
+  val q104 = GraftQuery(
+    "q104_winnow_stats",
+    (s, d) => {
+      val fps = winnowFps(s, d)
+      val occ = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_occ"))
+      fps.join(occ, "fp")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fps"),
+          count(when(col("n_occ") > 1, lit(1))).as("n_dup_fps"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      ${winnowFpsSql(4, 5)},
+      occ AS (SELECT fp, COUNT(*) AS n_occ FROM fps GROUP BY 1)
+      SELECT doc_id, COUNT(*) AS n_fps,
+             COUNT(*) FILTER (WHERE n_occ > 1) AS n_dup_fps
+      FROM fps JOIN occ USING (fp)
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """))
+
+  /** MOSS-style cross-doc match report (X57): pairs of documents sharing
+    * ≥ 2 winnowed fingerprints, strongest first — the review queue a
+    * plagiarism/near-dup triage wants. The df ∈ [2, 8] band is the
+    * paper's "ignore too-common fingerprints" rule AND the scale bound:
+    * dropping fps seen in > 8 docs caps the self-join's quadratic face
+    * at df² ≤ 64 rows per fingerprint, so the pair shuffle is ∝ matches,
+    * never corpus². Nothing here is broadcast: both join sides derive
+    * from documents and scale with it.
+    */
+  val q105 = GraftQuery(
+    "q105_winnow_matches",
+    (s, d) => {
+      val docfp = winnowFps(s, d).distinct()
+      val dfc = docfp.groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs").between(2, 8))
+      val rare = docfp.join(dfc, "fp").select(col("doc_id"), col("fp"))
+      rare.as("a")
+        .join(rare.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      ${winnowFpsSql(4, 5)},
+      docfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+      df AS (SELECT fp, COUNT(*) AS n_docs FROM docfp GROUP BY 1),
+      rare AS (
+        SELECT doc_id, fp FROM docfp JOIN df USING (fp)
+        WHERE n_docs BETWEEN 2 AND 8)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+      ORDER BY n_shared DESC, doc_a, doc_b
+    """))
+
+  val all: Seq[GraftQuery] =
+    Seq(q40, q41, q42, q68, q71, q81, q82, q102, q104, q105)
 }

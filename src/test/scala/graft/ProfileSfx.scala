@@ -62,7 +62,12 @@ object ProfileSfx {
       // r7 additions
       graft.operators.TrainPrepQueries.q101,
       graft.operators.DedupQueries.q102,
-      graft.operators.SimilarityQueries.q100)
+      graft.operators.SimilarityQueries.q100,
+      // r8: winnowing — the word-prefix replica transform preserves
+      // WITHIN-replica gram equality (every word shifts uniformly), so
+      // fp/dup structure scales ×10 with no cross-replica dups invented
+      graft.operators.DedupQueries.q104,
+      graft.operators.DedupQueries.q105)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>

@@ -469,4 +469,40 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"),
       s"the pre-filter must not introduce any join:\n${plan.take(2000)}")
   }
+
+  test("q104/q105: winnow kernel runs ONCE, in codegen; no window fallback; text stays put") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    // the oracle's explode-every-gram + window-min formulation is the
+    // correctness MIRROR, not the plan: selection must happen in ONE
+    // codegen'd scan projection (materialized before the explode so
+    // neither the two downstream consumers nor InferFiltersFromGenerate
+    // re-run the O(n) kernel), no Window operator anywhere, and no
+    // exchange ever carries text/words/skeys — only doc_id/fp longs move
+    val carriesText = carriesAny(Set("text", "norm", "ws", "words", "skeys")) _
+    val stages = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val fps = DedupQueries.winnowFps(spark, sf0001,
+      d => { stages += d; graft.Checkpoints.eager(d) })
+    val stagePlan = planOf(stages.head)
+    assert(stagePlan.linesIterator.count(_.contains("graft_winnow")) === 1,
+      s"kernel must be evaluated exactly once:\n$stagePlan")
+    assert(stagePlan.linesIterator.exists(l =>
+      l.contains("graft_winnow") && l.contains("*(")),
+      s"graft_winnow fenced out of whole-stage codegen:\n$stagePlan")
+    for ((name, df) <- Seq("q104" -> DedupQueries.q104.build(spark, sf0001),
+        "q105" -> DedupQueries.q105.build(spark, sf0001), "fps" -> fps)) {
+      df.collect() // materialize AQE's final plans
+      val all = executedNodes(df)
+      val plan = planOf(df)
+      assert(!plan.contains("graft_winnow"),
+        s"$name: kernel leaked past the materialization barrier:\n${plan.take(2000)}")
+      assert(!plan.contains("Window"),
+        s"$name: selection fell back to a window formulation:\n${plan.take(2000)}")
+      val textMoves = all.collect {
+        case e: ShuffleExchangeLike if carriesText(e.output) => e
+        case e: BroadcastExchangeLike if carriesText(e.output) => e
+      }
+      assert(textMoves.isEmpty,
+        s"$name: text/words/skeys crossed an exchange:\n${textMoves.mkString("\n")}")
+    }
+  }
 }
