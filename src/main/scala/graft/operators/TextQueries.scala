@@ -674,7 +674,77 @@ object TextQueries {
     """
     })
 
+  /** CCNet-style perplexity bucketing (X58, Wenzek et al. 2020): rank
+    * every document against the LM within its LANGUAGE and split the
+    * ranking into head/middle/tail thirds — the published decision
+    * layer [[BigramLm.scores]]'s scaladoc promises downstream, as q103
+    * is to q48. Familiarity = mean corpus frequency of the doc's
+    * bigrams (high ≈ low perplexity); the ntile ordering uses the
+    * UNROUNDED ratio (one IEEE division, bit-identical cross-engine)
+    * with doc_id as total tiebreak, and only the REPORTED familiarity
+    * is rounded (q48's ratio discipline).
+    *
+    * Scale shape: q83's three shuffles build the stats; the bucketing
+    * adds one hash exchange on lang + per-partition sort (the window),
+    * all on (doc_id, lang, 3 longs) rows — text never reaches the
+    * window. A skewed language (the common case: one language dominates
+    * a crawl) makes that partition's SORT the bound, not a shuffle —
+    * ntile over n rows is O(n log n) per partition with nothing held in
+    * memory beyond the sort spill.
+    */
+  val q106 = GraftQuery(
+    "q106_ppl_buckets",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val stats = BigramLm.scores(
+        t(s, d, "documents").select(col("doc_id"), col("text")))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy((col("sum_freq").cast("double") / col("n_bigrams")).desc,
+          col("doc_id"))
+      stats
+        .join(t(s, d, "documents").select(col("doc_id"), col("lang")),
+          "doc_id")
+        .withColumn("bucket",
+          element_at(array(lit("head"), lit("middle"), lit("tail")),
+            ntile(3).over(w)))
+        .select(col("doc_id"), col("lang"),
+          round(col("sum_freq").cast("double") / col("n_bigrams"), 4)
+            .as("familiarity"),
+          col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(${normalizeSql("text")}, ' ') AS words
+        FROM documents),
+      inst AS (
+        SELECT doc_id,
+               words[i] || ' ' || words[i + 1] AS bigram
+        FROM (SELECT doc_id, words,
+                     unnest(generate_series(1, len(words) - 1)) AS i
+              FROM docs WHERE len(words) >= 2)),
+      by_doc AS (
+        SELECT doc_id, bigram, COUNT(*) AS k FROM inst GROUP BY 1, 2),
+      model AS (
+        SELECT bigram, SUM(k) AS n_occ FROM by_doc GROUP BY 1),
+      stats AS (
+        SELECT doc_id, SUM(k) AS n_bigrams, SUM(k * n_occ) AS sum_freq
+        FROM by_doc JOIN model USING (bigram)
+        GROUP BY doc_id),
+      ranked AS (
+        SELECT s.doc_id, d.lang,
+               CAST(s.sum_freq AS DOUBLE) / s.n_bigrams AS fam,
+               ntile(3) OVER (PARTITION BY d.lang
+                              ORDER BY CAST(s.sum_freq AS DOUBLE)
+                                       / s.n_bigrams DESC, s.doc_id) AS b
+        FROM stats s JOIN documents d USING (doc_id))
+      SELECT doc_id, lang, round(fam, 4) AS familiarity,
+             ['head', 'middle', 'tail'][b] AS bucket
+      FROM ranked
+      ORDER BY doc_id
+    """))
+
   val all: Seq[GraftQuery] =
     Seq(q47, q48, q49, q50, q51, q69, q70, q79, q83, q86, q88, q93, q94,
-      q95, q103)
+      q95, q103, q106)
 }

@@ -18,9 +18,17 @@ object ProfileSfx {
     spark.sparkContext.setLogLevel("WARN")
     val src = "/root/testdata/sf0.1"
     val dst = s"${sys.props("java.io.tmpdir")}/graft-sfx1"
+    // SPARK_GRAFT_SFX_REUSE=1 skips the corpus rebuild (it is
+    // deterministic, so a previous run's output is identical);
+    // SPARK_GRAFT_ONLY=q104,q105 probes a subset — both so a partial
+    // run can be completed without repaying the full ~10 min
+    val reuse = sys.env.get("SPARK_GRAFT_SFX_REUSE").contains("1") &&
+      new java.io.File(s"$dst/documents.parquet/_SUCCESS").exists()
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
 
-    val docs = spark.read.parquet(s"$src/documents.parquet")
     val offset = 10000000L
+    if (!reuse) {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
     val replicas = (0 until 10).map { r =>
       val d = docs.withColumn("doc_id", col("doc_id") + lit(r * offset))
       if (r == 0) d
@@ -29,6 +37,7 @@ object ProfileSfx {
     }
     replicas.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    }
     val n = spark.read.parquet(s"$dst/documents.parquet").count()
     println(s"[prof] sfx1 documents rows = $n (10x sf0.1)")
 
@@ -38,11 +47,17 @@ object ProfileSfx {
     // scramble to generic values; any that land over a probe threshold
     // only ADD pairs, which is the conservative direction for a cost
     // probe
+    if (!reuse) {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val dim = 64
+    // 100k id stride (not the documents' 10M): q100 requires max
+    // vec_id < 1,000,000 (its planted-pair band starts there — the
+    // guard is deliberately a band check, not a collision join);
+    // 10 replicas × 2k ids top out at ~902k, inside the band
+    val embOffset = 100000L
     val embReplicas = (0 until 10).map { r =>
       val s = (r * 7) % dim
-      val e = emb.withColumn("vec_id", col("vec_id") + lit(r * offset))
+      val e = emb.withColumn("vec_id", col("vec_id") + lit(r * embOffset))
       if (r == 0) e
       else e.withColumn("embedding",
         concat(slice(col("embedding"), s + 1, dim - s),
@@ -50,6 +65,7 @@ object ProfileSfx {
     }
     embReplicas.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    }
     println(s"[prof] sfx1 embeddings rows = " +
       spark.read.parquet(s"$dst/embeddings.parquet").count())
 
@@ -74,7 +90,8 @@ object ProfileSfx {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }.min
 
-    probed.foreach { q =>
+    probed.filter(q => only.forall(names =>
+      names.exists(q.name.startsWith))).foreach { q =>
       val t01 = minOf(2)(q.build(spark, src).count())
       val t1 = minOf(2)(q.build(spark, dst).count())
       println(f"[prof] ${q.name}: sf0.1 $t01%.2f s -> sfx1 $t1%.2f s " +
