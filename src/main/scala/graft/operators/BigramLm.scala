@@ -55,4 +55,37 @@ object BigramLm {
         sum(when(col("n_occ") === 1, col("k")).otherwise(0L)).as("n_unique"))
       .orderBy(col("doc_id"))
   }
+
+  /** CCNet-style head/middle/tail bucketing (Wenzek et al. 2020 §4.3)
+    * over `docs(doc_id, text, lang)`: rank each document within its
+    * LANGUAGE by familiarity (mean corpus frequency of its bigrams,
+    * high ≈ low perplexity) and ntile(3)-split the ranking. The window
+    * orders on the UNROUNDED ratio (one IEEE division, bit-identical
+    * cross-engine) with doc_id as total tiebreak so the cut is
+    * deterministic; only the REPORTED familiarity is rounded. Output:
+    * (doc_id, lang, familiarity, bucket) ordered by doc_id.
+    *
+    * Scale shape: [[scores]]'s three shuffles build the stats; the
+    * bucketing adds one hash exchange on lang + a per-partition sort,
+    * all on (doc_id, lang, longs) rows — text never reaches the window
+    * (plan-walked in PplBucketsSpec). A dominant language makes its
+    * partition's SORT the bound (spillable O(n log n)), not a shuffle.
+    */
+  def buckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = scores(docs.select(col("doc_id"), col("text")))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy((col("sum_freq").cast("double") / col("n_bigrams")).desc,
+        col("doc_id"))
+    stats
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("bucket",
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          ntile(3).over(w)))
+      .select(col("doc_id"), col("lang"),
+        round(col("sum_freq").cast("double") / col("n_bigrams"), 4)
+          .as("familiarity"),
+        col("bucket"))
+      .orderBy(col("doc_id"))
+  }
 }

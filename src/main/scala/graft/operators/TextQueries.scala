@@ -674,45 +674,15 @@ object TextQueries {
     """
     })
 
-  /** CCNet-style perplexity bucketing (X58, Wenzek et al. 2020): rank
-    * every document against the LM within its LANGUAGE and split the
-    * ranking into head/middle/tail thirds — the published decision
-    * layer [[BigramLm.scores]]'s scaladoc promises downstream, as q103
-    * is to q48. Familiarity = mean corpus frequency of the doc's
-    * bigrams (high ≈ low perplexity); the ntile ordering uses the
-    * UNROUNDED ratio (one IEEE division, bit-identical cross-engine)
-    * with doc_id as total tiebreak, and only the REPORTED familiarity
-    * is rounded (q48's ratio discipline).
-    *
-    * Scale shape: q83's three shuffles build the stats; the bucketing
-    * adds one hash exchange on lang + per-partition sort (the window),
-    * all on (doc_id, lang, 3 longs) rows — text never reaches the
-    * window. A skewed language (the common case: one language dominates
-    * a crawl) makes that partition's SORT the bound, not a shuffle —
-    * ntile over n rows is O(n log n) per partition with nothing held in
-    * memory beyond the sort spill.
+  /** CCNet-style perplexity bucketing (X58, Wenzek et al. 2020): the
+    * published decision layer [[BigramLm.scores]]'s scaladoc promises
+    * downstream, as q103 is to q48 — semantics, determinism rules, and
+    * the scale shape documented on [[BigramLm.buckets]].
     */
   val q106 = GraftQuery(
     "q106_ppl_buckets",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val stats = BigramLm.scores(
-        t(s, d, "documents").select(col("doc_id"), col("text")))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy((col("sum_freq").cast("double") / col("n_bigrams")).desc,
-          col("doc_id"))
-      stats
-        .join(t(s, d, "documents").select(col("doc_id"), col("lang")),
-          "doc_id")
-        .withColumn("bucket",
-          element_at(array(lit("head"), lit("middle"), lit("tail")),
-            ntile(3).over(w)))
-        .select(col("doc_id"), col("lang"),
-          round(col("sum_freq").cast("double") / col("n_bigrams"), 4)
-            .as("familiarity"),
-          col("bucket"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => BigramLm.buckets(
+      t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))),
     Some(s"""
       WITH docs AS (
         SELECT doc_id, string_split(${normalizeSql("text")}, ' ') AS words
