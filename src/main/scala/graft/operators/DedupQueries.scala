@@ -534,6 +534,120 @@ object DedupQueries {
       ORDER BY n_shared DESC, doc_a, doc_b
     """))
 
+  /** The ExactSubstr SQL mirror shared by q107/q108: every L-gram as a
+    * row (the winnowing CTE at window w=1 — no window min needed, every
+    * position is selected), the same polynomial hash, occurrence
+    * counts, and the gaps-and-islands merge into maximal spans.
+    */
+  private def exactSubstrSql(l: Int): String = s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(${normalizeSql("text")}, ' ') AS ws
+        FROM documents),
+      grams AS (
+        SELECT doc_id, unnest(range(0, len(ws) - $l + 1)) AS pos, ws
+        FROM docs WHERE len(ws) >= $l),
+      hashed AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(ws[pos+1 : pos+$l],
+                   w -> CAST(length(w) * 17 + ascii(w) * 31
+                             + ascii(reverse(w)) AS BIGINT))),
+                 (acc, v) -> (acc * 31 + v) % 1000000007) AS fp
+        FROM grams),
+      occ AS (SELECT fp, COUNT(*) AS n_occ FROM hashed GROUP BY 1),
+      dup AS (
+        SELECT doc_id, pos, fp FROM hashed JOIN occ USING (fp)
+        WHERE n_occ >= 2),
+      lagged AS (
+        SELECT doc_id, pos, fp,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lp
+        FROM dup),
+      isl AS (
+        SELECT doc_id, pos, fp,
+               SUM(CASE WHEN pos - lp > $l THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM lagged)"""
+
+  /** Exact-substring duplicated-span stats ([[ExactSubstr.dupSpanStats]],
+    * X59, Lee et al. 2021): maximal ≥ 8-word runs occurring more than
+    * once corpus-wide, per doc — the EXACT counterpart of q104's
+    * winnowed sampling (every gram hashed, density 1) and the
+    * arbitrary-shift counterpart of q82's aligned blocks. Scale: the
+    * gram stream is (doc_id, pos, fp) longs ∝ corpus tokens — the
+    * suffix-array cost the paper also pays — and only duplicated
+    * positions reach the islands window.
+    */
+  val q107 = GraftQuery(
+    "q107_substr_spans",
+    (s, d) => ExactSubstr.dupSpanStats(
+      t(s, d, "documents").select(col("doc_id"), col("text")), minRun = 8),
+    Some(s"""
+      ${exactSubstrSql(8)},
+      spans AS (
+        SELECT doc_id, island, MIN(pos) AS st, MAX(pos) + 8 - 1 AS en
+        FROM isl GROUP BY 1, 2),
+      perdoc AS (
+        SELECT doc_id, COUNT(*) AS n_spans,
+               SUM(en - st + 1) AS dup_tokens,
+               MAX(en - st + 1) AS max_span
+        FROM spans GROUP BY 1)
+      SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_words,
+             COALESCE(n_spans, 0) AS n_spans,
+             CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             COALESCE(max_span, 0) AS max_span,
+             round(CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / len(d.ws), 6)
+               AS frac_dup
+      FROM docs d LEFT JOIN perdoc USING (doc_id)
+      ORDER BY doc_id
+    """))
+
+  /** ExactSubstr removal ([[ExactSubstr.dedup]], X59) — the paper's
+    * action: cut every duplicated region except the one holding the
+    * corpus-first occurrence (min doc_id·2^21 + pos per gram, one
+    * BIGINT min on both engines). A verbatim copy of an earlier doc
+    * loses all of its regions; the original keeps its own. Rewrite is
+    * q102's contract: interval sets join to the tokenized corpus in ONE
+    * text-carrying exchange, the slice is an index-set complement.
+    */
+  val q108 = GraftQuery(
+    "q108_substr_dedup",
+    (s, d) => ExactSubstr.dedup(
+      t(s, d, "documents").select(col("doc_id"), col("text")), minRun = 8),
+    Some(s"""
+      ${exactSubstrSql(8)},
+      surv AS (
+        SELECT fp, MIN(doc_id * 2097152 + pos) AS sk FROM dup GROUP BY 1),
+      flagged AS (
+        SELECT i.doc_id, i.pos, i.island,
+               CASE WHEN i.doc_id * 2097152 + i.pos = s.sk
+                    THEN 1 ELSE 0 END AS is_surv
+        FROM isl i JOIN surv s USING (fp)),
+      spans AS (
+        SELECT doc_id, island, MIN(pos) AS st, MAX(pos) + 8 - 1 AS en,
+               MAX(is_surv) AS keep
+        FROM flagged GROUP BY 1, 2),
+      removed AS (
+        SELECT doc_id, unnest(generate_series(st, en)) AS i
+        FROM spans WHERE keep = 0),
+      toks AS (
+        SELECT doc_id, unnest(range(0, len(ws))) AS i, ws
+        FROM docs),
+      kept AS (
+        SELECT t.doc_id, t.i, t.ws[CAST(t.i + 1 AS INTEGER)] AS w
+        FROM toks t LEFT JOIN removed r
+          ON t.doc_id = r.doc_id AND t.i = r.i
+        WHERE r.i IS NULL),
+      agg AS (
+        SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY 1)
+      SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+             CAST(len(d.ws) AS BIGINT) AS n_words,
+             CAST(len(d.ws) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed
+      FROM docs d LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id
+    """))
+
   val all: Seq[GraftQuery] =
-    Seq(q40, q41, q42, q68, q71, q81, q82, q102, q104, q105)
+    Seq(q40, q41, q42, q68, q71, q81, q82, q102, q104, q105, q107, q108)
 }
