@@ -600,6 +600,69 @@ object TrainPrepQueries {
       ORDER BY doc_id
     """))
 
+  /** UniMax language-sampling allocation ([[UniMax.allocateFraction]],
+    * X60, Chung et al. TACL 2023): waterfill 3/4 of the corpus's
+    * tokens across languages at a 1-epoch repeat cap — the allocator
+    * that replaced temperature sampling for multilingual pretraining
+    * mixes, as a window-function closed form over the per-language
+    * planning frame. On this corpus the four small languages cap at
+    * their full capacity and the dominant one absorbs the remaining
+    * budget — the paper's fairness effect, visible in frac_budget.
+    */
+  val q109 = GraftQuery(
+    "q109_unimax_alloc",
+    (s, d) => UniMax.allocateFraction(
+      t(s, d, "documents").select(col("lang"), col("text")),
+      num = 3, den = 4, epochs = 1),
+    Some(s"""
+      WITH tok AS (
+        SELECT lang,
+               CAST(len(string_split(${normalizeSql("text")}, ' '))
+                 AS BIGINT) AS t
+        FROM documents),
+      by_lang AS (
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY 1),
+      caps AS (
+        SELECT lang, n_docs, n_tokens,
+               n_tokens * 1 AS capacity,
+               CAST((3 * SUM(n_tokens) OVER ()) // 4 AS BIGINT) AS budget,
+               COUNT(*) OVER () AS n_langs
+        FROM by_lang),
+      ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY capacity, lang) AS r,
+               CAST(COALESCE(SUM(capacity) OVER (
+                 ORDER BY capacity, lang
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+        FROM caps),
+      lv AS (
+        SELECT *, CAST(budget - cum_before AS DOUBLE)
+                    / CAST(n_langs - r + 1 AS DOUBLE) AS level_r
+        FROM ranked),
+      fl AS (
+        SELECT *, CAST(capacity AS DOUBLE) < level_r AS capped FROM lv),
+      fin AS (
+        SELECT *,
+               CAST(COALESCE(SUM(CASE WHEN capped THEN capacity END)
+                 OVER (), 0) AS BIGINT) AS capped_sum,
+               COUNT(CASE WHEN NOT capped THEN 1 END) OVER () AS n_uncapped
+        FROM fl),
+      alloc AS (
+        SELECT *,
+               CASE WHEN capped THEN CAST(capacity AS DOUBLE)
+                    ELSE CAST(budget - capped_sum AS DOUBLE)
+                         / CAST(n_uncapped AS DOUBLE) END AS alloc
+        FROM fin)
+      SELECT lang, n_docs, n_tokens, capacity, capped,
+             round(alloc, 4) AS alloc_tokens,
+             round(alloc / n_tokens, 6) AS epochs_used,
+             round(alloc / budget, 6) AS frac_budget
+      FROM alloc
+      ORDER BY lang
+    """))
+
   val all: Seq[GraftQuery] =
-    Seq(q62, q63, q73, q77, q78, q80, q84, q87, q90, q96, q101)
+    Seq(q62, q63, q73, q77, q78, q80, q84, q87, q90, q96, q101, q109)
 }
