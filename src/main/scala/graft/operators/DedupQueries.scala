@@ -71,11 +71,19 @@ object DedupQueries {
   /** q42's pair stage, factored so q68's clustering consumes the SAME
     * pair definition (Spark and SQL sides both).
     */
-  private[operators] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def jaccardPairs(s: SparkSession, d: String): DataFrame =
       // ONE shingle definition project-wide: q42/q68/q71, the LSH
       // pipeline, and the incremental index all share
       // MinHashDedup.shingles, so the pair semantics cannot drift
-      val shingles = MinHashDedup.shingles(t(s, d, "documents"))
+      bruteJaccardPairs(MinHashDedup.shingles(t(s, d, "documents")), 0.5)
+
+  /** The brute inverted-index pair join over a (doc_id, shingle) set
+    * frame — every co-occurrence becomes a candidate row (Σ df² face).
+    * Kept as the exact baseline [[PpJoin.jaccardPairs]] prunes and the
+    * A/B ProfileJaccard measures against.
+    */
+  private[graft] def bruteJaccardPairs(shingles: DataFrame,
+      tau: Double): DataFrame = {
       val sizes = shingles.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_sh"))
       val a = shingles.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -92,7 +100,7 @@ object DedupQueries {
         .withColumn("jaccard",
           round(col("n_inter").cast("double") /
             (col("n_a") + col("n_b") - col("n_inter")), 4))
-        .filter(col("jaccard") >= 0.5)
+        .filter(col("jaccard") >= tau)
         .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
   }
 
@@ -142,6 +150,27 @@ object DedupQueries {
   val q42 = GraftQuery(
     "q42_ngram_jaccard_pairs",
     (s, d) => jaccardPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH $jaccardPairsSql
+      SELECT doc_a, doc_b, n_inter, jaccard
+      FROM pairs
+      ORDER BY doc_a, doc_b
+    """))
+
+  /** q42's pair semantics through the prefix-filtered AllPairs/PPJoin
+    * path ([[PpJoin.jaccardPairs]]) instead of the brute inverted-index
+    * join: identical rows, but the candidate face shrinks from Σ df²
+    * (stop-word shingles dominate) to Σ df_prefix² over each doc's
+    * RAREST shingles. The oracle is deliberately q42's brute SQL —
+    * hash-equality against it at both scale factors is the end-to-end
+    * losslessness proof for the prefix filter, independent of
+    * PpJoinSpec's random-corpus trials.
+    */
+  val q110 = GraftQuery(
+    "q110_ppjoin_pairs",
+    (s, d) => PpJoin
+      .jaccardPairs(MinHashDedup.shingles(t(s, d, "documents")), 0.5)
+      .orderBy(col("doc_a"), col("doc_b")),
     Some(s"""
       WITH $jaccardPairsSql
       SELECT doc_a, doc_b, n_inter, jaccard
@@ -649,5 +678,6 @@ object DedupQueries {
     """))
 
   val all: Seq[GraftQuery] =
-    Seq(q40, q41, q42, q68, q71, q81, q82, q102, q104, q105, q107, q108)
+    Seq(q40, q41, q42, q68, q71, q81, q82, q102, q104, q105, q107, q108,
+      q110)
 }

@@ -83,7 +83,15 @@ object ProfileSfx {
       // WITHIN-replica gram equality (every word shifts uniformly), so
       // fp/dup structure scales ×10 with no cross-replica dups invented
       graft.operators.DedupQueries.q104,
-      graft.operators.DedupQueries.q105)
+      graft.operators.DedupQueries.q105,
+      // r8: exact-substring dedup — the density-1 gram stream is the
+      // probe's heaviest per-token shuffle; the replica transform's
+      // uniform word-prefix shift keeps gram equality within replicas,
+      // so duplicated-span structure scales ×10 like the corpus
+      graft.operators.DedupQueries.q107,
+      graft.operators.DedupQueries.q108,
+      // r8: perplexity buckets — q83's shuffles + the lang window
+      graft.operators.TextQueries.q106)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>

@@ -395,6 +395,33 @@ class PlanSpec extends SparkSpec {
       s"document text must never broadcast:\n${textBroadcasts.mkString("\n")}")
   }
 
+  test("q108 substr dedup: text crosses at most one hash exchange; gram path is longs") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val carriesText = carriesAny(Set("text", "words", "clean_text")) _
+    val df = DedupQueries.q108.build(spark, sf0001)
+    df.collect() // materialize AQE's final plans
+    val all = executedNodes(df)
+    // the gram stream, occurrence counts, survivor agg, and islands
+    // window all run on (doc_id, pos, fp) longs; the single permitted
+    // text exchange is the rewrite join that brings interval sets to
+    // the tokenized corpus (q102's contract); the presentation ORDER BY
+    // (range partitioning) is the oracle gate's determinism sort
+    val textHashShuffles = all.collect {
+      case e: ShuffleExchangeLike
+          if carriesText(e.output) &&
+            !e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }
+    assert(textHashShuffles.size <= 1,
+      "words may cross at most the ONE rewrite-join exchange; " +
+        s"found:\n${textHashShuffles.mkString("\n")}")
+    val textBroadcasts = all.collect {
+      case e: BroadcastExchangeLike if carriesText(e.output) => e
+    }
+    assert(textBroadcasts.isEmpty,
+      s"document text must never broadcast:\n${textBroadcasts.mkString("\n")}")
+  }
+
   test("q103: the rules projection stays inside whole-stage codegen") {
     // aggregate/transform array folds are CodegenFallback and would
     // break the stage — the rules are arithmetic + regexp_count +
