@@ -39,7 +39,7 @@ object SemanticDedup {
     * counts (~100k) this frame is a few MB and still broadcastable; past
     * that, join it by `cell` hash instead.
     */
-  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def centroidFrame(spark: org.apache.spark.sql.SparkSession,
       centroids: Array[Double], cells: Int, dim: Int): DataFrame = {
     val rows = (0 until cells).map { c =>
       Row(c, centroids.slice(c * dim, (c + 1) * dim).toSeq)
@@ -57,7 +57,7 @@ object SemanticDedup {
     * sum — so the value is bit-identical to what the cell assignment
     * minimized.
     */
-  private def dist2(a: Column, b: Column): Column = {
+  private[operators] def dist2(a: Column, b: Column): Column = {
     val diffs = zip_with(a, b, (x, y) => (x - y) * (x - y))
     aggregate(diffs, lit(0.0d), (acc, v) => acc + v)
   }

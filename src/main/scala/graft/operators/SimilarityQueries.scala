@@ -364,5 +364,66 @@ object SimilarityQueries {
       ORDER BY vec_id
     """))
 
-  val all: Seq[GraftQuery] = Seq(q45, q46, q65, q76, q89, q100)
+  /** D4 prototype diversification ([[PrototypeDiversify]], X63): drop
+    * the ⌈25 %⌉ of each centroid cell nearest its centroid — the
+    * SSL-prototypes rule that follows SemDeDup in the D4 pipeline. The
+    * oracle regenerates the LCG plane centroids and replays the
+    * assignment fold bit-for-bit (q100's CTEs), then ranks per cell.
+    */
+  val q112 = GraftQuery(
+    "q112_d4_diversify",
+    (s, d) => {
+      val (cells, dim) = (8, 64)
+      PrototypeDiversify.diversify(
+        t(s, d, "embeddings").select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding")),
+        jlPlanes(cells, dim), cells, dim, dropFrac = 0.25)
+    },
+    Some("""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      nz AS (
+        SELECT vec_id, emb FROM base
+        WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(emb, y -> y * y)), (acc, v) -> acc + v) > 0),
+      u AS (
+        SELECT vec_id,
+               list_transform(emb, x -> x /
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(emb, y -> y * y)),
+                   (acc, v) -> acc + v))) AS unit
+        FROM nz),
+      cellscore AS (
+        SELECT u.vec_id, CAST(c.cell AS INTEGER) AS cell,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(u.unit, (x, i) ->
+                   (x - ((CAST(c.cell * 64 + (i - 1) AS BIGINT) * 1103515245
+                          + 12345) % 2001 - 1000) / 1000.0)
+                   * (x - ((CAST(c.cell * 64 + (i - 1) AS BIGINT) * 1103515245
+                            + 12345) % 2001 - 1000) / 1000.0))),
+                 (acc, v) -> acc + v) AS d
+        FROM u CROSS JOIN range(8) AS c(cell)),
+      assigned AS (
+        SELECT vec_id, cell, d AS cdist
+        FROM (SELECT vec_id, cell, d,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d, cell) AS rk
+              FROM cellscore)
+        WHERE rk = 1),
+      sized AS (
+        SELECT cell, COUNT(*) AS cell_size FROM assigned GROUP BY 1),
+      ranked AS (
+        SELECT a.vec_id, a.cell, a.cdist, s.cell_size,
+               CAST(ROW_NUMBER() OVER (PARTITION BY a.cell
+                                       ORDER BY a.cdist, a.vec_id)
+                    AS INTEGER) AS proto_rank
+        FROM assigned a JOIN sized s USING (cell))
+      SELECT vec_id, cell, round(cdist, 6) AS cdist_r, cell_size,
+             proto_rank,
+             proto_rank > CAST(ceil(0.25 * cell_size) AS BIGINT) AS kept
+      FROM ranked
+      ORDER BY vec_id
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q45, q46, q65, q76, q89, q100, q112)
 }

@@ -714,7 +714,35 @@ object TextQueries {
       ORDER BY doc_id
     """))
 
+  /** Hashed linear quality classifier ([[QualityClassifier]], X62):
+    * the GPT-3/fastText learned-filter tier. Feature-hash every token
+    * with q50's mirrorable word hash, sum frozen LCG bucket weights
+    * per doc (integer-exact), one division for the margin, keep on the
+    * unrounded sum's sign.
+    */
+  val q111 = GraftQuery(
+    "q111_quality_classifier",
+    (s, d) => QualityClassifier.score(t(s, d, "documents"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH words AS (
+        SELECT doc_id,
+               unnest(string_split(${normalizeSql("text")}, ' ')) AS w
+        FROM documents),
+      scored AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               SUM((CAST((length(w) * 17 + ascii(w) * 31
+                          + ascii(reverse(w))) % 4096 AS BIGINT)
+                    * 1103515245 + 12345) % 2001 - 1000) AS s
+        FROM words GROUP BY 1)
+      SELECT doc_id, n_tokens,
+             round(CAST(s AS DOUBLE) / (1000.0 * n_tokens), 6) AS margin,
+             s >= 0 AS keep
+      FROM scored
+      ORDER BY doc_id
+    """))
+
   val all: Seq[GraftQuery] =
     Seq(q47, q48, q49, q50, q51, q69, q70, q79, q83, q86, q88, q93, q94,
-      q95, q103, q106)
+      q95, q103, q106, q111)
 }

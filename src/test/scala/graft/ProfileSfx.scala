@@ -91,7 +91,11 @@ object ProfileSfx {
       graft.operators.DedupQueries.q107,
       graft.operators.DedupQueries.q108,
       // r8: perplexity buckets — q83's shuffles + the lang window
-      graft.operators.TextQueries.q106)
+      graft.operators.TextQueries.q106,
+      // r8: hashed classifier (token-linear, q49's shuffle shape) and
+      // D4 diversification (one cell window over the replica vectors)
+      graft.operators.TextQueries.q111,
+      graft.operators.SimilarityQueries.q112)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
