@@ -663,6 +663,85 @@ object TrainPrepQueries {
       ORDER BY lang
     """))
 
+  /** T5/UL2 span corruption ([[SpanCorruption]], X64): deterministic
+    * denoising-example generation — LCG span starts (5 %, length
+    * 2–4 ≈ 15 % masked), gaps-and-islands merge, numbered sentinels,
+    * masked content as the target. The oracle replays the LCG, the
+    * island merge, and both string rebuilds.
+    */
+  val q113 = GraftQuery(
+    "q113_span_corruption",
+    (s, d) => SpanCorruption.corrupt(t(s, d, "documents")),
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(${normalizeSql("text")}, ' ') AS ws
+        FROM documents),
+      toks AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+               unnest(range(0, len(ws))) AS i, ws
+        FROM docs),
+      wtoks AS (
+        SELECT doc_id, n, i, ws[CAST(i + 1 AS INTEGER)] AS w,
+               (((doc_id * 1000003 + i) % 1000000007) * 1103515245
+                + 12345) % 1000000 AS u
+        FROM toks),
+      starts AS (
+        SELECT doc_id, i AS st, LEAST(i + 1 + u % 3, n - 1) AS en
+        FROM wtoks WHERE u < 50000),
+      maskpos AS (
+        SELECT DISTINCT doc_id, unnest(range(st, en + 1)) AS p
+        FROM starts),
+      brks AS (
+        SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER (PARTITION BY doc_id
+                                          ORDER BY p) > 1
+                    THEN 1 ELSE 0 END AS brk
+        FROM maskpos),
+      isl0 AS (
+        SELECT doc_id, p,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM brks),
+      isl AS (
+        SELECT doc_id, island, MIN(p) AS st, MAX(p) AS en,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY MIN(p)) - 1
+                    AS INTEGER) AS k
+        FROM isl0 GROUP BY doc_id, island),
+      inp AS (
+        SELECT t.doc_id,
+               string_agg(CASE WHEN s.k IS NOT NULL
+                               THEN '<extra_id_' || s.k || '>'
+                               ELSE t.w END, ' ' ORDER BY t.i) AS input_text
+        FROM wtoks t
+        LEFT JOIN isl s ON s.doc_id = t.doc_id AND s.st = t.i
+        LEFT JOIN maskpos m ON m.doc_id = t.doc_id AND m.p = t.i
+        WHERE s.k IS NOT NULL OR m.p IS NULL
+        GROUP BY t.doc_id),
+      tgt AS (
+        SELECT d.doc_id,
+               string_agg(
+                 array_to_string(list_prepend('<extra_id_' || s.k || '>',
+                   d.ws[CAST(s.st + 1 AS INTEGER):CAST(s.en + 1 AS INTEGER)]),
+                   ' '),
+                 ' ' ORDER BY s.k) AS target_text,
+               SUM(s.en - s.st + 1) AS n_masked,
+               COUNT(*) AS n_spans
+        FROM docs d JOIN isl s USING (doc_id)
+        GROUP BY d.doc_id)
+      SELECT d.doc_id,
+             COALESCE(i.input_text, '') AS input_text,
+             COALESCE(t.target_text, '') AS target_text,
+             CAST(len(d.ws) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(t.n_masked, 0) AS BIGINT) AS n_masked,
+             CAST(COALESCE(t.n_spans, 0) AS BIGINT) AS n_spans
+      FROM docs d
+      LEFT JOIN inp i USING (doc_id)
+      LEFT JOIN tgt t USING (doc_id)
+      ORDER BY d.doc_id
+    """))
+
   val all: Seq[GraftQuery] =
-    Seq(q62, q63, q73, q77, q78, q80, q84, q87, q90, q96, q101, q109)
+    Seq(q62, q63, q73, q77, q78, q80, q84, q87, q90, q96, q101, q109,
+      q113)
 }

@@ -95,7 +95,10 @@ object ProfileSfx {
       // r8: hashed classifier (token-linear, q49's shuffle shape) and
       // D4 diversification (one cell window over the replica vectors)
       graft.operators.TextQueries.q111,
-      graft.operators.SimilarityQueries.q112)
+      graft.operators.SimilarityQueries.q112,
+      // r8: span corruption — token-linear LCG masking, islands window
+      // over only the ~15 % masked positions, ONE text rewrite join
+      graft.operators.TrainPrepQueries.q113)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
@@ -108,6 +111,30 @@ object ProfileSfx {
       val t1 = minOf(2)(q.build(spark, dst).count())
       println(f"[prof] ${q.name}: sf0.1 $t01%.2f s -> sfx1 $t1%.2f s " +
         f"(ratio ${t1 / t01}%.1fx, exponent ${math.log10(t1 / t01)}%.2f)")
+    }
+
+    // SemDeDup probed at its CONTRACT (scaladoc: size `cells` ∝ corpus,
+    // the paper's ~100k clusters for LAION — constant per-cell
+    // occupancy keeps the |cell|² face per vector constant): 8 cells at
+    // 1×, 80 at 10×. q100 above holds cells=8 FIXED for oracle
+    // tractability, so its 10× ratio is the measured cost of VIOLATING
+    // the contract (the per-cell face grows 100×), not the operator's
+    // scale behavior.
+    if (only.forall(_.exists(n => "semdedup_cells".startsWith(n)))) {
+      val dim = 64
+      def planes(k: Int) = Array.tabulate(k * dim)(x =>
+        (((x * 1103515245L + 12345L) % 2001L) - 1000L) / 1000.0)
+      val times = Seq((src, 8), (dst, 80)).map { case (dir, cells) =>
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+        val t = minOf(2)(graft.operators.SemanticDedup.prune(
+          emb, planes(cells), cells, dim, minCos = 0.5).count())
+        println(f"[prof] semdedup_cells cells=$cells ($dir): $t%.2f s")
+        t
+      }
+      println(f"[prof] semdedup_cells contract ratio ${times(1) / times(0)}%.1fx " +
+        f"(exponent ${math.log10(times(1) / times(0))}%.2f)")
     }
     spark.stop()
   }
