@@ -425,5 +425,79 @@ object SimilarityQueries {
       ORDER BY vec_id
     """))
 
-  val all: Seq[GraftQuery] = Seq(q45, q46, q65, q76, q89, q100, q112)
+  /** DuckDB replay of the full Lloyd loop ([[KMeans]] X65): the CTE
+    * chain is generated per iteration — quantize, init from the k
+    * smallest ids, then (assign, update) pairs and a final assignment.
+    * Every step is integer arithmetic after the one shared
+    * `round(x·10⁴)+8192` quantization, so the replay is bit-exact:
+    * DuckDB's BIGINT sums (HUGEINT-widened, cast back) equal Spark's
+    * long sums regardless of order, and `//` equals Scala `/` on the
+    * shift-guaranteed positives.
+    */
+  private def kmeansOracleSql(k: Int, dim: Int, iters: Int): String = {
+    val steps = (0 until iters).map { t =>
+      s"""
+      d$t AS (
+        SELECT comp.vec_id, c$t.cid,
+               SUM((100 * comp.x - c$t.c) * (100 * comp.x - c$t.c)) AS d
+        FROM comp JOIN c$t USING (pos)
+        GROUP BY 1, 2),
+      a$t AS (
+        SELECT vec_id, cid
+        FROM (SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d, cid) AS rn
+              FROM d$t)
+        WHERE rn = 1),
+      c${t + 1} AS (
+        SELECT a$t.cid, comp.pos,
+               CAST((100 * SUM(comp.x)) // COUNT(*) AS BIGINT) AS c
+        FROM comp JOIN a$t USING (vec_id)
+        GROUP BY 1, 2),"""
+    }.mkString
+    s"""
+      WITH qv AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                 x -> CAST(round(x * 10000) AS BIGINT) + 8192) AS q
+        FROM embeddings),
+      comp AS (
+        SELECT vec_id, i AS pos, q[i] AS x
+        FROM (SELECT vec_id, q,
+                     unnest(generate_series(1, $dim)) AS i FROM qv)),
+      init AS (
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                 AS cid
+        FROM (SELECT vec_id FROM qv ORDER BY vec_id LIMIT $k)),
+      c0 AS (
+        SELECT init.cid, comp.pos, 100 * comp.x AS c
+        FROM comp JOIN init USING (vec_id)),$steps
+      dfin AS (
+        SELECT comp.vec_id, c$iters.cid,
+               SUM((100 * comp.x - c$iters.c)
+                   * (100 * comp.x - c$iters.c)) AS d
+        FROM comp JOIN c$iters USING (pos)
+        GROUP BY 1, 2)
+      SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS d2
+      FROM (SELECT vec_id, cid, d,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cid) AS rn
+            FROM dfin)
+      WHERE rn = 1
+      ORDER BY vec_id
+    """
+  }
+
+  /** Distributed Lloyd k-means ([[KMeans]], X65): k=4, two updates
+    * (three assignment passes), deterministic smallest-id init —
+    * hash-exact because the whole loop is integer arithmetic over the
+    * shared quantization grid.
+    */
+  val q114 = GraftQuery(
+    "q114_kmeans",
+    (s, d) => KMeans.fit(t(s, d, "embeddings"), k = 4, iters = 2, dim = 64),
+    Some(kmeansOracleSql(k = 4, dim = 64, iters = 2)))
+
+  val all: Seq[GraftQuery] = Seq(q45, q46, q65, q76, q89, q100, q112, q114)
 }
