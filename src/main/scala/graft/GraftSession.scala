@@ -23,8 +23,13 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // testdata events.parquet carries TIMESTAMP(NANOS); read as long
-      // nanos (converted to micros in Tables) instead of failing the scan.
+      // testdata timestamps are parquet TIMESTAMP(MICROS, isAdjustedToUTC
+      // =false); read them as session-tz TIMESTAMP (UTC above) rather than
+      // TIMESTAMP_NTZ so epoch arithmetic (cast to double, unix_timestamp)
+      // works and matches DuckDB's naive read of the same file. Older
+      // generations used TIMESTAMP(NANOS); keep nanosAsLong so those scans
+      // arrive as long nanos (converted to micros in Tables) too.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 

@@ -16,11 +16,14 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses natively;
-    // sessions set spark.sql.legacy.parquet.nanosAsLong so it arrives as
-    // LongType nanos. Truncate to micros with exact integer division (`div`
-    // — a double division would lose precision above 2^53) to match
-    // DuckDB's us-precision read of the same file.
+    // Current testdata timestamps are TIMESTAMP(MICROS); sessions set
+    // inferTimestampNTZ=false so they scan directly as session-tz (UTC)
+    // TIMESTAMP — no conversion, filters still push down. Older testdata
+    // generations carried events.ts as TIMESTAMP(NANOS), which Spark
+    // refuses natively; sessions set spark.sql.legacy.parquet.nanosAsLong
+    // so those arrive as LongType nanos. Truncate to micros with exact
+    // integer division (`div` — a double division would lose precision
+    // above 2^53) to match DuckDB's us-precision read of the same file.
     if (name == "events" && df.schema("ts").dataType ==
         org.apache.spark.sql.types.LongType)
       df.withColumn("ts",
