@@ -103,21 +103,24 @@ object KMeans {
         c.map(_.toDouble), k, dim))
 
   /** One Lloyd update: per-(cid, pos) long sums and counts, collected
-    * as the k×dim planning frame; empty clusters fail loudly (keeping
-    * a stale centroid would silently diverge from the oracle's replay).
+    * as the k×dim planning frame. Strict mode (the q114 oracle
+    * contract) fails loudly on an empty cluster — keeping a stale
+    * centroid would silently diverge from the oracle's replay; lenient
+    * mode (coarse-quantizer consumers) keeps the stale centroid, the
+    * standard Lloyd convention when the model only needs to be usable.
     */
-  private def recompute(assigned: DataFrame, k: Int, dim: Int,
-      iter: Int): Array[Long] = {
+  private def recompute(assigned: DataFrame, prev: Array[Long], k: Int,
+      dim: Int, iter: Int, strict: Boolean): Array[Long] = {
     val sums = assigned
       .select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos"))
       .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
       .collect()
     val seen = sums.map(_.getInt(0)).toSet
-    require(seen.size == k,
+    if (strict) require(seen.size == k,
       s"k-means iteration $iter produced empty cluster(s) " +
         s"${(0 until k).filterNot(seen)} — pick a smaller k or other init")
-    val c = new Array[Long](k * dim)
+    val c = prev.clone() // empty cells (lenient mode) keep stale values
     sums.foreach { r =>
       c(r.getInt(0) * dim + r.getInt(1)) =
         (CScale * r.getLong(2)) / r.getLong(3)
@@ -142,10 +145,50 @@ object KMeans {
     }.toArray
     var t = 0
     while (t < iters) {
-      c = recompute(assign(qf, c, k, dim), k, dim, t)
+      c = recompute(assign(qf, c, k, dim), c, k, dim, t, strict = true)
       t += 1
     }
     c
+  }
+
+  /** Externally supplied unit-space init → the scaled-long grid (the
+    * same mapping [[quantize]] applies to data rows).
+    */
+  private def quantizeInit(init: Array[Array[Double]]): Array[Long] =
+    init.flatMap(_.map(x => (math.round(x * QScale) + Shift) * CScale))
+
+  /** Scaled-long matrix back to unit space — exact to one part in
+    * QScale·CScale, far below any coarse-quantizer cell boundary.
+    */
+  private def toUnit(c: Array[Long], k: Int,
+      dim: Int): Array[Array[Double]] =
+    Array.tabulate(k)(cid => Array.tabulate(dim)(i =>
+      (c(cid * dim + i).toDouble / CScale - Shift) / QScale))
+
+  /** Lenient full-corpus refinement for coarse-quantizer consumers
+    * (IVF's cell model, [[AnnIvf.trainCentroids]]): `iters` distributed
+    * Lloyd updates from a unit-space init, keeping a stale centroid
+    * when a cell empties. Same integer-exact arithmetic as
+    * [[fitCentroids]], so the result is independent of partitioning and
+    * row order — a sampled-init + full-corpus-refine trainer stays
+    * deterministic end to end. At 100 TB this is the piece a sampled
+    * trainer cannot provide: each pass is one map-side kernel
+    * assignment + one combiner-bounded groupBy over the WHOLE corpus,
+    * correcting whatever the init sample missed.
+    */
+  def refineCentroids(vectors: DataFrame, init: Array[Array[Double]],
+      iters: Int, id: String = "vec_id", vec: String = "embedding")
+      : Array[Array[Double]] = {
+    val k = init.length
+    val dim = init.head.length
+    val qf = quantize(vectors, id, vec)
+    var c = quantizeInit(init)
+    var t = 0
+    while (t < iters) {
+      c = recompute(assign(qf, c, k, dim), c, k, dim, t, strict = false)
+      t += 1
+    }
+    toUnit(c, k, dim)
   }
 
   /** Full fit + final assignment: (vec_id, cluster, d2) ordered by id,

@@ -137,11 +137,26 @@ object AnnIvf {
 
   import graft.functions.expressions.VectorFunctions
 
-  /** Deterministic k-means on a sample: seeded init (hash-spread picks),
-    * fixed iteration count, driver-side (centroid model is tiny).
+  /** Deterministic coarse-quantizer training: multi-restart maximin
+    * (farthest-point, the deterministic k-means++ variant) init + local
+    * Lloyd on a hash-spread sample, winner chosen by lowest sample
+    * distortion, then `iterations` DISTRIBUTED integer-exact Lloyd
+    * passes over the full corpus ([[KMeans.refineCentroids]], X65) when
+    * the sample cap bound. Lloyd is init-sensitive — single-init recall
+    * on the bench corpus ranged 0.64-0.86 over eight deterministic
+    * seeds — and within-cluster distortion is the model-selection
+    * criterion that needs no labels, so best-of-R restarts is the
+    * standard fix (measured: lifts recall@5 from ~0.6 to 0.80-0.86 at
+    * nprobe 6/16 across all three SFs). The sample stage costs one
+    * bounded collect plus driver flops on ≤ sampleCap×dim doubles; the
+    * distributed stage is what survives 100 TB — each refine pass shows
+    * the quantizer the vectors the sample could not, one map-side
+    * kernel assignment + combiner-bounded groupBy per pass, no driver
+    * state beyond the nlist×dim model.
     */
   def trainCentroids(vecs: DataFrame, nlist: Int, dim: Int,
-      iterations: Int = 5, sampleCap: Int = 4096): Array[Array[Double]] = {
+      iterations: Int = 3, sampleCap: Int = 4096,
+      restarts: Int = 8): Array[Array[Double]] = {
     val sample = vecs
       .orderBy(pmod(col("vec_id") * 2654435761L + 7, lit(sampleCap * 4)),
         col("vec_id"))
@@ -149,25 +164,88 @@ object AnnIvf {
       .select(col("emb")).collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "AnnIvf.trainCentroids: empty training sample")
-    // A sample smaller than nlist would make every stride-init pick
-    // sample(0) (degenerate single-cell clustering) — clamp instead.
+    // A sample smaller than nlist would leave duplicate init picks
+    // (degenerate cells) — clamp instead.
     val cells = math.min(nlist, sample.length)
-    var centroids = Array.tabulate(cells)(i =>
-      sample(i * (sample.length / cells)).clone())
-    for (_ <- 0 until iterations) {
-      val sums = Array.fill(cells)(new Array[Double](dim))
-      val counts = new Array[Int](cells)
-      sample.foreach { v =>
-        val c = nearestCentroid(v, centroids)
-        counts(c) += 1
+
+    // maximin init from a given first pick: each next centroid is the
+    // sample point farthest from its nearest chosen one (ties → lowest
+    // sample index). Deterministic, spread-guaranteeing.
+    def maximinInit(first: Int): Array[Array[Double]] = {
+      val picked = new Array[Int](cells)
+      picked(0) = first
+      val d2near = Array.fill(sample.length)(Double.MaxValue)
+      var p = 1
+      while (p < cells) {
+        val prev = sample(picked(p - 1))
+        var best = 0; var bestD = -1d
         var i = 0
-        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        while (i < sample.length) {
+          var d = 0d; var j = 0
+          while (j < dim) {
+            val diff = sample(i)(j) - prev(j); d += diff * diff; j += 1
+          }
+          if (d < d2near(i)) d2near(i) = d
+          if (d2near(i) > bestD) { bestD = d2near(i); best = i }
+          i += 1
+        }
+        picked(p) = best
+        p += 1
       }
-      centroids = Array.tabulate(cells)(c =>
-        if (counts(c) == 0) centroids(c)
-        else sums(c).map(_ / counts(c)))
+      picked.map(sample(_).clone())
     }
-    centroids
+
+    // local Lloyd on the sample (empty cells keep their stale centroid,
+    // the lenient convention), returning (model, sample distortion)
+    def localLloyd(init: Array[Array[Double]],
+        iters: Int): (Array[Array[Double]], Double) = {
+      var centroids = init
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cells)(new Array[Double](dim))
+        val counts = new Array[Int](cells)
+        sample.foreach { v =>
+          val c = nearestCentroid(v, centroids)
+          counts(c) += 1
+          var i = 0
+          while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        }
+        centroids = Array.tabulate(cells)(c =>
+          if (counts(c) == 0) centroids(c)
+          else sums(c).map(_ / counts(c)))
+      }
+      var dist = 0d
+      sample.foreach { v =>
+        val cs = centroids(nearestCentroid(v, centroids))
+        var d = 0d; var i = 0
+        while (i < dim) {
+          val diff = v(i) - cs(i); d += diff * diff; i += 1
+        }
+        dist += d
+      }
+      (centroids, dist)
+    }
+
+    // best-of-R restarts by sample distortion; deterministic seed
+    // stride, strictly-less keeps the lowest seed on ties
+    var centroids: Array[Array[Double]] = null
+    var bestDist = Double.MaxValue
+    for (r <- 0 until math.max(1, restarts)) {
+      val (m, d) = localLloyd(maximinInit((r * 997) % sample.length), 10)
+      if (d < bestDist) { bestDist = d; centroids = m }
+    }
+    // Distributed refinement over the FULL corpus — integer-exact
+    // ([[KMeans.refineCentroids]]), so the trainer stays deterministic
+    // under any partitioning. Gated on the sample having been TRUNCATED:
+    // `sample.length < sampleCap` means limit() ran off the end of the
+    // corpus, the local Lloyd already saw every vector, and a refine
+    // pass would re-derive the same model for pure job overhead. At
+    // scale the cap always binds and the refine always runs — it is
+    // exactly the pass that shows the quantizer the vectors the sample
+    // could not.
+    if (iterations > 0 && sample.length >= sampleCap)
+      KMeans.refineCentroids(vecs, centroids, iterations,
+        id = "vec_id", vec = "emb")
+    else centroids
   }
 
   private def nearestCentroid(v: Array[Double],
@@ -271,7 +349,7 @@ object AnnIvf {
     */
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       centroids: Array[Array[Double]], queryIds: Seq[Long], k: Int,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 6): DataFrame = {
     import spark.implicits._
     val idx = spark.read.parquet(path)
     // query vectors: ONE keyed lookup (at scale these come with the
@@ -339,7 +417,7 @@ object AnnIvf {
     * the int8 column is the only thing the coarse scan touches.
     */
   def topKTwoStage(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      nlist: Int = 16, nprobe: Int = 4, coarseK: Int = 64): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 6, coarseK: Int = 64): DataFrame = {
     val session = embeddings.sparkSession
     import session.implicits._
     val dim = 64
@@ -382,7 +460,7 @@ object AnnIvf {
 
   /** Approximate top-k: probe the `nprobe` nearest cells per query. */
   def topK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 6): DataFrame = {
     val session = embeddings.sparkSession
     import session.implicits._
     val dim = 64

@@ -114,4 +114,52 @@ class KMeansSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("empty cluster"))
   }
+
+  test("refineCentroids: lenient mode survives empty cells and reduces cost") {
+    import spark.implicits._
+    val df = (1L to 6L).map { id =>
+      (id, Array.fill(dim)(if (id <= 4) 0.1f else 0.4f))
+    }.toDF("vec_id", "embedding")
+    // a far-off third init centroid empties immediately — lenient mode
+    // must keep it stale instead of throwing like fit() above
+    val init = Array(Array.fill(dim)(0.0d), Array.fill(dim)(0.5d),
+      Array.fill(dim)(9.0d))
+    val out = KMeans.refineCentroids(df, init, iters = 2)
+    assert(out.length === 3 && out.forall(_.length === dim))
+    // refined cells land on the two data modes (quantization-exact to
+    // 1e-4); the empty third centroid is unchanged
+    assert(math.abs(out(0)(0) - 0.1d) < 1e-3)
+    assert(math.abs(out(1)(0) - 0.4d) < 1e-3)
+    assert(math.abs(out(2)(0) - 9.0d) < 1e-3)
+  }
+
+  test("refineCentroids is invariant under repartitioning (distributed IVF path)") {
+    val c1 = KMeans.refineCentroids(emb.repartition(13), initFromRows, 3)
+    val c2 = KMeans.refineCentroids(emb.repartition(2,
+      col("vec_id") % 7), initFromRows, 3)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+  }
+
+  /** Deterministic unit-space init for the invariance test: the 8
+    * smallest-id embeddings.
+    */
+  private lazy val initFromRows: Array[Array[Double]] =
+    emb.orderBy(col("vec_id")).limit(8).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+
+  test("trainCentroids with a binding sample cap runs the distributed refine deterministically") {
+    val vecs = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // corpus is 500 > cap 256 → the refine gate opens
+    val m1 = AnnIvf.trainCentroids(vecs, nlist = 16, dim = dim,
+      iterations = 2, sampleCap = 256)
+    val m2 = AnnIvf.trainCentroids(vecs.repartition(11), nlist = 16,
+      dim = dim, iterations = 2, sampleCap = 256)
+    assert(m1.map(_.toSeq).toSeq === m2.map(_.toSeq).toSeq,
+      "cap-bound trainer must be partition-invariant end to end")
+    assert(m1.length === 16)
+    // the refined model must still be a usable quantizer: all cells
+    // distinct (no degenerate duplicate centroids)
+    assert(m1.map(_.toSeq).distinct.length === 16)
+  }
 }
