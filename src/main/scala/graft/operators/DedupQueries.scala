@@ -105,13 +105,15 @@ object DedupQueries {
   }
 
   /** The docs → distinct-3-gram-shingles → per-doc-sizes CTE block shared
-    * by [[jaccardPairsSql]] and q71's cross-set variant.
+    * by [[jaccardPairsSql]] and q71's cross-set variant, parameterized on
+    * the source relation so q115 can shingle a survivor CTE instead of
+    * the base table.
     */
-  private[operators] val shingleCtesSql: String = s"""
+  private[operators] def shingleCtesSqlFrom(rel: String): String = s"""
       docs AS (
         SELECT doc_id,
                string_split(${normalizeSql("text")}, ' ') AS words
-        FROM documents),
+        FROM $rel),
       word_rows AS (
         SELECT doc_id, unnest(words) AS w,
                generate_subscripts(words, 1) AS i
@@ -123,6 +125,9 @@ object DedupQueries {
         JOIN word_rows b ON a.doc_id = b.doc_id AND b.i = a.i + 1
         JOIN word_rows c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1)"""
+
+  private[operators] val shingleCtesSql: String =
+    shingleCtesSqlFrom("documents")
 
   /** The DuckDB mirror of [[jaccardPairs]] as a CTE block ending in a
     * `pairs(doc_a, doc_b, n_inter, jaccard)` relation.
@@ -677,7 +682,92 @@ object DedupQueries {
       ORDER BY doc_id
     """))
 
+  /** The near-dup removal STAGE of a curation funnel with the
+    * cost-dispatched pair engine inside it (VERDICT r8 stretch 7):
+    * exact-fingerprint dedup (q41's keep-first rule) feeds its
+    * survivors to [[PpJoin.jaccardPairsAuto]], which MEASURES the
+    * shingle fan-out Σdf²/rows and picks brute vs prefix-filtered
+    * per corpus — so the dispatch finally runs inside a composed
+    * pipeline against whatever skew the upstream stages hand it,
+    * not on a standalone frame. Near-dup rule: drop every doc that
+    * appears as the larger id of a qualifying pair (conservative,
+    * deterministic; transitive closure is q68's job). Output is the
+    * per-source funnel report.
+    *
+    * Scale shape: both dedup stages key their shuffles on
+    * fingerprint/shingle; text crosses one exchange into the shingle
+    * explode and never again (the report aggregates ids + counts).
+    * The dispatch agg is a map-side-combined count over the shingle
+    * frame the pair join needs anyway. Branch selection is pinned by
+    * NearDupFunnelSpec on a flat and a planted-boilerplate corpus;
+    * hash-exactness of the whole composition (through whichever
+    * branch) by the q115 oracle below.
+    */
+  private[operators] def nearDupFunnel(docs: DataFrame): DataFrame = {
+    val feats = docs
+      .select(col("doc_id"), col("text"), col("source"),
+        normalize(col("text")).as("norm"))
+      .withColumn("fingerprint", graft.functions.expressions
+        .WordFingerprint(split(col("norm"), " ")))
+    val survivors = feats.groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+      .join(feats.select(col("doc_id"), col("text"), col("source"),
+        col("norm")), "doc_id")
+    val pairs = PpJoin.jaccardPairsAuto(
+      MinHashDedup.shingles(survivors), 0.5)
+    val kept = survivors.join(
+      pairs.select(col("doc_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    kept
+      .withColumn("n_words", size(split(col("norm"), " ")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("total_words"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"))
+  }
+
+  val q115 = GraftQuery(
+    "q115_neardup_funnel",
+    (s, d) => nearDupFunnel(t(s, d, "documents")),
+    Some(s"""
+      WITH feats AS (
+        SELECT doc_id, source,
+               ${normalizeSql("text")} AS norm,
+               ${graft.operators.TextFeatures.fingerprintSql(normalizeSql("text"))} AS fingerprint
+        FROM documents),
+      exact_surv AS (
+        SELECT MIN(doc_id) AS doc_id FROM feats GROUP BY fingerprint),
+      sdocs AS (
+        SELECT d.doc_id, d.text, d.source
+        FROM documents d JOIN exact_surv s ON s.doc_id = d.doc_id),
+      ${shingleCtesSqlFrom("sdocs")},
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc_a, doc_b, n_inter,
+               round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+        FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5),
+      kept AS (
+        SELECT s.doc_id, s.source,
+               CAST(len(string_split(f.norm, ' ')) AS INTEGER) AS n_words
+        FROM sdocs s JOIN feats f USING (doc_id)
+        WHERE s.doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs))
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CAST(n_words AS BIGINT)) AS BIGINT) AS total_words,
+             MIN(doc_id) AS first_doc
+      FROM kept GROUP BY source
+      ORDER BY source
+    """))
+
   val all: Seq[GraftQuery] =
     Seq(q40, q41, q42, q68, q71, q81, q82, q102, q104, q105, q107, q108,
-      q110)
+      q110, q115)
 }
