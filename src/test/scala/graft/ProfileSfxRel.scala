@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Relational sf1-decade probe (VERDICT r8 item 6): the documents-family
+  * decade is covered by [[ProfileSfx]]; this builds the RELATIONAL
+  * tables at a genuine sf1 scale (6M lineitem, 1.5M orders, 150k
+  * customers, 1M events) by TPC-H-style replication of sf0.1 — replica
+  * r offsets every key family by its own stride, so the corpus grows
+  * the way TPC-H itself scales: MORE customers/orders/parts with
+  * per-key group sizes and join fan-outs held constant (no group ever
+  * grows 10×, which would probe skew, not scale). Dimension tables
+  * (region, nation) stay fixed, exactly like TPC-H. Timestamps are
+  * left unchanged: 10× the users in the same window is the realistic
+  * densification for the event-series queries.
+  *
+  * Prints t(sf1)/t(sf0.1) ratios + log10 exponents for SCALE.md's
+  * measured table. Not part of the library.
+  *
+  * Run: sbt "Test/runMain graft.ProfileSfxRel"
+  * Env: SPARK_GRAFT_SFX_REUSE=1 to skip the build,
+  *      SPARK_GRAFT_ONLY=q01,q03 to probe a subset.
+  */
+object ProfileSfxRel {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val dst = s"${sys.props("java.io.tmpdir")}/graft-sfx1-rel"
+    val reuse = sys.env.get("SPARK_GRAFT_SFX_REUSE").contains("1") &&
+      new java.io.File(s"$dst/lineitem.parquet/_SUCCESS").exists()
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+
+    // one stride per key family, all ≥ 10× the sf0.1 key range
+    val (kOrd, kCust, kPart, kSupp, kUser, kEvent) =
+      (1000000L, 100000L, 100000L, 10000L, 10000L, 1000000L)
+
+    def replicate(out: String, n: Int, table: String,
+        shifts: Map[String, Long]): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      (0 until n).map { r =>
+        shifts.foldLeft(base) { case (df, (c, stride)) =>
+          df.withColumn(c, col(c) + lit(r * stride))
+        }
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
+
+    def buildScale(out: String, n: Int): Unit = {
+      replicate(out, n, "lineitem", Map("l_orderkey" -> kOrd,
+        "l_partkey" -> kPart, "l_suppkey" -> kSupp))
+      replicate(out, n, "orders",
+        Map("o_orderkey" -> kOrd, "o_custkey" -> kCust))
+      replicate(out, n, "customer", Map("c_custkey" -> kCust))
+      replicate(out, n, "part", Map("p_partkey" -> kPart))
+      replicate(out, n, "supplier", Map("s_suppkey" -> kSupp))
+      replicate(out, n, "events",
+        Map("event_id" -> kEvent, "user_id" -> kUser))
+      // fixed dimensions: copy untransformed (queries expect them)
+      Seq("region", "nation").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+    }
+
+    if (!reuse) buildScale(dst, 10)
+    println(s"[prof] sfx1-rel lineitem rows = " +
+      spark.read.parquet(s"$dst/lineitem.parquet").count())
+
+    val probed = Seq(
+      graft.operators.RelationalQueries.q01, // full-lineitem agg (scan bound)
+      graft.operators.RelationalQueries.q03, // customer⋈orders⋈lineitem
+      graft.operators.RelationalQueries.q08, // per-customer topk window
+      graft.operators.RelationalQueries.q09, // running-sum window
+      graft.operators.RelationalQueries.q12, // global topk
+      graft.operators.RelationalQueries.q14, // time-bucket agg
+      graft.operators.RelationalQueries.q20, // range join
+      graft.operators.AdvancedQueries.q32,   // as-of join
+      graft.operators.ReconQueries.q58,      // full-outer recon
+      graft.operators.SessionQueries.q35,    // sessionize (events)
+      graft.operators.SessionQueries.q97,    // ts pattern (events)
+      graft.operators.SessionQueries.q98,    // cohorts (events)
+      graft.operators.SessionQueries.q99)    // funnel (events)
+
+    def minOf(reps: Int)(f: => Unit): Double =
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+
+    probed.filter(q => only.forall(names =>
+      names.exists(q.name.startsWith))).foreach { q =>
+      val t01 = minOf(2)(q.build(spark, src).count())
+      val t1 = minOf(2)(q.build(spark, dst).count())
+      println(f"[prof] ${q.name}: sf0.1 $t01%.2f s -> sf1 $t1%.2f s " +
+        f"(ratio ${t1 / t01}%.1fx, exponent ${math.log10(t1 / t01)}%.2f)")
+    }
+
+    // Second decade (sf10: 60M lineitem, 10M events) for the subset
+    // with any data-bound signal at sf1 — the 1× arm is sf1, so the
+    // exponent here is measured ACROSS the decade where fixed overhead
+    // no longer shelters a hidden quadratic face.
+    if (sys.env.get("SPARK_GRAFT_SFX100").contains("1")) {
+      val dst100 = s"${sys.props("java.io.tmpdir")}/graft-sfx10-rel"
+      val reuse100 = reuse &&
+        new java.io.File(s"$dst100/lineitem.parquet/_SUCCESS").exists()
+      if (!reuse100) buildScale(dst100, 100)
+      println(s"[prof] sfx10-rel lineitem rows = " +
+        spark.read.parquet(s"$dst100/lineitem.parquet").count())
+      val deep = Seq(
+        graft.operators.RelationalQueries.q01,
+        graft.operators.RelationalQueries.q03,
+        graft.operators.RelationalQueries.q08,
+        graft.operators.RelationalQueries.q12,
+        graft.operators.RelationalQueries.q20,
+        graft.operators.SessionQueries.q35,
+        graft.operators.SessionQueries.q97)
+      deep.filter(q => only.forall(names =>
+        names.exists(q.name.startsWith))).foreach { q =>
+        val t1 = minOf(2)(q.build(spark, dst).count())
+        val t10 = minOf(2)(q.build(spark, dst100).count())
+        println(f"[prof] ${q.name}: sf1 $t1%.2f s -> sf10 $t10%.2f s " +
+          f"(ratio ${t10 / t1}%.1fx, exponent ${math.log10(t10 / t1)}%.2f)")
+      }
+    }
+    spark.stop()
+  }
+}
