@@ -767,7 +767,77 @@ object DedupQueries {
       ORDER BY source
     """))
 
+  /** Leakage-safe splitting ([[LeakageSafeSplit]], X66) over the q42
+    * pair graph: per-split doc/group/word totals plus the straddle
+    * audit — `straddled_groups` is COMPUTED (groups whose members span
+    * >1 split), not asserted, and is 0 by construction; a doc-level
+    * hash would make it positive on every corpus with near-dups.
+    */
+  val q117 = GraftQuery(
+    "q117_leakage_safe_split",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val assigned = LeakageSafeSplit.assign(docs,
+        jaccardPairs(s, d).select(col("doc_a"), col("doc_b")))
+      val straddle = assigned.groupBy(col("group_key"))
+        .agg(countDistinct(col("split")).as("nsp"))
+        .agg(coalesce(sum(when(col("nsp") > 1, 1L).otherwise(0L)),
+          lit(0L)).as("straddled_groups"))
+      assigned
+        .join(docs.select(col("doc_id"),
+          size(split(normalize(col("text")), " ")).as("n_words")),
+          "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("group_key")).as("n_groups"),
+          sum(col("n_words").cast("long")).as("total_words"))
+        .crossJoin(broadcast(straddle))
+        .orderBy(col("split"))
+    },
+    Some(s"""
+      WITH RECURSIVE $jaccardPairsSql,
+      nodes AS (
+        SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
+      comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+      splits AS (
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS group_key,
+               CASE WHEN (COALESCE(c.cluster_id, d.doc_id) * 1103515245
+                          + 12345) % 97 < 78 THEN 'train'
+                    WHEN (COALESCE(c.cluster_id, d.doc_id) * 1103515245
+                          + 12345) % 97 < 88 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+      words AS (
+        SELECT doc_id,
+               CAST(len(string_split(${normalizeSql("text")}, ' '))
+                    AS INTEGER) AS n_words
+        FROM documents),
+      straddle AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN nsp > 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS straddled_groups
+        FROM (SELECT group_key, COUNT(DISTINCT split) AS nsp
+              FROM splits GROUP BY 1))
+      SELECT s.split, COUNT(*) AS n_docs,
+             CAST(COUNT(DISTINCT s.group_key) AS BIGINT) AS n_groups,
+             CAST(SUM(CAST(w.n_words AS BIGINT)) AS BIGINT) AS total_words,
+             st.straddled_groups
+      FROM splits s
+      JOIN words w USING (doc_id)
+      CROSS JOIN straddle st
+      GROUP BY s.split, st.straddled_groups
+      ORDER BY s.split
+    """))
+
   val all: Seq[GraftQuery] =
     Seq(q40, q41, q42, q68, q71, q81, q82, q102, q104, q105, q107, q108,
-      q110, q115)
+      q110, q115, q117)
 }

@@ -165,6 +165,17 @@ object KMeans {
     Array.tabulate(k)(cid => Array.tabulate(dim)(i =>
       (c(cid * dim + i).toDouble / CScale - Shift) / QScale))
 
+  /** Unit-space flattened (c-major) centroid matrix from a STRICT fit —
+    * the learned drop-in for every frozen-plane consumer
+    * ([[SemanticDedup.prune]], [[PrototypeDiversify.diversify]] take
+    * exactly this shape). Conversion is one exact double op chain per
+    * component, so a SQL oracle reproduces it bit-for-bit from the
+    * integer centroid replay.
+    */
+  def fitCentroidsUnit(vectors: DataFrame, k: Int, iters: Int, dim: Int,
+      id: String = "vec_id", vec: String = "embedding"): Array[Double] =
+    toUnit(fitCentroids(vectors, k, iters, dim, id, vec), k, dim).flatten
+
   /** Lenient full-corpus refinement for coarse-quantizer consumers
     * (IVF's cell model, [[AnnIvf.trainCentroids]]): `iters` distributed
     * Lloyd updates from a unit-space init, keeping a stale centroid

@@ -434,7 +434,13 @@ object SimilarityQueries {
     * long sums regardless of order, and `//` equals Scala `/` on the
     * shift-guaranteed positives.
     */
-  private def kmeansOracleSql(k: Int, dim: Int, iters: Int): String = {
+  /** The k-means Lloyd-replay CTE block (integer-exact, so every SUM is
+    * order-independent), parameterized on the (vec_id, $srcCol) source
+    * relation so q116 can train on unit vectors; ends in the
+    * `c$iters(cid, pos, c)` scaled-long centroid relation.
+    */
+  private def kmeansCtesSql(k: Int, dim: Int, iters: Int,
+      srcRel: String, srcCol: String): String = {
     val steps = (0 until iters).map { t =>
       s"""
       d$t AS (
@@ -455,12 +461,11 @@ object SimilarityQueries {
         FROM comp JOIN a$t USING (vec_id)
         GROUP BY 1, 2),"""
     }.mkString
-    s"""
-      WITH qv AS (
+    s"""qv AS (
         SELECT vec_id,
-               list_transform(embedding::DOUBLE[],
+               list_transform($srcCol,
                  x -> CAST(round(x * 10000) AS BIGINT) + 8192) AS q
-        FROM embeddings),
+        FROM $srcRel),
       comp AS (
         SELECT vec_id, i AS pos, q[i] AS x
         FROM (SELECT vec_id, q,
@@ -473,11 +478,17 @@ object SimilarityQueries {
       c0 AS (
         SELECT init.cid, comp.pos, 100 * comp.x AS c
         FROM comp JOIN init USING (vec_id)),$steps
+      cfin AS (SELECT cid, pos, c FROM c$iters)"""
+  }
+
+  private def kmeansOracleSql(k: Int, dim: Int, iters: Int): String = s"""
+      WITH ${kmeansCtesSql(k, dim, iters,
+        "embeddings", "embedding::DOUBLE[]")},
       dfin AS (
-        SELECT comp.vec_id, c$iters.cid,
-               SUM((100 * comp.x - c$iters.c)
-                   * (100 * comp.x - c$iters.c)) AS d
-        FROM comp JOIN c$iters USING (pos)
+        SELECT comp.vec_id, cfin.cid,
+               SUM((100 * comp.x - cfin.c)
+                   * (100 * comp.x - cfin.c)) AS d
+        FROM comp JOIN cfin USING (pos)
         GROUP BY 1, 2)
       SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS d2
       FROM (SELECT vec_id, cid, d,
@@ -487,7 +498,6 @@ object SimilarityQueries {
       WHERE rn = 1
       ORDER BY vec_id
     """
-  }
 
   /** Distributed Lloyd k-means ([[KMeans]], X65): k=4, two updates
     * (three assignment passes), deterministic smallest-id init —
@@ -499,5 +509,114 @@ object SimilarityQueries {
     (s, d) => KMeans.fit(t(s, d, "embeddings"), k = 4, iters = 2, dim = 64),
     Some(kmeansOracleSql(k = 4, dim = 64, iters = 2)))
 
-  val all: Seq[GraftQuery] = Seq(q45, q46, q65, q76, q89, q100, q112, q114)
+  /** SemDeDup driven by LEARNED centroids (the X65→X53 composition the
+    * frozen-plane q100 stands in for at oracle scale): unitize the
+    * planted corpus exactly as [[SemanticDedup.prune]] will, fit the
+    * strict integer-exact k-means on those unit vectors, convert the
+    * scaled-long model to unit space (one exact double op chain per
+    * component), and hand it to the SAME prune operator. Hash-exact end
+    * to end because every stage replays in SQL: the Lloyd loop is
+    * integer arithmetic ([[kmeansCtesSql]]), the conversion is exact,
+    * and the assignment/cosine folds are the ordered list_reduce
+    * mirrors q100 established. The planted half-scale twins unitize
+    * bit-identically to their originals (×0.5 is a pure exponent
+    * shift), so they are cosine-1 duplicates by construction — the
+    * semdedup_planted recall tracked in the bench artifact.
+    */
+  val q116 = GraftQuery(
+    "q116_semantic_dedup_kmeans",
+    (s, d) => {
+      val (cells, dim) = (4, 64)
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val maxRow = base.agg(max(col("vec_id"))).head()
+      val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
+      require(maxId < 1000000L,
+        s"planted-id offset collides: max vec_id $maxId >= 1000000")
+      val planted = base.select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5d)).as("embedding"))
+      val union = base.union(planted)
+      val unitized = union
+        .withColumn("nrm", sqrt(graft.functions.expressions
+          .VectorFunctions.sqNorm(col("embedding"))))
+        .filter(col("nrm") > lit(0.0d))
+        .withColumn("unit",
+          transform(col("embedding"), x => x / col("nrm")))
+        .select(col("vec_id"), col("unit"))
+      val centroids = KMeans.fitCentroidsUnit(unitized, cells,
+        iters = 2, dim, vec = "unit")
+      SemanticDedup.prune(union, centroids, cells, dim, minCos = 0.5)
+    },
+    Some(s"""
+      WITH RECURSIVE base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      uall AS (
+        SELECT vec_id, emb FROM base
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(emb, x -> x * 0.5) AS emb
+        FROM base),
+      u AS (
+        SELECT vec_id,
+               list_transform(emb, x -> x /
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(emb, y -> y * y)),
+                   (acc, v) -> acc + v))) AS unit
+        FROM uall),
+      ${kmeansCtesSql(4, 64, 2, "u", "unit")},
+      centl AS (
+        SELECT cid AS cell,
+               list((CAST(c AS DOUBLE) / 100.0 - 8192) / 10000.0
+                    ORDER BY pos) AS carr
+        FROM cfin GROUP BY cid),
+      cellscore AS (
+        SELECT u.vec_id, CAST(centl.cell AS INTEGER) AS cell,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(u.unit, (x, i) ->
+                   (x - centl.carr[i]) * (x - centl.carr[i]))),
+                 (acc, v) -> acc + v) AS d
+        FROM u CROSS JOIN centl),
+      assigned AS (
+        SELECT vec_id, cell, d AS cdist
+        FROM (SELECT vec_id, cell, d,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d, cell) AS rk
+              FROM cellscore)
+        WHERE rk = 1),
+      pairs AS (
+        SELECT x.vec_id AS ia, y.vec_id AS ib
+        FROM assigned x
+        JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        JOIN u ux ON ux.vec_id = x.vec_id
+        JOIN u uy ON uy.vec_id = y.vec_id
+        WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(ux.unit, (x, i) -> x * uy.unit[i])),
+                (acc, v) -> acc + v) >= 0.5),
+      nodes AS (
+        SELECT ia AS id FROM pairs UNION SELECT ib FROM pairs),
+      edges AS (
+        SELECT ia AS src, ib AS dst FROM pairs
+        UNION ALL
+        SELECT ib, ia FROM pairs),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
+      ccomp AS (SELECT id, MIN(r) AS group_id FROM reach GROUP BY 1),
+      sized AS (
+        SELECT group_id, COUNT(*) AS group_size FROM ccomp GROUP BY 1)
+      SELECT c.id AS vec_id, a.cell, c.group_id, s.group_size,
+             round(a.cdist, 6) AS cdist_r,
+             ROW_NUMBER() OVER (PARTITION BY c.group_id
+                                ORDER BY a.cdist DESC, c.id) = 1 AS kept
+      FROM ccomp c
+      JOIN sized s USING (group_id)
+      JOIN assigned a ON a.vec_id = c.id
+      ORDER BY vec_id
+    """))
+
+  val all: Seq[GraftQuery] =
+    Seq(q45, q46, q65, q76, q89, q100, q112, q114, q116)
 }
