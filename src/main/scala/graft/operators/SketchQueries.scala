@@ -239,6 +239,16 @@ object SketchQueries {
     },
     None)
 
+  /** b-bit MinHash near-dup probe ([[BbitMinHash]], X67): the q43 band
+    * mining with the verify step reading ONE packed 64-bit word per doc
+    * instead of 32 signature longs. Rows-only (hash-based); the
+    * estimator-accuracy/bias oracle is BbitMinHashSpec.
+    */
+  val q118 = GraftQuery(
+    "q118_bbit_minhash",
+    (s, d) => BbitMinHash.nearDuplicates(t(s, d, "documents"), 0.4),
+    None)
+
   val all: Seq[GraftQuery] =
-    Seq(q43, q44, q52, q53, q55, q72a, q72b, q75, q85, q91, q92)
+    Seq(q43, q44, q52, q53, q55, q72a, q72b, q75, q85, q91, q92, q118)
 }
