@@ -704,23 +704,31 @@ object DedupQueries {
     * branch) by the q115 oracle below.
     */
   private[operators] def nearDupFunnel(docs: DataFrame): DataFrame = {
+    // every per-doc scalar (fingerprint, n_words) is computed in the
+    // FIRST projection so text never rides a shuffle for the report
+    // path — the only join text enters is the shingle-side survivor
+    // join (the one exchange the q87 contract allows)
     val feats = docs
-      .select(col("doc_id"), col("text"), col("source"),
+      .select(col("doc_id"), col("source"),
         normalize(col("text")).as("norm"))
       .withColumn("fingerprint", graft.functions.expressions
         .WordFingerprint(split(col("norm"), " ")))
-    val survivors = feats.groupBy(col("fingerprint"))
+      .withColumn("n_words", size(split(col("norm"), " ")))
+      .select(col("doc_id"), col("source"), col("fingerprint"),
+        col("n_words"))
+    val survIds = feats.groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-      .join(feats.select(col("doc_id"), col("text"), col("source"),
-        col("norm")), "doc_id")
+    val meta = survIds
+      .join(feats.select(col("doc_id"), col("source"), col("n_words")),
+        "doc_id")
     val pairs = PpJoin.jaccardPairsAuto(
-      MinHashDedup.shingles(survivors), 0.5)
-    val kept = survivors.join(
-      pairs.select(col("doc_b").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_anti")
-    kept
-      .withColumn("n_words", size(split(col("norm"), " ")))
+      MinHashDedup.shingles(
+        survIds.join(docs.select(col("doc_id"), col("text")), "doc_id")),
+      0.5)
+    meta
+      .join(pairs.select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words").cast("long")).as("total_words"),

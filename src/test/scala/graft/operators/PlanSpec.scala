@@ -532,4 +532,45 @@ class PlanSpec extends SparkSpec {
         s"$name: text/words/skeys crossed an exchange:\n${textMoves.mkString("\n")}")
     }
   }
+
+  test("q115 funnel: text enters only the shingle-side survivor join") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    val carriesText = carriesAny(Set("text", "norm")) _
+    val df = DedupQueries.q115.build(spark, sf0001)
+    df.collect() // materialize AQE's final plans
+    val all = executedNodes(df)
+    // the report path moves (doc_id, source, n_words) only; the single
+    // permitted text exchange is the survivor-id join feeding shingles
+    val textShuffles = all.collect {
+      case e: ShuffleExchangeLike if carriesText(e.output) => e
+    }
+    assert(textShuffles.size <= 1,
+      "text may cross at most the shingle-side survivor join; " +
+        s"found:\n${textShuffles.mkString("\n")}")
+    val textBroadcasts = all.collect {
+      case e: BroadcastExchangeLike if carriesText(e.output) => e
+    }
+    assert(textBroadcasts.isEmpty,
+      s"document text must never broadcast:\n${textBroadcasts.mkString("\n")}")
+  }
+
+  test("q117 split: beyond the shingle path, only ids and counters move") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    // n_words is projected BEFORE its join, so no exchange after the
+    // shingle explode may carry text/norm/words at all
+    val carriesText = carriesAny(Set("text", "norm", "words")) _
+    val df = DedupQueries.q117.build(spark, sf0001)
+    df.collect()
+    val all = executedNodes(df)
+    val textShuffles = all.collect {
+      case e: ShuffleExchangeLike if carriesText(e.output) => e
+    }
+    assert(textShuffles.isEmpty,
+      s"split/report path must move ids only:\n${textShuffles.mkString("\n")}")
+    val textBroadcasts = all.collect {
+      case e: BroadcastExchangeLike if carriesText(e.output) => e
+    }
+    assert(textBroadcasts.isEmpty,
+      s"document text must never broadcast:\n${textBroadcasts.mkString("\n")}")
+  }
 }
