@@ -799,7 +799,7 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("group_key")).as("n_groups"),
           sum(col("n_words").cast("long")).as("total_words"))
-        .crossJoin(broadcast(straddle))
+        .crossJoin(straddle) // 1-row aggregate broadcasts unhinted (q101)
         .orderBy(col("split"))
     },
     Some(s"""

@@ -742,7 +742,90 @@ object TextQueries {
       ORDER BY doc_id
     """))
 
+  /** Vocabulary coverage audit (X68) — the sizing curve every tokenizer
+    * build starts from: what fraction of corpus tokens does a top-V
+    * word vocabulary cover, at V ∈ {1000, 2000, 4000}? One row per V
+    * with the covered/total token mass, distinct-word count, and the
+    * coverage ratio (Zipf makes the curve concave; the knee picks V).
+    *
+    * Scale shape: text enters ONE explode; the (word, cnt) frame it
+    * collapses to is corpus-SUBLINEAR (Heaps' law), and the top-4000
+    * cut compiles to TakeOrderedAndProject — a distributed heap, never
+    * a global vocab sort; the rank window then runs over ≤ 4000 rows.
+    * The conditional coverage sums are one pass over that bounded
+    * frame joined with the 1-row totals.
+    */
+  val q119 = GraftQuery(
+    "q119_vocab_coverage", {
+      import org.apache.spark.sql.expressions.Window
+      (s, d) => {
+        val vs = Seq(1000, 2000, 4000)
+        val counts = t(s, d, "documents")
+          .select(explode(split(normalize(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        val totals = counts.agg(sum(col("cnt")).as("total_tokens"),
+          count(lit(1)).as("distinct_words"))
+        val top = counts.orderBy(col("cnt").desc, col("w")).limit(4000)
+          .withColumn("rk",
+            row_number().over(Window.orderBy(col("cnt").desc, col("w"))))
+        val cov = top.agg(
+          sum(when(col("rk") <= 1000, col("cnt")).otherwise(0L))
+            .as("cov_1000"),
+          sum(when(col("rk") <= 2000, col("cnt")).otherwise(0L))
+            .as("cov_2000"),
+          sum(when(col("rk") <= 4000, col("cnt")).otherwise(0L))
+            .as("cov_4000"))
+        cov.crossJoin(totals) // 1-row aggregate broadcasts unhinted (q101)
+          .select(explode(array(vs.map(v =>
+            struct(lit(v).as("vocab_size"),
+              col(s"cov_$v").as("covered_tokens"))): _*)).as("x"),
+            col("total_tokens"), col("distinct_words"))
+          .select(col("x.vocab_size"), col("x.covered_tokens"),
+            col("total_tokens"), col("distinct_words"),
+            round(col("x.covered_tokens").cast("double") /
+              col("total_tokens"), 6).as("coverage_r"))
+          .orderBy(col("vocab_size"))
+      }
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT w, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(${normalizeSql("text")}, ' '))
+                AS w
+              FROM documents)
+        WHERE w <> ''
+        GROUP BY w),
+      totals AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+               COUNT(*) AS distinct_words
+        FROM counts),
+      top AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rk
+        FROM counts ORDER BY cnt DESC, w LIMIT 4000),
+      cov AS (
+        SELECT CAST(SUM(CASE WHEN rk <= 1000 THEN cnt ELSE 0 END)
+                    AS BIGINT) AS cov_1000,
+               CAST(SUM(CASE WHEN rk <= 2000 THEN cnt ELSE 0 END)
+                    AS BIGINT) AS cov_2000,
+               CAST(SUM(CASE WHEN rk <= 4000 THEN cnt ELSE 0 END)
+                    AS BIGINT) AS cov_4000
+        FROM top),
+      v(vocab_size) AS (VALUES (1000), (2000), (4000))
+      SELECT v.vocab_size,
+             CASE v.vocab_size WHEN 1000 THEN cov_1000
+                               WHEN 2000 THEN cov_2000
+                               ELSE cov_4000 END AS covered_tokens,
+             t.total_tokens, t.distinct_words,
+             round(CAST(CASE v.vocab_size WHEN 1000 THEN cov_1000
+                                          WHEN 2000 THEN cov_2000
+                                          ELSE cov_4000 END AS DOUBLE)
+                   / t.total_tokens, 6) AS coverage_r
+      FROM v CROSS JOIN cov CROSS JOIN totals t
+      ORDER BY v.vocab_size
+    """))
+
   val all: Seq[GraftQuery] =
     Seq(q47, q48, q49, q50, q51, q69, q70, q79, q83, q86, q88, q93, q94,
-      q95, q103, q106, q111)
+      q95, q103, q106, q111, q119)
 }

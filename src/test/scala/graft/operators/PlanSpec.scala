@@ -108,6 +108,11 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q119: the vocab cut is a distributed heap, never a global vocab sort") {
+    val plan = planOf(TextQueries.q119.build(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("minhash candidate join: broadcast only below the size gate") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables(spark, sf0001, "documents").limit(50)
