@@ -526,7 +526,7 @@ object SimilarityQueries {
   val q116 = GraftQuery(
     "q116_semantic_dedup_kmeans",
     (s, d) => {
-      val (cells, dim) = (4, 64)
+      val (cells, dim) = (8, 64)
       val base = t(s, d, "embeddings")
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("embedding"))
@@ -565,7 +565,7 @@ object SimilarityQueries {
                    list_transform(emb, y -> y * y)),
                    (acc, v) -> acc + v))) AS unit
         FROM uall),
-      ${kmeansCtesSql(4, 64, 2, "u", "unit")},
+      ${kmeansCtesSql(8, 64, 2, "u", "unit")},
       centl AS (
         SELECT cid AS cell,
                list((CAST(c AS DOUBLE) / 100.0 - 8192) / 10000.0
