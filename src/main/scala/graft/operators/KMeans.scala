@@ -136,19 +136,27 @@ object KMeans {
     */
   def fitCentroids(vectors: DataFrame, k: Int, iters: Int, dim: Int,
       id: String = "vec_id", vec: String = "embedding"): Array[Long] = {
+    // persist the quantized frame across the Lloyd loop: it is the
+    // COMPACT form (dim longs per row vs the source's text/embedding
+    // payload), and without it every iteration's action re-derives the
+    // whole lineage — at 100 TB that is one full corpus re-scan per
+    // pass, the difference between an O(iters) and O(1) read plan
     val qf = quantize(vectors, id, vec)
-    val initRows = qf.orderBy(col("vid")).limit(k).collect()
-    require(initRows.length == k,
-      s"k-means needs at least k=$k vectors, found ${initRows.length}")
-    var c: Array[Long] = initRows.zipWithIndex.flatMap { case (r, _) =>
-      r.getSeq[Long](1).map(_ * CScale)
-    }.toArray
-    var t = 0
-    while (t < iters) {
-      c = recompute(assign(qf, c, k, dim), c, k, dim, t, strict = true)
-      t += 1
-    }
-    c
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val initRows = qf.orderBy(col("vid")).limit(k).collect()
+      require(initRows.length == k,
+        s"k-means needs at least k=$k vectors, found ${initRows.length}")
+      var c: Array[Long] = initRows.zipWithIndex.flatMap { case (r, _) =>
+        r.getSeq[Long](1).map(_ * CScale)
+      }.toArray
+      var t = 0
+      while (t < iters) {
+        c = recompute(assign(qf, c, k, dim), c, k, dim, t, strict = true)
+        t += 1
+      }
+      c
+    } finally qf.unpersist(blocking = false)
   }
 
   /** Externally supplied unit-space init → the scaled-long grid (the
@@ -192,14 +200,18 @@ object KMeans {
       : Array[Array[Double]] = {
     val k = init.length
     val dim = init.head.length
+    // same O(1)-read discipline as fitCentroids: one corpus scan total
     val qf = quantize(vectors, id, vec)
-    var c = quantizeInit(init)
-    var t = 0
-    while (t < iters) {
-      c = recompute(assign(qf, c, k, dim), c, k, dim, t, strict = false)
-      t += 1
-    }
-    toUnit(c, k, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var c = quantizeInit(init)
+      var t = 0
+      while (t < iters) {
+        c = recompute(assign(qf, c, k, dim), c, k, dim, t, strict = false)
+        t += 1
+      }
+      toUnit(c, k, dim)
+    } finally qf.unpersist(blocking = false)
   }
 
   /** Full fit + final assignment: (vec_id, cluster, d2) ordered by id,
