@@ -741,7 +741,30 @@ object TrainPrepQueries {
       ORDER BY d.doc_id
     """))
 
+  /** Batch face of the X69 streaming bottom-k reservoir
+    * ([[graft.streaming.StreamingSample]]): per-source deterministic
+    * k-sample by LCG-hash rank. The SAME definition the streaming
+    * state keeps, so a backfill over historical parquet and the live
+    * stream produce one sample (StreamingSampleSpec proves equality
+    * under adversarial batch slicing).
+    */
+  val q120 = GraftQuery(
+    "q120_bottomk_reservoir",
+    (s, d) => graft.streaming.StreamingSample.bottomKBatch(
+      t(s, d, "documents"), "source", "doc_id", k = 4),
+    Some("""
+      SELECT stratum, doc_id, CAST(rk AS INTEGER) AS rk
+      FROM (SELECT source AS stratum, doc_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY source
+                     ORDER BY (doc_id * 1103515245 + 12345) % 2147483647,
+                              doc_id) AS rk
+            FROM (SELECT DISTINCT source, doc_id FROM documents))
+      WHERE rk <= 4
+      ORDER BY stratum, rk
+    """))
+
   val all: Seq[GraftQuery] =
     Seq(q62, q63, q73, q77, q78, q80, q84, q87, q90, q96, q101, q109,
-      q113)
+      q113, q120)
 }
