@@ -617,6 +617,83 @@ object SimilarityQueries {
       ORDER BY vec_id
     """))
 
+  /** D4 diversification on LEARNED centroids (the X65→X63 composition,
+    * q116's sibling — with this, every frozen-plane centroid consumer
+    * in the engine has a learned-model form): fit the strict
+    * integer-exact k-means on the unitized corpus and hand the
+    * converted model to the SAME diversify operator q112 runs. No
+    * planted twins here (q112's shape): the point is the drop-rule
+    * over real cells, and the Lloyd replay CTEs make the learned cells
+    * hash-exact too.
+    */
+  val q121 = GraftQuery(
+    "q121_d4_kmeans",
+    (s, d) => {
+      val (cells, dim) = (8, 64)
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val unitized = base
+        .withColumn("nrm", sqrt(graft.functions.expressions
+          .VectorFunctions.sqNorm(col("embedding"))))
+        .filter(col("nrm") > lit(0.0d))
+        .withColumn("unit",
+          transform(col("embedding"), x => x / col("nrm")))
+        .select(col("vec_id"), col("unit"))
+      val centroids = KMeans.fitCentroidsUnit(unitized, cells,
+        iters = 2, dim, vec = "unit")
+      PrototypeDiversify.diversify(base, centroids, cells, dim,
+        dropFrac = 0.25)
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      nz AS (
+        SELECT vec_id, emb FROM base
+        WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(emb, y -> y * y)), (acc, v) -> acc + v) > 0),
+      u AS (
+        SELECT vec_id,
+               list_transform(emb, x -> x /
+                 sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(emb, y -> y * y)),
+                   (acc, v) -> acc + v))) AS unit
+        FROM nz),
+      ${kmeansCtesSql(8, 64, 2, "u", "unit")},
+      centl AS (
+        SELECT cid AS cell,
+               list((CAST(c AS DOUBLE) / 100.0 - 8192) / 10000.0
+                    ORDER BY pos) AS carr
+        FROM cfin GROUP BY cid),
+      cellscore AS (
+        SELECT u.vec_id, CAST(centl.cell AS INTEGER) AS cell,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(u.unit, (x, i) ->
+                   (x - centl.carr[i]) * (x - centl.carr[i]))),
+                 (acc, v) -> acc + v) AS d
+        FROM u CROSS JOIN centl),
+      assigned AS (
+        SELECT vec_id, cell, d AS cdist
+        FROM (SELECT vec_id, cell, d,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d, cell) AS rk
+              FROM cellscore)
+        WHERE rk = 1),
+      sized AS (
+        SELECT cell, COUNT(*) AS cell_size FROM assigned GROUP BY 1),
+      ranked AS (
+        SELECT a.vec_id, a.cell, a.cdist, s.cell_size,
+               CAST(ROW_NUMBER() OVER (PARTITION BY a.cell
+                                       ORDER BY a.cdist, a.vec_id)
+                    AS INTEGER) AS proto_rank
+        FROM assigned a JOIN sized s USING (cell))
+      SELECT vec_id, cell, round(cdist, 6) AS cdist_r, cell_size,
+             proto_rank,
+             proto_rank > CAST(ceil(0.25 * cell_size) AS BIGINT) AS kept
+      FROM ranked
+      ORDER BY vec_id
+    """))
+
   val all: Seq[GraftQuery] =
-    Seq(q45, q46, q65, q76, q89, q100, q112, q114, q116)
+    Seq(q45, q46, q65, q76, q89, q100, q112, q114, q116, q121)
 }
