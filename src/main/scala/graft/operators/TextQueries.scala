@@ -825,7 +825,84 @@ object TextQueries {
       ORDER BY v.vocab_size
     """))
 
+  /** Collocation mining by LIFT (X70) — the association measure behind
+    * phrase detection in tokenizer/embedding pipelines (word2vec's
+    * phrase pass, PMI collocation extraction), made hash-exact by
+    * ranking on lift = N·c_xy / (c_x·c_y) instead of its log (PMI):
+    * lift is monotone with PMI, and one integer-exact multiply chain +
+    * one IEEE division replays bit-for-bit where ln() is libm-
+    * dependent. Floor c_xy ≥ 5 (the standard sparse-pair guard), top
+    * 50 by (lift, pair).
+    *
+    * Scale shape: one text explode to adjacent pairs, map-side-combined
+    * pair and unigram counts (both vocab-sublinear frames), two joins
+    * of the pair frame against the unigram counts, and the cut is
+    * TakeOrderedAndProject. Text never moves after the explode.
+    * Integer bound: the c_xy·N numerator stays under 2⁶³ while
+    * c_xy·N < 9e18 (≈ a 3e9-token corpus with a 3e9-count pair —
+    * holds beyond sf1000); past that, split the multiply across the
+    * division before widening.
+    */
+  val q122 = GraftQuery(
+    "q122_collocations",
+    (s, d) => {
+      val words = t(s, d, "documents")
+        .select(col("doc_id"),
+          split(normalize(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("i", "w")))
+        .filter(col("w") =!= "")
+      val uni = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val n = uni.agg(sum(col("c")).as("n_tokens"))
+      val pairs = words.as("a")
+        .join(words.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("b.i") === col("a.i") + 1)
+        .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+        .agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+      pairs
+        .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+        .crossJoin(n) // 1-row aggregate broadcasts unhinted (q101)
+        .withColumn("lift",
+          round((col("c_xy") * col("n_tokens")).cast("double") /
+            (col("c_x") * col("c_y")), 6))
+        .select(col("w1"), col("w2"), col("c_xy"), col("c_x"),
+          col("c_y"), col("lift"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, i, w
+        FROM (SELECT doc_id, unnest(ws) AS w,
+                     generate_subscripts(ws, 1) AS i
+              FROM (SELECT doc_id,
+                           string_split(${normalizeSql("text")}, ' ') AS ws
+                    FROM documents)
+              WHERE len(ws) >= 2)
+        WHERE w <> ''),
+      uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+      n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni),
+      prs AS (
+        SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c_xy
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 5)
+      SELECT w1, w2, c_xy, ux.c AS c_x, uy.c AS c_y,
+             round(CAST(c_xy * n.n_tokens AS DOUBLE) / (ux.c * uy.c), 6)
+               AS lift
+      FROM prs
+        JOIN uni ux ON ux.w = w1
+        JOIN uni uy ON uy.w = w2
+        CROSS JOIN n
+      ORDER BY lift DESC, w1, w2
+      LIMIT 50
+    """))
+
   val all: Seq[GraftQuery] =
     Seq(q47, q48, q49, q50, q51, q69, q70, q79, q83, q86, q88, q93, q94,
-      q95, q103, q106, q111, q119)
+      q95, q103, q106, q111, q119, q122)
 }
