@@ -58,14 +58,27 @@ object QualityClassifier {
 
   /** Per-document disposition: (doc_id, n_tokens, margin, keep). */
   def score(docs: DataFrame, id: String = "doc_id",
-      text: String = "text"): DataFrame =
+      text: String = "text"): DataFrame = {
+    // margin to 6 dp derived in exact INTEGER micro-units: round(x, 6)
+    // on the double quotient diverges between engines on half-boundary
+    // rows (Spark rounds the shortest-decimal rendering via
+    // BigDecimal.valueOf, DuckDB the exact binary value — a 1-ulp trap
+    // that hit one sf0.1 row), while ⌊(2·10⁶|s|/10³·? ... )⌋ —
+    // half-away-from-zero as one integer division — is engine-free:
+    // micros = sign(s) · ⌊(2·1000·|s| + n) / (2n)⌋, margin = micros/1e6.
     docs
       .select(col(id), explode(split(normalize(col(text)), " ")).as("w"))
       .select(col(id), bucketWeight(wordBucket(col("w"))).as("wgt"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_tokens"), sum(col("wgt")).as("s"))
+      // `div` is exact integer division (the SQL operator); everything
+      // up to the final /1e6 stays in longs
+      .withColumn("__mu0",
+        expr("(abs(s) * 2000 + n_tokens) div (2 * n_tokens)"))
+      .withColumn("__mu",
+        when(col("s") < 0L, -col("__mu0")).otherwise(col("__mu0")))
       .select(col(id), col("n_tokens"),
-        round(col("s").cast("double") / (lit(1000.0) * col("n_tokens")), 6)
-          .as("margin"),
+        (col("__mu").cast("double") / 1000000.0d).as("margin"),
         (col("s") >= 0L).as("keep"))
+  }
 }

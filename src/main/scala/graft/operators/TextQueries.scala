@@ -734,11 +734,20 @@ object TextQueries {
                SUM((CAST((length(w) * 17 + ascii(w) * 31
                           + ascii(reverse(w))) % 4096 AS BIGINT)
                     * 1103515245 + 12345) % 2001 - 1000) AS s
-        FROM words GROUP BY 1)
+        FROM words GROUP BY 1),
+      -- margin in exact integer micro-units (half-away-from-zero), then
+      -- one exact int->double division: round() on the double quotient
+      -- is engine-dependent on half-boundary rows (see QualityClassifier)
+      micros AS (
+        SELECT doc_id, n_tokens, s,
+               CASE WHEN s < 0
+                 THEN -((abs(s) * 2000 + n_tokens) // (2 * n_tokens))
+                 ELSE (s * 2000 + n_tokens) // (2 * n_tokens) END AS mu
+        FROM scored)
       SELECT doc_id, n_tokens,
-             round(CAST(s AS DOUBLE) / (1000.0 * n_tokens), 6) AS margin,
+             CAST(mu AS DOUBLE) / 1000000.0 AS margin,
              s >= 0 AS keep
-      FROM scored
+      FROM micros
       ORDER BY doc_id
     """))
 
