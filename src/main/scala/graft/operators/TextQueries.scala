@@ -855,19 +855,28 @@ object TextQueries {
   val q122 = GraftQuery(
     "q122_collocations",
     (s, d) => {
-      val words = t(s, d, "documents")
+      // adjacent pairs come straight off the words ARRAY (zip with its
+      // own tail) — ONE explode, no positional self-join: the join
+      // formulation shuffles the full token stream twice and measured
+      // SUPER-linear (exponent 1.06) on the 10× replica; this is the
+      // q69 explode-based pattern and stays in the word-frame regime
+      val docsWs = t(s, d, "documents")
         .select(col("doc_id"),
           split(normalize(col("text")), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(col("doc_id"), posexplode(col("ws")).as(Seq("i", "w")))
+      val words = docsWs
+        .select(explode(col("ws")).as("w"))
         .filter(col("w") =!= "")
       val uni = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
       val n = uni.agg(sum(col("c")).as("n_tokens"))
-      val pairs = words.as("a")
-        .join(words.as("b"),
-          col("a.doc_id") === col("b.doc_id") &&
-            col("b.i") === col("a.i") + 1)
-        .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      val pairs = docsWs
+        .filter(size(col("ws")) >= 2)
+        .select(explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+        .filter(col("w1") =!= "" && col("w2") =!= "")
+        .groupBy(col("w1"), col("w2"))
         .agg(count(lit(1)).as("c_xy"))
         .filter(col("c_xy") >= 5)
       pairs
@@ -883,21 +892,23 @@ object TextQueries {
         .limit(50)
     },
     Some(s"""
-      WITH toks AS (
-        SELECT doc_id, i, w
-        FROM (SELECT doc_id, unnest(ws) AS w,
-                     generate_subscripts(ws, 1) AS i
-              FROM (SELECT doc_id,
-                           string_split(${normalizeSql("text")}, ' ') AS ws
-                    FROM documents)
-              WHERE len(ws) >= 2)
-        WHERE w <> ''),
+      WITH ws AS (
+        SELECT doc_id, string_split(${normalizeSql("text")}, ' ') AS ws
+        FROM documents),
+      toks AS (
+        SELECT w FROM (SELECT unnest(ws) AS w FROM ws) WHERE w <> ''),
       uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
       n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni),
+      -- adjacent ARRAY entries (the Spark zip-with-tail form), pairs
+      -- with an empty side dropped — identical to position pairing on
+      -- this corpus (normalize collapses whitespace) and kept in the
+      -- same shape as the Spark side by construction
       prs AS (
-        SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c_xy
-        FROM toks a JOIN toks b
-          ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        SELECT w1, w2, COUNT(*) AS c_xy
+        FROM (SELECT ws[i] AS w1, ws[i + 1] AS w2
+              FROM ws, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+              WHERE len(ws) >= 2)
+        WHERE w1 <> '' AND w2 <> ''
         GROUP BY 1, 2
         HAVING COUNT(*) >= 5)
       SELECT w1, w2, c_xy, ux.c AS c_x, uy.c AS c_y,

@@ -98,7 +98,15 @@ object ProfileSfx {
       graft.operators.SimilarityQueries.q112,
       // r8: span corruption — token-linear LCG masking, islands window
       // over only the ~15 % masked positions, ONE text rewrite join
-      graft.operators.TrainPrepQueries.q113)
+      graft.operators.TrainPrepQueries.q113,
+      // r9: the composed near-dup funnel (exact dedup → dispatched pair
+      // join → report; the word-prefix replica keeps fingerprint/pair
+      // structure scaling ×10), cluster-keyed splitting (pairs +
+      // closure + id hash), and lift collocations (adjacent-pair +
+      // unigram count frames, both vocab-sublinear)
+      graft.operators.DedupQueries.q115,
+      graft.operators.DedupQueries.q117,
+      graft.operators.TextQueries.q122)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
