@@ -60,7 +60,13 @@ object BbitMinHash {
     * Returns (doc_a, doc_b, lanes_match, j_est).
     */
   def nearDuplicates(docs: DataFrame, tauEst: Double): DataFrame = {
+    import graft.Checkpoints.EagerCheckpoint
+    // the signatures frame feeds BOTH pack() and candidatePairs();
+    // without truncation the shingle→minhash lineage (the expensive
+    // text-scanning face) would execute twice — same discipline as
+    // MinHashDedup.nearDuplicates (SketchDedup.scala:164)
     val sigs = MinHashDedup.signatures(MinHashDedup.shingles(docs))
+      .eagerCheckpoint()
     val packed = pack(sigs)
     val cand = MinHashDedup.candidatePairs(sigs)
     cand

@@ -19,12 +19,13 @@ import graft.functions.expressions.VectorFunctions
   *
   * Determinism discipline (the reason this is hash-exact while MLlib's
   * KMeans is not): embeddings are quantized ONCE to non-negative longs
-  * (`round(x·10⁴) + 8192` — the X23 exact-quantization recipe, shift
-  * makes every later integer division truncation-vs-floor-proof), and
+  * (`round(x·10⁴) + 8192` — the X23 exact-quantization recipe), and
   * every Lloyd step is integer arithmetic after that — squared-L2 in
   * scaled-long space (values ≤ 1.3e6, sums ≤ 6.4e13, integer-exact in
-  * the kernel's doubles), centroid update `⌊100·Σx / n⌋` as one long
-  * division. No float accumulation anywhere ⇒ the result is independent
+  * the kernel's doubles), centroid update `⌊100·Σx / n⌋` as one
+  * `Math.floorDiv` (floor for all signs, matching DuckDB `//` even on
+  * the negative sums unit-space inputs can produce). No float
+  * accumulation anywhere ⇒ the result is independent
   * of partitioning and row order, and a DuckDB oracle replays the whole
   * loop bit-for-bit (q114).
   *
@@ -48,10 +49,16 @@ object KMeans {
     */
   val QScale = 10000.0d
 
-  /** Shift making every quantized component strictly positive (min
-    * observed component ≈ −0.53 → −5300), so `(100·Σx) / n` truncation
-    * equals floor in BOTH engines (Spark/Scala `/` truncates toward
-    * zero, DuckDB `//` floors — identical only on non-negatives).
+  /** Shift keeping quantized RAW-embedding components positive (min
+    * observed component ≈ −0.53 → −5300). The centroid update uses
+    * `Math.floorDiv`, which equals DuckDB's `//` floor for ALL signs —
+    * so correctness no longer depends on this shift: unit-space
+    * consumers ([[fitCentroidsUnit]], [[refineCentroids]]) can feed
+    * components down to −1.0 (quantizing to −1808 after the shift,
+    * hence negative per-(cid,pos) sums) and the two engines still
+    * agree. The shift stays because it keeps the common raw-embedding
+    * path in small positive longs (friendlier constants to eyeball in
+    * dumps) and because the q114 oracle was certified on this grid.
     */
   val Shift = 8192L
 
@@ -123,7 +130,7 @@ object KMeans {
     val c = prev.clone() // empty cells (lenient mode) keep stale values
     sums.foreach { r =>
       c(r.getInt(0) * dim + r.getInt(1)) =
-        (CScale * r.getLong(2)) / r.getLong(3)
+        Math.floorDiv(CScale * r.getLong(2), r.getLong(3))
     }
     c
   }

@@ -308,13 +308,20 @@ object SimilarityQueries {
         SELECT vec_id + 1000000 AS vec_id,
                list_transform(emb, x -> x * 0.5) AS emb
         FROM base),
+      nz AS (
+        -- zero-norm guard matching BOTH Spark faces: the k-means
+        -- training frame filters nrm > 0, and prune itself excludes
+        -- zero-norm rows before assignment (SemanticDedup.scala:91)
+        SELECT vec_id, emb FROM uall
+        WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(emb, y -> y * y)), (acc, v) -> acc + v) > 0),
       u AS (
         SELECT vec_id,
                list_transform(emb, x -> x /
                  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    list_transform(emb, y -> y * y)),
                    (acc, v) -> acc + v))) AS unit
-        FROM uall),
+        FROM nz),
       cellscore AS (
         SELECT u.vec_id, CAST(c.cell AS INTEGER) AS cell,
                list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -431,8 +438,9 @@ object SimilarityQueries {
     * Every step is integer arithmetic after the one shared
     * `round(x·10⁴)+8192` quantization, so the replay is bit-exact:
     * DuckDB's BIGINT sums (HUGEINT-widened, cast back) equal Spark's
-    * long sums regardless of order, and `//` equals Scala `/` on the
-    * shift-guaranteed positives.
+    * long sums regardless of order, and `//` (floor) equals the
+    * engine's `Math.floorDiv` update for all signs — including the
+    * negative per-(cid,pos) sums unit-space training inputs can hit.
     */
   /** The k-means Lloyd-replay CTE block (integer-exact, so every SUM is
     * order-independent), parameterized on the (vec_id, $srcCol) source
@@ -558,13 +566,20 @@ object SimilarityQueries {
         SELECT vec_id + 1000000 AS vec_id,
                list_transform(emb, x -> x * 0.5) AS emb
         FROM base),
+      nz AS (
+        -- zero-norm guard matching BOTH Spark faces: the k-means
+        -- training frame filters nrm > 0, and prune itself excludes
+        -- zero-norm rows before assignment (SemanticDedup.scala:91)
+        SELECT vec_id, emb FROM uall
+        WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(emb, y -> y * y)), (acc, v) -> acc + v) > 0),
       u AS (
         SELECT vec_id,
                list_transform(emb, x -> x /
                  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                    list_transform(emb, y -> y * y)),
                    (acc, v) -> acc + v))) AS unit
-        FROM uall),
+        FROM nz),
       ${kmeansCtesSql(8, 64, 2, "u", "unit")},
       centl AS (
         SELECT cid AS cell,

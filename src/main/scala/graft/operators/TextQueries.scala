@@ -790,10 +790,21 @@ object TextQueries {
             struct(lit(v).as("vocab_size"),
               col(s"cov_$v").as("covered_tokens"))): _*)).as("x"),
             col("total_tokens"), col("distinct_words"))
-          .select(col("x.vocab_size"), col("x.covered_tokens"),
+          .select(col("x.vocab_size").as("vocab_size"),
+            col("x.covered_tokens").as("covered_tokens"),
+            col("total_tokens"), col("distinct_words"))
+          // coverage to 6 dp in exact integer micro-units (half-up —
+          // both terms non-negative), then ONE exact int→double
+          // division: round() on the double quotient diverges between
+          // engines on half-boundary rows (the q111 trap). decimal
+          // (38,0) keeps 2·10⁶·covered exact past the int64 ceiling a
+          // ~100 TB token count would graze (2e6·2e13 > 2⁶³).
+          .withColumn("__mu", expr(
+            "(cast(covered_tokens as decimal(38,0)) * 2000000" +
+              " + total_tokens) div (2 * total_tokens)"))
+          .select(col("vocab_size"), col("covered_tokens"),
             col("total_tokens"), col("distinct_words"),
-            round(col("x.covered_tokens").cast("double") /
-              col("total_tokens"), 6).as("coverage_r"))
+            (col("__mu").cast("double") / 1000000.0d).as("coverage_r"))
           .orderBy(col("vocab_size"))
       }
     },
@@ -826,10 +837,14 @@ object TextQueries {
                                WHEN 2000 THEN cov_2000
                                ELSE cov_4000 END AS covered_tokens,
              t.total_tokens, t.distinct_words,
-             round(CAST(CASE v.vocab_size WHEN 1000 THEN cov_1000
+             -- integer micro-units (half-up), HUGEINT headroom — the
+             -- engine's decimal(38,0) div mirror (see the Spark side)
+             CAST((CAST(CASE v.vocab_size WHEN 1000 THEN cov_1000
                                           WHEN 2000 THEN cov_2000
-                                          ELSE cov_4000 END AS DOUBLE)
-                   / t.total_tokens, 6) AS coverage_r
+                                          ELSE cov_4000 END AS HUGEINT)
+                   * 2000000 + t.total_tokens)
+                  // (2 * t.total_tokens) AS DOUBLE)
+               / 1000000.0 AS coverage_r
       FROM v CROSS JOIN cov CROSS JOIN totals t
       ORDER BY v.vocab_size
     """))
@@ -847,10 +862,9 @@ object TextQueries {
     * pair and unigram counts (both vocab-sublinear frames), two joins
     * of the pair frame against the unigram counts, and the cut is
     * TakeOrderedAndProject. Text never moves after the explode.
-    * Integer bound: the c_xy·N numerator stays under 2⁶³ while
-    * c_xy·N < 9e18 (≈ a 3e9-token corpus with a 3e9-count pair —
-    * holds beyond sf1000); past that, split the multiply across the
-    * division before widening.
+    * Integer bound: the micro-unit numerator 2·10⁶·c_xy·N runs in
+    * decimal(38,0) (DuckDB HUGEINT), exact to ~1e38 — no reachable
+    * corpus overflows it.
     */
   val q122 = GraftQuery(
     "q122_collocations",
@@ -883,9 +897,17 @@ object TextQueries {
         .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
         .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
         .crossJoin(n) // 1-row aggregate broadcasts unhinted (q101)
-        .withColumn("lift",
-          round((col("c_xy") * col("n_tokens")).cast("double") /
-            (col("c_x") * col("c_y")), 6))
+        // lift to 6 dp in exact integer micro-units (half-up — every
+        // term positive), then ONE exact int→double division: round()
+        // on the double quotient is engine-dependent on half-boundary
+        // rows (the q111 trap, re-flagged by the r9 advisor here).
+        // decimal(38,0) keeps 2·10⁶·c_xy·N exact to ~1e38 — far past
+        // any corpus (the old int64 path capped at c_xy·N < 4.6e12).
+        .withColumn("__mu", expr(
+          "(cast(c_xy as decimal(38,0)) * n_tokens * 2000000" +
+            " + cast(c_x as decimal(38,0)) * c_y)" +
+            " div (2 * cast(c_x as decimal(38,0)) * c_y)"))
+        .withColumn("lift", col("__mu").cast("double") / 1000000.0d)
         .select(col("w1"), col("w2"), col("c_xy"), col("c_x"),
           col("c_y"), col("lift"))
         .orderBy(col("lift").desc, col("w1"), col("w2"))
@@ -912,8 +934,12 @@ object TextQueries {
         GROUP BY 1, 2
         HAVING COUNT(*) >= 5)
       SELECT w1, w2, c_xy, ux.c AS c_x, uy.c AS c_y,
-             round(CAST(c_xy * n.n_tokens AS DOUBLE) / (ux.c * uy.c), 6)
-               AS lift
+             -- integer micro-units (half-up), HUGEINT headroom — the
+             -- engine's decimal(38,0) div mirror (see the Spark side)
+             CAST((CAST(c_xy AS HUGEINT) * n.n_tokens * 2000000
+                   + CAST(ux.c AS HUGEINT) * uy.c)
+                  // (2 * CAST(ux.c AS HUGEINT) * uy.c) AS DOUBLE)
+               / 1000000.0 AS lift
       FROM prs
         JOIN uni ux ON ux.w = w1
         JOIN uni uy ON uy.w = w2
