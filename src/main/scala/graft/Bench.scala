@@ -19,6 +19,32 @@ object Bench {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
+    // artifact path, resolved up front because the spike guard reads the
+    // PREVIOUS (committed) artifact from the same location before this
+    // run overwrites it
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      var dir = java.nio.file.Paths.get("").toAbsolutePath
+      while (dir != null &&
+          !(java.nio.file.Files.exists(dir.resolve("build.sbt")) &&
+            java.nio.file.Files.exists(
+              dir.resolve("src/main/scala/graft/SparkEntry.scala"))))
+        dir = dir.getParent
+      (if (dir == null) java.nio.file.Paths.get("BENCH_FULL.json")
+      else dir.resolve("BENCH_FULL.json")).toString
+    })
+    // committed per-query baseline for the spike guard (r9: q40/q11/q64
+    // spiked 20×/12×/4.9× in ONE driver run on identical code — far
+    // outside the ±30 % band — and the whole-suite canary bracket
+    // missed them because the suite total stayed within 1.3 %)
+    val committedTimes: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get(outFile)
+      if (java.nio.file.Files.exists(p)) {
+        val q = """"(q[0-9][^"]*)":(-?[0-9]+\.[0-9]+)""".r
+        q.findAllMatchIn(java.nio.file.Files.readString(p))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty }
+
     def runSuite(): (Map[String, Double], Seq[String]) = {
       val failed = scala.collection.mutable.ListBuffer.empty[String]
       val results = selected.map { case (name, fn) =>
@@ -67,6 +93,31 @@ object Bench {
       }
     } while (degraded && reruns < 1)
 
+    // per-query spike adjudication: any query >3× its committed time
+    // (and >0.25 s absolute, so sub-100 ms jitter never triggers) gets
+    // an immediate same-session rerun; the recorded value is the min of
+    // ALL observations and the adjudication travels in the artifact —
+    // a one-off GC/host spike can no longer read as a regression.
+    val spikes = scala.collection.mutable.ListBuffer.empty[String]
+    results = results.map { case (name, v) =>
+      committedTimes.get(name) match {
+        case Some(base) if base > 0 && v > 3.0 * base && v - base > 0.25 =>
+          val rerunMin = try {
+            (1 to repeat).map { _ =>
+              val t0 = System.nanoTime()
+              selected(name)(spark, sfDir).count()
+              (System.nanoTime() - t0) / 1e9
+            }.min
+          } catch { case _: Throwable => v } // crash → keep the first value
+          System.err.println(f"[bench] $name spiked: $v%.3f s vs " +
+            f"committed $base%.3f s; rerun min $rerunMin%.3f s")
+          spikes += f"""{"query":"$name","first":$v%.3f,""" +
+            f""""rerun":$rerunMin%.3f,"committed":$base%.3f}"""
+          name -> math.min(v, rerunMin)
+        case _ => name -> v
+      }
+    }
+
     // sorted keys + 3-decimal values: halves the line so the driver's
     // tail-capture can't truncate away early-serialized entries (round 4
     // lost ~20 keys including the brand-new q72b number that way)
@@ -85,12 +136,14 @@ object Bench {
     val (absaRate, vehicleRate) = streamingRates(spark)
     val curationRate = curationIngestRate(spark)
     val annRecallJson = annRecall(spark, sfDir)
+    val bbitJson = bbitQuality(spark, sfDir)
+    val spikesJson = spikes.mkString("[", ",", "]")
 
     // r5-vs-r6 ran byte-identical code and still saw ±25-30 % per-query
     // swings (q42 +25 %, q68 −30 %): the recorded statistic is min-of-N
     // and the note travels in the artifact so a future reader never
     // adjudicates a single-query delta inside that band as a regression.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_$repeat","noise_note":"per-query swings up to +/-30pct on identical code (r5 vs r6 calibration); only cross-round deltas beyond that band are regressions","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate,"curation_docs_per_sec":$curationRate,"ann_recall":$annRecallJson}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_$repeat","noise_note":"per-query swings up to +/-30pct on identical code (r5 vs r6 calibration); single-query spikes beyond 3x committed are rerun in-session and adjudicated in `spikes`","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"spikes":$spikesJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate,"curation_docs_per_sec":$curationRate,"ann_recall":$annRecallJson,"bbit":$bbitJson}"""
     println(line)
     // persist the full line INSIDE the repo (the round commits it), so
     // all per-query times stay recoverable even when the driver's
@@ -100,17 +153,9 @@ object Bench {
     // isn't launched from the root; a hardcoded absolute path breaks
     // every other clone)
     // anchor on a graft-unique marker (build.sbt alone would match any
-    // nested sbt project the runner happens to be launched from)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
-      var dir = java.nio.file.Paths.get("").toAbsolutePath
-      while (dir != null &&
-          !(java.nio.file.Files.exists(dir.resolve("build.sbt")) &&
-            java.nio.file.Files.exists(
-              dir.resolve("src/main/scala/graft/SparkEntry.scala"))))
-        dir = dir.getParent
-      (if (dir == null) java.nio.file.Paths.get("BENCH_FULL.json")
-      else dir.resolve("BENCH_FULL.json")).toString
-    })
+    // nested sbt project the runner happens to be launched from);
+    // outFile resolved up top so the spike guard could read the
+    // previous artifact before this overwrite.
     // a mis-anchored write should be visible, not silent
     System.err.println(s"[bench] writing artifact to $outFile")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
@@ -182,6 +227,41 @@ object Bench {
     } catch { case e: Throwable =>
       // the bench line must stay parseable even if a recall probe dies
       System.err.println(s"[bench] ann recall probe failed: ${e.getMessage}")
+      """{"error":true}"""
+    }
+  }
+
+  /** b-bit estimator QUALITY (VERDICT r9 item 6): MAE and signed bias
+    * of the Li–König corrected Ĵ against EXACT Jaccard on the bench
+    * corpus's candidate pairs — the BbitMinHashSpec oracle promoted
+    * into the artifact (the ann_recall precedent) so the packed tier's
+    * accuracy is tracked round-over-round, not just pass/failed. The
+    * collects are the bounded τ≥0.05 pair lists, not the corpus.
+    */
+  private def bbitQuality(spark: SparkSession, sfDir: String): String = {
+    try {
+      val docs = graft.sources.Tables(spark, sfDir, "documents")
+      val exact = operators.DedupQueries
+        .bruteJaccardPairs(operators.MinHashDedup.shingles(docs), 0.05)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      val est = operators.BbitMinHash.nearDuplicates(docs, -1.0).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getInt(2), r.getDouble(3)))
+      val joined = est.flatMap { case (k, (lanes, je)) =>
+        exact.get(k).map(j => (j, lanes / 32.0, je))
+      }
+      if (joined.isEmpty) """{"error":"no overlapping pairs"}"""
+      else {
+        val n = joined.length
+        val mae = joined.map { case (j, _, je) => math.abs(je - j) }.sum / n
+        val raw = joined.map { case (j, c, _) => c - j }.sum / n
+        val corr = joined.map { case (j, _, je) => je - j }.sum / n
+        f"""{"mae":$mae%.4f,"raw_bias":$raw%.4f,""" +
+          f""""corr_bias":$corr%.4f,"pairs":$n}"""
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bbit quality probe failed: ${e.getMessage}")
       """{"error":true}"""
     }
   }
