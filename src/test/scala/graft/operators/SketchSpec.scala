@@ -256,6 +256,81 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: packed b-bit probe A/B — identical verified " +
+      "pairs, sig column pruned, signature bytes shrink") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val rest = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val path = tmpDir("dedup-idx-packed")
+    IncrementalDedup.writeIndex(rest, "t_dedup_pk", path, buckets = 4)
+    try {
+      def pairsOf(packed: Boolean): Set[(Long, Long, Double)] =
+        IncrementalDedup.probe(batch, rest, "t_dedup_pk", 0.3,
+            packed = packed)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val exact = pairsOf(packed = false)
+      val pk = pairsOf(packed = true)
+      assert(exact.nonEmpty, "corpus must yield cross near-dup pairs")
+      // recall A/B: the exact text verify makes precision identical;
+      // on this corpus the noisier packed prefilter loses nothing
+      assert(pk === exact,
+        s"packed probe diverged: missing=${exact -- pk} extra=${pk -- exact}")
+
+      // the packed candidates plan must PRUNE the 32-int sig column
+      // from the index-side scan — that pruning IS the 32x read claim
+      val shB = MinHashDedup.shingles(batch).localCheckpoint()
+      val sigTableB = MinHashDedup.signatures(shB).localCheckpoint()
+      def sigsReadSchema(packed: Boolean): String = {
+        val plan = IncrementalDedup
+          .candidates(shB, sigTableB, "t_dedup_pk", 0.3, packed)
+          .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          .queryExecution.executedPlan.toString
+        plan.linesIterator.filter(_.contains("t_dedup_pk_sigs"))
+          .mkString("\n")
+      }
+      val packedScan = sigsReadSchema(packed = true)
+      assert(packedScan.contains("bsig") && !packedScan.contains("sig:array"),
+        s"packed probe must not read the 32-int sig column:\n$packedScan")
+      assert(sigsReadSchema(packed = false).contains("sig"),
+        "exact probe reads the full signature")
+
+      // measured bytes: per-column compressed sizes from the index's
+      // own parquet footers — what each mode's scan actually pulls
+      val conf = spark.sparkContext.hadoopConfiguration
+      val sigsDir = new org.apache.hadoop.fs.Path(s"$path/sigs")
+      val fs = sigsDir.getFileSystem(conf)
+      var sigBytes = 0L
+      var bsigBytes = 0L
+      fs.listStatus(sigsDir).filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(f.getPath, conf))
+          try {
+            reader.getFooter.getBlocks.forEach { b =>
+              b.getColumns.forEach { c =>
+                val p = c.getPath.toDotString
+                if (p.startsWith("sig.")) sigBytes += c.getTotalSize
+                else if (p == "bsig") bsigBytes += c.getTotalSize
+              }
+            }
+          } finally reader.close()
+        }
+      assert(sigBytes > 0 && bsigBytes > 0)
+      info(f"signature column bytes: sig=$sigBytes bsig=$bsigBytes " +
+        f"(${sigBytes.toDouble / bsigBytes}%.1fx)")
+      // 32 ints vs 1 long is 16x raw; parquet encodings eat some of it —
+      // assert a conservative 4x so the test tracks the claim, not codec
+      // luck on a tiny corpus
+      assert(sigBytes >= 4 * bsigBytes,
+        s"expected the packed column to be far smaller: sig=$sigBytes bsig=$bsigBytes")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_dedup_pk_sigs")
+      spark.sql("DROP TABLE IF EXISTS t_dedup_pk_buckets")
+    }
+  }
+
   test("incremental dedup: band join reads the index bucketed, no corpus-side exchange") {
     val batchIds = Set(0L, 3L)
     val batch = corpus.filter(col("doc_id").isin(batchIds.toSeq: _*))
