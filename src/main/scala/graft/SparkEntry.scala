@@ -17,7 +17,8 @@ object SparkEntry {
     RelationalQueries.all ++ PipelineQueries.all ++ AdvancedQueries.all ++
       SessionQueries.all ++ ArrayAggQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ TextQueries.all ++ SketchQueries.all ++
-      ReconQueries.all ++ TrainPrepQueries.all ++ SqlSurfaceQueries.all
+      ReconQueries.all ++ TrainPrepQueries.all ++ SqlSurfaceQueries.all ++
+      OverlapQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -132,7 +132,10 @@ object DedupQueries {
   /** The DuckDB mirror of [[jaccardPairs]] as a CTE block ending in a
     * `pairs(doc_a, doc_b, n_inter, jaccard)` relation.
     */
-  private[operators] val jaccardPairsSql: String = s"""
+  /** [[jaccardPairsSql]] at an arbitrary threshold (q124 verifies the
+    * τ = 0.3 candidate tier; the suite baseline stays 0.5).
+    */
+  private[operators] def jaccardPairsSqlAt(tau: String): String = s"""
       $shingleCtesSql,
       inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -145,7 +148,9 @@ object DedupQueries {
         FROM inter
           JOIN sizes sa ON sa.doc_id = doc_a
           JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5)"""
+        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= $tau)"""
+
+  private[operators] val jaccardPairsSql: String = jaccardPairsSqlAt("0.5")
 
   /** Near-dup pairs by word-3-gram Jaccard ≥ 0.5, computed on an inverted
     * shingle index: explode distinct shingles, self-join on shingle

@@ -106,7 +106,16 @@ object ProfileSfx {
       // unigram count frames, both vocab-sublinear)
       graft.operators.DedupQueries.q115,
       graft.operators.DedupQueries.q117,
-      graft.operators.TextQueries.q122)
+      graft.operators.TextQueries.q122,
+      // r10 (VERDICT r9 item 5): the two decade claims that matter most
+      // at 100 TB — q110's prefix-filtered PPJoin and q116's
+      // cell-bounded learned SemDeDup — plus q40's digest hash-agg and
+      // q42's brute-Jaccard baseline (the Σdf² face kept behind the
+      // cost dispatch; its exponent DOCUMENTS why the dispatch exists)
+      graft.operators.DedupQueries.q40,
+      graft.operators.DedupQueries.q42,
+      graft.operators.DedupQueries.q110,
+      graft.operators.SimilarityQueries.q116)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
