@@ -133,7 +133,7 @@ object Bench {
     // 8 fps detector): drive each pipeline end-to-end through a real
     // StreamingQuery / the full transform chain and report sustained
     // throughput alongside the batch timings.
-    val (absaRate, vehicleRate) = streamingRates(spark)
+    val (absaRate, vehicleRate, vehicleRealFps) = streamingRates(spark)
     val curationRate = curationIngestRate(spark)
     val annRecallJson = annRecall(spark, sfDir)
     val bbitJson = bbitQuality(spark, sfDir)
@@ -143,7 +143,7 @@ object Bench {
     // swings (q42 +25 %, q68 −30 %): the recorded statistic is min-of-N
     // and the note travels in the artifact so a future reader never
     // adjudicates a single-query delta inside that band as a regression.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_$repeat","noise_note":"per-query swings up to +/-30pct on identical code (r5 vs r6 calibration); single-query spikes beyond 3x committed are rerun in-session and adjudicated in `spikes`","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"spikes":$spikesJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate,"curation_docs_per_sec":$curationRate,"ann_recall":$annRecallJson,"bbit":$bbitJson}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_$repeat","noise_note":"per-query swings up to +/-30pct on identical code (r5 vs r6 calibration); single-query spikes beyond 3x committed are rerun in-session and adjudicated in `spikes`","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"spikes":$spikesJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate,"vehicle_fps_real":$vehicleRealFps,"curation_docs_per_sec":$curationRate,"ann_recall":$annRecallJson,"bbit":$bbitJson}"""
     println(line)
     // persist the full line INSIDE the repo (the round commits it), so
     // all per-query times stay recoverable even when the driver's
@@ -316,7 +316,8 @@ object Bench {
     }
   }
 
-  private def streamingRates(spark: SparkSession): (Double, Double) = {
+  private def streamingRates(spark: SparkSession)
+      : (Double, Double, Double) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
@@ -345,6 +346,35 @@ object Bench {
     val absaSecs = (System.nanoTime() - t0) / 1e9
     val absaRate = if (counted.get() == n) n / absaSecs else -1.0
 
+    // vehicle (real codec): mr frames of a genuine 64×48 JPEG through
+    // parse → unbase64 → executor-side ImageIo decode + features —
+    // the honest decode-included fps next to the mock-detector number
+    // (VERDICT r9 item 7)
+    val mr = 20000
+    val jpeg = {
+      val img = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64)
+        img.setRGB(x, y, ((x * 4) << 16) | ((y * 5) << 8) | ((x + y) & 0xff))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+    }
+    val realFrames = spark.range(mr).select(
+      concat(lit("""{"camera_id": "CAM_"""), col("id") % 3,
+        lit("""", "timestamp": """), col("id").cast("double"),
+        lit(""", "frame_data": """"), lit(jpeg), lit("\"}")).as("value"))
+    val tr = System.nanoTime()
+    val realCnt = graft.operators.Multimodal.extractFeatures(
+      graft.streaming.VehiclePipeline.parse(realFrames)
+        .select(col("timestamp").cast("long").as("doc_id"),
+          unbase64(col("frame_data")).as("payload"))
+        .as[graft.operators.Multimodal.MediaRow],
+      graft.operators.ImageIoDecoder).count()
+    val realSecs = (System.nanoTime() - tr) / 1e9
+    val vehicleRealFps =
+      if (realCnt == mr) math.rint(mr / realSecs * 10) / 10 else -1.0
+
     // vehicle: m frames through parse → detect → shape
     val m = 50000
     val payload = java.util.Base64.getEncoder.encodeToString(
@@ -357,6 +387,7 @@ object Bench {
     val cnt = graft.streaming.VehiclePipeline.transformAll(frames, None).count()
     val vehSecs = (System.nanoTime() - t1) / 1e9
     val vehicleRate = if (cnt == m) m / vehSecs else -1.0
-    (math.rint(absaRate * 10) / 10, math.rint(vehicleRate * 10) / 10)
+    (math.rint(absaRate * 10) / 10, math.rint(vehicleRate * 10) / 10,
+      vehicleRealFps)
   }
 }

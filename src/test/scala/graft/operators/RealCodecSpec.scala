@@ -1,67 +1,13 @@
 package graft.operators
 
 import graft.SparkSpec
-import Multimodal.{DecodedImage, ImageDecoder, MediaRow}
+import Multimodal.{ImageDecoder, MediaRow}
 
-/** A REAL decoder through the [[Multimodal.ImageDecoder]] seam (S4): the
-  * stub exists only because this container ships no image library, so
-  * prove the trait boundary actually admits a real implementation with
-  * zero engine changes. Two real codecs, both pure JVM:
-  *
-  *   - [[PpmDecoder]]: a complete hand-rolled binary-PPM (P6) parser —
-  *     header + raw RGB planes, nothing fake about it;
-  *   - [[ImageIoDecoder]]: the JDK's own `javax.imageio` PNG codec.
-  *
-  * Top-level objects (not spec inner classes) because decoders ship to
-  * executors and must not capture the test class in their closure.
+/** [[PpmDecoder]] / [[ImageIoDecoder]] (library codecs since r10 —
+  * `operators/RealCodecs.scala`) exercised through the
+  * [[Multimodal.ImageDecoder]] seam (S4): prove the trait boundary
+  * admits real implementations with zero engine changes.
   */
-object PpmDecoder extends ImageDecoder {
-  override def decode(payload: Array[Byte]): DecodedImage = {
-    // header: "P6" <w> <h> <maxval> single-whitespace, then raw RGB
-    var pos = 0
-    def token(): String = {
-      while (payload(pos).toChar.isWhitespace) pos += 1
-      val start = pos
-      while (pos < payload.length && !payload(pos).toChar.isWhitespace)
-        pos += 1
-      new String(payload, start, pos - start, "US-ASCII")
-    }
-    require(token() == "P6", "not a binary PPM")
-    val width = token().toInt
-    val height = token().toInt
-    require(token().toInt == 255, "only 8-bit PPM supported")
-    pos += 1 // the single whitespace after maxval
-    val n = width * height * 3
-    require(payload.length - pos >= n, "truncated PPM payload")
-    DecodedImage(width, height, 3,
-      java.util.Arrays.copyOfRange(payload, pos, pos + n))
-  }
-}
-
-object ImageIoDecoder extends ImageDecoder {
-  override def decode(payload: Array[Byte]): DecodedImage = {
-    val img = javax.imageio.ImageIO
-      .read(new java.io.ByteArrayInputStream(payload))
-    require(img != null, "javax.imageio could not decode the payload")
-    val (w, h) = (img.getWidth, img.getHeight)
-    val px = new Array[Byte](w * h * 3)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        val i = (y * w + x) * 3
-        px(i) = ((rgb >> 16) & 0xff).toByte
-        px(i + 1) = ((rgb >> 8) & 0xff).toByte
-        px(i + 2) = (rgb & 0xff).toByte
-        x += 1
-      }
-      y += 1
-    }
-    DecodedImage(w, h, 3, px)
-  }
-}
-
 class RealCodecSpec extends SparkSpec {
   import spark.implicits._
 

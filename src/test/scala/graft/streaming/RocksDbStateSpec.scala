@@ -94,6 +94,53 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("session windows on RocksDB: gap-merged state evicted after the " +
+      "watermark passes (VERDICT r9 item 8's missing assertion)") {
+    withRocksDb {
+      val input = MemoryStream[ShapedFrame](spark)
+      val q = StreamingAggregates
+        .cameraSessions(input.toDF(), gap = "30 seconds",
+          watermark = "1 minute")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rocks_sessions")
+        .start()
+      try {
+        // two cameras, events inside one 30 s gap each → two open
+        // sessions buffered in state
+        input.addData(
+          ShapedFrame("CAM_1", "car", 2, ts(0, 0)),
+          ShapedFrame("CAM_1", "bus", 1, ts(0, 20)),
+          ShapedFrame("CAM_2", "car", 3, ts(0, 10)))
+        q.processAllAvailable()
+        assertRocksDbActive(q)
+        val live = lastStateProgress(q).numRowsTotal
+        assert(live >= 2, s"expected >=2 open sessions in state, got $live")
+
+        // advance the watermark far past both sessions' gap end; the
+        // closing batches must EMIT them and FREE their state — the
+        // bounded-state property that makes session_window safe at
+        // corpus scale. The two advancing ticks are 20 s apart (inside
+        // the 30 s gap) so they MERGE into one open session: state
+        // afterwards is 1 < 2 iff the expired sessions were evicted.
+        input.addData(ShapedFrame("CAM_1", "car", 1, ts(30, 0)))
+        q.processAllAvailable()
+        input.addData(ShapedFrame("CAM_1", "car", 2, ts(30, 20)))
+        q.processAllAvailable()
+        val after = lastStateProgress(q).numRowsTotal
+        assert(after < live,
+          s"watermark-expired session state not evicted: $live -> $after")
+
+        // the closed sessions were emitted with gap-merge semantics
+        // intact: CAM_1's two frames merged into ONE session of count 3
+        val rows = spark.table("rocks_sessions")
+          .selectExpr("camera_id", "total").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+        assert(rows.contains(("CAM_1", 3L)) && rows.contains(("CAM_2", 3L)),
+          s"session merge semantics changed on RocksDB: $rows")
+      } finally q.stop()
+    }
+  }
+
   test("dropDuplicatesWithinWatermark on RocksDB: dedup state evicted") {
     withRocksDb {
       val input = MemoryStream[Msg](spark)
