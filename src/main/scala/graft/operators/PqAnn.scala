@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.VectorFunctions
+
+/** X76 — Product quantization ANN (PQ codes + ADC scan).
+  *
+  * The missing member of the engine's ANN ladder (brute q45 → sign-LSH
+  * q52 → IVF q55 → JL q89 → int8 q65): Jégou et al., "Product
+  * quantization for nearest neighbor search" (TPAMI 2011). The vector
+  * is split into [[M]] subspaces; each subspace gets its own tiny
+  * k-means codebook ([[Ks]] centroids → a 4-bit code), so a 64-dim
+  * float vector (256 B) compresses to ONE 32-bit word — 64×. A query
+  * is answered with the asymmetric distance computation (ADC): one
+  * [[M]]×[[Ks]] lookup table of exact sub-distances per query, then
+  * the scan is table-lookups + adds over the packed codes — no float
+  * vector is ever read.
+  *
+  * Spark-first shape: codebooks are trained per subspace on the SAME
+  * deterministic sampled-maximin + local-Lloyd trainer the IVF coarse
+  * quantizer uses ([[AnnIvf.trainCentroids]] — driver flops on a
+  * bounded sample, model is M·Ks·SubDim doubles); encoding is ONE
+  * map-side pass (a fused argmin kernel per subspace, packed with
+  * integer arithmetic); the ADC scan is a broadcast of Q×(M·Ks) LUT
+  * doubles joined map-side, ranked by (dist, vec_id) per query. The
+  * only shuffle in the whole operator is the final per-query top-k
+  * window over the already-filtered candidate frame.
+  *
+  * At 100 TB: the PQ code column is what makes exhaustive re-scan
+  * viable at all — 4 bytes/vector means a billion vectors fit in
+  * 4 GB/executor-scan territory, and the usual production composition
+  * (IVF cells from [[AnnIvf]] + PQ codes within each cell) is a
+  * one-line join of the two existing operators since both key by
+  * vec_id. No reference counterpart (§2.8 extension).
+  */
+object PqAnn {
+
+  /** Subspaces (codes per vector). */
+  val M = 8
+
+  /** Dimensions per subspace (M · SubDim = 64, the corpus dim). */
+  val SubDim = 8
+
+  /** Codebook size per subspace — 4-bit codes, 2 codes/byte. */
+  val Ks = 16
+
+  /** Nibble place values for packing codes in plain integer
+    * arithmetic; unpacking uses literal-shift `shiftright` since the
+    * subspace index is a compile-time loop variable.
+    */
+  private val places: Array[Long] = Array.tabulate(M)(j => 1L << (4 * j))
+
+  /** Train one codebook per subspace. Returns flat (M × Ks × SubDim)
+    * c-major model. Training reuses the IVF trainer per subspace:
+    * bounded sample collect, deterministic maximin init, local Lloyd —
+    * restarts trimmed because 8-dim subspaces converge fast.
+    */
+  def train(vecs: DataFrame): Array[Array[Array[Double]]] =
+    Array.tabulate(M) { j =>
+      AnnIvf.trainCentroids(
+        vecs.select(col("vec_id"),
+          slice(col("emb"), j * SubDim + 1, SubDim).as("emb")),
+        nlist = Ks, dim = SubDim, iterations = 0, restarts = 2)
+    }
+
+  /** Packed 32-bit PQ code column: per subspace a fused argmin over its
+    * codebook, packed as Σ code_j · 16^j. One map-side expression — the
+    * encode pass a 100 TB corpus runs once and stores.
+    */
+  def encode(emb: Column, model: Array[Array[Array[Double]]]): Column =
+    (0 until M).map { j =>
+      VectorFunctions.nearestCentroidId(
+        slice(emb, j * SubDim + 1, SubDim),
+        model(j).flatten, Ks, SubDim).cast("long") * places(j)
+    }.reduce(_ + _)
+
+  /** The per-query ADC lookup table: exact squared sub-distances from
+    * the query's j-th sub-vector to every codebook entry, flattened
+    * j-major (M·Ks doubles).
+    */
+  private def lut(q: Array[Double],
+      model: Array[Array[Array[Double]]]): Array[Double] =
+    Array.tabulate(M * Ks) { i =>
+      val j = i / Ks
+      val c = model(j)(i % Ks)
+      var d = 0d; var t = 0
+      while (t < SubDim) {
+        val diff = q(j * SubDim + t) - c(t); d += diff * diff; t += 1
+      }
+      d
+    }
+
+  /** ADC distance of a packed code against a LUT array column:
+    * Σ_j lutArr[j·Ks + nibble_j(code)]. Integer unpack + array lookup,
+    * fully codegen'd — no vector math in the scan.
+    */
+  private def adcDist(code: Column, lutArr: Column): Column =
+    (0 until M).map { j =>
+      element_at(lutArr,
+        shiftright(code, 4 * j).bitwiseAND(lit(15L)).cast("int")
+          + lit(j * Ks + 1))
+    }.reduce(_ + _)
+
+  /** Top-k per query by RAW ADC distance over the packed-code frame —
+    * the pure compressed-domain scan. Output: (qid, vec_id, rank,
+    * adc_dist). Exposed for the spec's ADC-consistency oracle and for
+    * consumers that want the no-float-reads scan; [[topK]] adds the
+    * exact re-rank production uses.
+    */
+  def adcTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val vecs = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val model = train(vecs)
+    val codes = vecs.select(col("vec_id"),
+      encode(col("emb"), model).as("code"))
+
+    // bounded collect: only the |Q| query vectors come to the driver,
+    // each becoming M·Ks LUT doubles — the planning-frame pattern
+    val qRows = vecs.filter(col("vec_id").isin(queryIds: _*)).collect()
+    val luts = qRows.map { r =>
+      (r.getLong(0), lut(r.getSeq[Double](1).toArray, model))
+    }
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qFrame = luts.toSeq.toDF("qid", "lut")
+
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    codes
+      .join(broadcast(qFrame))
+      .filter(col("qid") =!= col("vec_id")) // a query is its own 0-dist hit
+      .withColumn("adc_dist", adcDist(col("code"), col("lut")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), col("adc_dist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Production PQ search: ADC shortlist of [[shortlist]] candidates in
+    * the compressed domain, then EXACT squared-L2 re-rank of only those
+    * — the standard two-stage recipe (and the engine's q65 int8
+    * precedent). The exact pass reads `|Q|·shortlist` float vectors
+    * instead of the corpus; the corpus-wide scan touched only the
+    * 4-byte codes. Output: (qid, vec_id, rank, dist) with dist exact.
+    */
+  def topK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      shortlist: Int = 64): DataFrame = {
+    val vecs = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cand = adcTopK(embeddings, queryIds, shortlist)
+      .select(col("qid"), col("vec_id"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qVecs = vecs.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    cand
+      .join(vecs, "vec_id")
+      .join(broadcast(qVecs), "qid")
+      // in-order diff-square sum: identical op order to a driver-side
+      // loop, so rankings can't split on float association
+      .withColumn("dist", aggregate(
+        zip_with(col("emb"), col("qemb"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, v) => acc + v))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), col("dist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+}

@@ -249,6 +249,17 @@ object SketchQueries {
     (s, d) => BbitMinHash.nearDuplicates(t(s, d, "documents"), 0.4),
     None)
 
+  /** PQ-coded ANN ([[PqAnn]], X76): 64-dim float vector → ONE packed
+    * 32-bit code (64× compression), queries answered by ADC lookup
+    * tables over the code column — the exhaustive-rescan-viable member
+    * of the ANN ladder. Rows-only (learned codebooks); recall oracle in
+    * PqAnnSpec, tracked as `pq_at5` in the bench artifact.
+    */
+  val q127 = GraftQuery(
+    "q127_ann_pq_topk",
+    (s, d) => PqAnn.topK(t(s, d, "embeddings"), 0L to 9L, k = 5),
+    None)
+
   val all: Seq[GraftQuery] =
-    Seq(q43, q44, q52, q53, q55, q72a, q72b, q75, q85, q91, q92, q118)
+    Seq(q43, q44, q52, q53, q55, q72a, q72b, q75, q85, q91, q92, q118, q127)
 }
