@@ -18,7 +18,7 @@ object SparkEntry {
       SessionQueries.all ++ ArrayAggQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ TextQueries.all ++ SketchQueries.all ++
       ReconQueries.all ++ TrainPrepQueries.all ++ SqlSurfaceQueries.all ++
-      OverlapQueries.all ++ KmvSketch.all
+      OverlapQueries.all ++ KmvSketch.all ++ TextRank.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
