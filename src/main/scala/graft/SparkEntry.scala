@@ -18,7 +18,8 @@ object SparkEntry {
       SessionQueries.all ++ ArrayAggQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ TextQueries.all ++ SketchQueries.all ++
       ReconQueries.all ++ TrainPrepQueries.all ++ SqlSurfaceQueries.all ++
-      OverlapQueries.all ++ KmvSketch.all ++ TextRank.all
+      OverlapQueries.all ++ KmvSketch.all ++ TextRank.all ++
+      DumpNovelty.all ++ EmbeddingOutliers.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
