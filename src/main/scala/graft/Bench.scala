@@ -217,10 +217,12 @@ object Bench {
       val lsh = recallAt5(topSets(operators.SketchQueries.q52.build(spark, sfDir)))
       val ivf = recallAt5(topSets(operators.SketchQueries.q55.build(spark, sfDir)))
       // q127's shape is (qid, vec_id, rank, adc_dist) — own mapping
-      val pq = recallAt5(
-        operators.SketchQueries.q127.build(spark, sfDir).collect()
-          .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
-          .view.mapValues(_.map(_._2).toSet).toMap)
+      // q127/q131 share the (qid, vec_id, rank, dist) shape
+      def pqSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSet).toMap
+      val pq = recallAt5(pqSets(operators.SketchQueries.q127.build(spark, sfDir)))
+      val ivfpq = recallAt5(pqSets(operators.SketchQueries.q131.build(spark, sfDir)))
       val groups = operators.SimilarityQueries.q100.build(spark, sfDir)
         .select(col("vec_id"), col("group_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -228,7 +230,7 @@ object Bench {
       val twinned = groups.keysIterator.filter(_ < 1000000L).count(i =>
         groups.get(i + 1000000L).contains(groups(i)))
       val sem = twinned.toDouble / nBase
-      f"""{"lsh_at5":$lsh%.4f,"ivf_at5":$ivf%.4f,"pq_at5":$pq%.4f,"semdedup_planted":$sem%.4f}"""
+      f"""{"lsh_at5":$lsh%.4f,"ivf_at5":$ivf%.4f,"pq_at5":$pq%.4f,"ivfpq_at5":$ivfpq%.4f,"semdedup_planted":$sem%.4f}"""
     } catch { case e: Throwable =>
       // the bench line must stay parseable even if a recall probe dies
       System.err.println(s"[bench] ann recall probe failed: ${e.getMessage}")

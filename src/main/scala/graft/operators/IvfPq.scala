@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+
+import graft.functions.expressions.VectorFunctions
+
+/** X80 — IVFADC: the composed IVF∘PQ index, the production ANN shape
+  * (Jégou et al. TPAMI 2011 §IV). The coarse quantizer ([[AnnIvf]]'s
+  * trainer) partitions the corpus into cells; within each cell the
+  * vector's RESIDUAL against its cell centroid is PQ-encoded
+  * ([[PqAnn]]'s codebooks trained on the residual frame — residuals
+  * have most of the coarse structure subtracted out, which is exactly
+  * why IVFADC quantizes them instead of raw vectors). A query probes
+  * its nprobe nearest cells with a PER-(query, cell) ADC lookup table
+  * built from the query's residual against that cell, so the scan
+  * touches only probed-cell code rows — nprobe/nlist of the corpus,
+  * 4 bytes per vector.
+  *
+  * Scale shape: this is the first ANN tier where BOTH read-reduction
+  * axes compose — cell pruning (rows: nprobe/nlist, physically a
+  * partition-pruned directory read in the [[AnnIvf.writeIndex]]
+  * layout, which stores by cell already) and code compression
+  * (bytes/row: 4 vs 256). The exact re-rank touches |Q|·shortlist
+  * float vectors. Driver state is the coarse model + M codebooks +
+  * |Q|·nprobe LUTs — kilobytes.
+  */
+object IvfPq {
+
+  /** Coarse cells. */
+  val NList = 16
+
+  /** Cells probed per query. */
+  val NProbe = 4
+
+  /** ADC shortlist fed to the exact re-rank. */
+  val Shortlist = 64
+
+  private def centFrame(spark: org.apache.spark.sql.SparkSession,
+      coarse: Array[Array[Double]]): DataFrame = {
+    val rows = coarse.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toSeq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(StructField("cell", IntegerType, nullable = false),
+        StructField("carr", ArrayType(DoubleType, containsNull = false),
+          nullable = false))))
+  }
+
+  /** Top-k by IVFADC: cell-probe → residual-ADC shortlist → exact
+    * re-rank. Output: (qid, vec_id, rank, dist) with dist the exact
+    * squared L2.
+    */
+  def topK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nprobe: Int = NProbe, shortlist: Int = Shortlist): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = 64
+    val vecs = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val coarse = AnnIvf.trainCentroids(vecs, NList, dim)
+    val cells = centFrame(spark, coarse)
+    val withRes = vecs
+      .withColumn("cell", VectorFunctions.nearestCentroidId(col("emb"),
+        coarse.flatten, coarse.length, dim))
+      .join(broadcast(cells), "cell")
+      .withColumn("res", zip_with(col("emb"), col("carr"), (x, c) => x - c))
+    val model = PqAnn.train(
+      withRes.select(col("vec_id"), col("res").as("emb")))
+    val codes = withRes.select(col("vec_id"), col("cell"),
+      PqAnn.encode(col("res"), model).as("code"))
+
+    // bounded collect: the |Q| query vectors → nprobe cells + one
+    // residual LUT per (query, cell)
+    val qRows = vecs.filter(col("vec_id").isin(queryIds: _*)).collect()
+    val probeLuts = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Double](1).toArray
+      coarse.indices.sortBy { c =>
+        var d = 0d; var i = 0
+        while (i < dim) {
+          val diff = q(i) - coarse(c)(i); d += diff * diff; i += 1
+        }
+        (d, c)
+      }.take(nprobe).map { c =>
+        val res = Array.tabulate(dim)(i => q(i) - coarse(c)(i))
+        (qid, c, PqAnn.lut(res, model))
+      }
+    }
+    val probes = probeLuts.toSeq.toDF("qid", "cell", "lut")
+
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    val cand = codes
+      .join(broadcast(probes), "cell")
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("adc_dist", PqAnn.adcDist(col("code"), col("lut")))
+      .withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= shortlist)
+      .select(col("qid"), col("vec_id"))
+
+    val qVecs = vecs.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    cand
+      .join(vecs, "vec_id")
+      .join(broadcast(qVecs), "qid")
+      .withColumn("dist", aggregate(
+        zip_with(col("emb"), col("qemb"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, v) => acc + v))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), col("dist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+}

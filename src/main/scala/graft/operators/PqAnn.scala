@@ -81,7 +81,7 @@ object PqAnn {
     * the query's j-th sub-vector to every codebook entry, flattened
     * j-major (M·Ks doubles).
     */
-  private def lut(q: Array[Double],
+  private[operators] def lut(q: Array[Double],
       model: Array[Array[Array[Double]]]): Array[Double] =
     Array.tabulate(M * Ks) { i =>
       val j = i / Ks
@@ -97,7 +97,7 @@ object PqAnn {
     * Σ_j lutArr[j·Ks + nibble_j(code)]. Integer unpack + array lookup,
     * fully codegen'd — no vector math in the scan.
     */
-  private def adcDist(code: Column, lutArr: Column): Column =
+  private[operators] def adcDist(code: Column, lutArr: Column): Column =
     (0 until M).map { j =>
       element_at(lutArr,
         shiftright(code, 4 * j).bitwiseAND(lit(15L)).cast("int")

@@ -260,6 +260,16 @@ object SketchQueries {
     (s, d) => PqAnn.topK(t(s, d, "embeddings"), 0L to 9L, k = 5),
     None)
 
+  /** IVFADC — the composed IVF∘PQ production index ([[IvfPq]], X80):
+    * cell pruning × code compression, residual-encoded. Rows-only;
+    * recall oracle in IvfPqSpec, tracked as `ivfpq_at5` in BENCH.
+    */
+  val q131 = GraftQuery(
+    "q131_ann_ivfpq_topk",
+    (s, d) => IvfPq.topK(t(s, d, "embeddings"), 0L to 9L, k = 5),
+    None)
+
   val all: Seq[GraftQuery] =
-    Seq(q43, q44, q52, q53, q55, q72a, q72b, q75, q85, q91, q92, q118, q127)
+    Seq(q43, q44, q52, q53, q55, q72a, q72b, q75, q85, q91, q92, q118, q127,
+      q131)
 }
