@@ -32,11 +32,17 @@ object IvfPq {
   /** Coarse cells. */
   val NList = 16
 
-  /** Cells probed per query. */
-  val NProbe = 4
-
-  /** ADC shortlist fed to the exact re-rank. */
-  val Shortlist = 64
+  /** Cells probed per query. r10's 4/16 was the larger half of the
+    * composed tier's recall deficit — the ceiling an IVF index can't
+    * re-rank past is the true-neighbor mass in unprobed cells. Measured
+    * recall@5 by nprobe at shortlist 128/256: sf0.001 → 0.64 / 0.82 /
+    * 0.88 at nprobe 4/6/8; sf0.1 → 0.68 / 0.86 / 0.84. 8/16 is the
+    * config that clears 0.8 at BOTH scales; the probe fraction (1/2 of
+    * cells at nlist 16) shrinks as nlist grows with the corpus —
+    * production nlist is O(√N), the fraction here is an artifact of
+    * the small fixed cell count.
+    */
+  val NProbe = 8
 
   private def centFrame(spark: org.apache.spark.sql.SparkSession,
       coarse: Array[Array[Double]]): DataFrame = {
@@ -50,19 +56,20 @@ object IvfPq {
           nullable = false))))
   }
 
-  /** Top-k by IVFADC: cell-probe → residual-ADC shortlist → exact
-    * re-rank. Output: (qid, vec_id, rank, dist) with dist the exact
-    * squared L2.
+  /** The trained IVFADC index: coarse model, residual codebooks, and
+    * the per-vector (vec_id, cell, code) frame. Exposed (package-
+    * private) so IvfPqSpec can oracle each stage — both trainers are
+    * deterministic, so a spec rebuild reproduces [[topK]]'s exact
+    * model.
     */
-  def topK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      nprobe: Int = NProbe, shortlist: Int = Shortlist): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val dim = 64
-    val vecs = embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+  private[operators] final case class Index(
+      coarse: Array[Array[Double]],
+      model: Array[Array[Array[Double]]],
+      codes: DataFrame)
+
+  private[operators] def buildIndex(vecs: DataFrame, dim: Int): Index = {
     val coarse = AnnIvf.trainCentroids(vecs, NList, dim)
-    val cells = centFrame(spark, coarse)
+    val cells = centFrame(vecs.sparkSession, coarse)
     val withRes = vecs
       .withColumn("cell", VectorFunctions.nearestCentroidId(col("emb"),
         coarse.flatten, coarse.length, dim))
@@ -70,9 +77,21 @@ object IvfPq {
       .withColumn("res", zip_with(col("emb"), col("carr"), (x, c) => x - c))
     val model = PqAnn.train(
       withRes.select(col("vec_id"), col("res").as("emb")))
-    val codes = withRes.select(col("vec_id"), col("cell"),
-      PqAnn.encode(col("res"), model).as("code"))
+    Index(coarse, model, withRes.select(col("vec_id"), col("cell"),
+      PqAnn.encode(col("res"), model).as("code")))
+  }
 
+  /** The residual-ADC candidate stage: probed-cell code rows scored by
+    * the per-(query, cell) residual LUT, shortlisted per query. Output
+    * keeps `adc_dist` so the spec can check it against an independent
+    * driver recomputation; [[topK]] drops it.
+    */
+  private[operators] def adcCandidates(idx: Index, vecs: DataFrame,
+      queryIds: Seq[Long], nprobe: Int, shortlist: Int): DataFrame = {
+    import idx.{coarse, model}
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dim = coarse(0).length
     // bounded collect: the |Q| query vectors → nprobe cells + one
     // residual LUT per (query, cell)
     val qRows = vecs.filter(col("vec_id").isin(queryIds: _*)).collect()
@@ -94,12 +113,31 @@ object IvfPq {
 
     val wAdc = Window.partitionBy(col("qid"))
       .orderBy(col("adc_dist"), col("vec_id"))
-    val cand = codes
+    idx.codes
       .join(broadcast(probes), "cell")
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("adc_dist", PqAnn.adcDist(col("code"), col("lut")))
       .withColumn("srk", row_number().over(wAdc))
       .filter(col("srk") <= shortlist)
+      .select(col("qid"), col("vec_id"), col("cell"), col("adc_dist"))
+  }
+
+  /** Top-k by IVFADC: cell-probe → residual-ADC shortlist → exact
+    * re-rank. Output: (qid, vec_id, rank, dist) with dist the exact
+    * squared L2. `shortlist <= 0` → [[PqAnn.autoShortlist]] (N/8
+    * clamped to [64, 1024] — same decay argument as the flat PQ tier;
+    * the candidate pool here is only the probed nprobe/nlist fraction,
+    * but sizing off full N keeps the two tiers' re-rank budgets
+    * comparable and measured 0.86 recall@5 at sf0.1).
+    */
+  def topK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nprobe: Int = NProbe, shortlist: Int = 0): DataFrame = {
+    val dim = 64
+    val vecs = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val sl = if (shortlist > 0) shortlist else PqAnn.autoShortlist(vecs.count())
+    val idx = buildIndex(vecs, dim)
+    val cand = adcCandidates(idx, vecs, queryIds, nprobe, sl)
       .select(col("qid"), col("vec_id"))
 
     val qVecs = vecs.filter(col("vec_id").isin(queryIds: _*))
