@@ -33,10 +33,22 @@ object DumpNovelty {
     "q129_dump_novelty",
     (s, d) => {
       val docs = t(s, d, "documents")
-      // dump ordinal: numeric suffix of source ("src12" → 12)
+      // dump ordinal: numeric suffix of source ("src12" → 12). The
+      // 'srcN' contract is load-bearing — a non-conforming source would
+      // cast to a null ord and silently corrupt min(ord) first-seen
+      // attribution (r10 ADVICE), so fail fast instead: any row whose
+      // ordinal doesn't parse raises with the offending value.
+      // try_cast, not cast: ANSI mode would throw a generic
+      // CAST_INVALID_INPUT on e.g. "crawl-2024" but silently pass null
+      // through for an empty substring ("abc" → ""); try_cast funnels
+      // every non-conforming shape into the one contract error below
+      val ordCol = expr("try_cast(substring(source, 4, 10) AS int)")
       val bySrc = MinHashDedup.shingles(docs)
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
-        .select(substring(col("source"), 4, 10).cast("int").as("ord"),
+        .select(when(ordCol.isNotNull, ordCol)
+          .otherwise(raise_error(concat(
+            lit("DumpNovelty: source violates the 'srcN' contract: "),
+            col("source"))).cast("int")).as("ord"),
           col("source"), md5(col("shingle")).as("dg"))
         .distinct()
       val firstSeen = bySrc.groupBy(col("dg")).agg(min(col("ord")).as("first_ord"))

@@ -15,8 +15,12 @@ import Q._
   * clustering), the per-class complement of X53's pairwise prune.
   *
   * Determinism: the X65 quantization recipe (q = round(x·10⁴) + 8192,
-  * all later arithmetic integer), centroid = Σq div n per position
-  * (non-negative, so Spark `div` ≡ DuckDB `//`), d² exact longs,
+  * all later arithmetic integer), centroid = floorDiv(Σq, n) per
+  * position — FLOOR division spelled out, because Spark `div`
+  * truncates toward zero while DuckDB `//` floors, and a component
+  * below -0.8192 makes Σq negative (the operator's own spec plants
+  * -0.9 vectors; the r10 ADVICE flagged the truncate/floor divergence
+  * as a silent hash-break on such inputs) — d² exact longs,
   * outlier cut by exact per-label rank (d² desc, vec_id) against
   * n div 20 — no float anywhere, so the whole query hash-checks.
   *
@@ -43,8 +47,13 @@ object EmbeddingOutliers {
             x => round(x * 10000.0d).cast("long") + 8192L).as("q"))
       val comp = q.select(col("vec_id"), col("label"),
         posexplode(col("q")).as(Seq("pos", "x")))
+      // integer floorDiv(Σx, n): `div` truncates toward zero, so pull
+      // the quotient down one when the remainder is nonzero and the sum
+      // negative (n = count is always positive) — the same floor
+      // semantics KMeans.refineCentroids uses, matching DuckDB `//`
       val cent = comp.groupBy(col("label"), col("pos"))
-        .agg(expr("sum(x) div count(1)").as("c"))
+        .agg(expr("sum(x) div count(1) - (case when sum(x) % count(1) <> 0" +
+          " and sum(x) < 0 then 1 else 0 end)").as("c"))
       val d2 = comp.join(cent, Seq("label", "pos"))
         .withColumn("dd", (col("x") - col("c")) * (col("x") - col("c")))
         .groupBy(col("vec_id"), col("label"))

@@ -40,4 +40,20 @@ class DumpNoveltySpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_.getAs[Long]("cum_distinct")).toSeq ===
       Seq(18L, 18L, 36L))
   }
+
+  test("a source violating the 'srcN' contract fails fast instead of " +
+      "silently corrupting first-seen attribution") {
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val dir = corpusDir(Seq(
+      (1L, a, "src0"),
+      (2L, a, "crawl-2024"))) // no numeric suffix at position 4
+    val e = intercept[Exception] {
+      DumpNovelty.q129.build(spark, dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("srcN")),
+      s"expected the srcN contract error, got: ${msgs(e).mkString(" | ")}")
+  }
 }

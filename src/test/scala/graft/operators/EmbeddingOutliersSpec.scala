@@ -36,6 +36,33 @@ class EmbeddingOutliersSpec extends AnyFunSuite with SparkSpec {
     assert(top.getAs[Boolean]("is_outlier"))
   }
 
+  test("negative-sum centroids use floor division (d2 matches a " +
+      "driver recomputation with Math.floorDiv)") {
+    val dim = 64
+    // all components ≈ -0.9 → q ≈ -808 < 0, so Σq is negative and the
+    // truncate-vs-floor divergence the r10 ADVICE flagged is live; the
+    // i%3 jitter makes Σq indivisible by n at most positions
+    val rows = (1L to 7L).map(i =>
+      (i, Array.fill(dim)(-0.9f - (i % 3) * 0.0001f), 0))
+    val dir = embDir(rows)
+    val got = EmbeddingOutliers.q130.build(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // driver replay of the integer recipe with explicit floorDiv
+    val q = rows.map { case (id, v, _) =>
+      id -> v.map(x => math.round(x.toDouble * 10000.0) + 8192L)
+    }.toMap
+    val cent = Array.tabulate(dim) { p =>
+      val s = q.valuesIterator.map(_(p)).sum
+      Math.floorDiv(s, q.size.toLong)
+    }
+    q.foreach { case (id, qs) =>
+      val d2 = (0 until dim).map { p =>
+        val d = qs(p) - cent(p); d * d
+      }.sum
+      assert(got(id) === d2, s"d2 mismatch for vec $id")
+    }
+  }
+
   test("flag set is independent of input partitioning on sf0.001") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val d1 = tmpDir("out-p1"); val d8 = tmpDir("out-p8")
