@@ -132,9 +132,37 @@ object Bench {
     // streaming-parity rates vs BASELINE.md (ABSA 10 rows/s cap, vehicle
     // 8 fps detector): drive each pipeline end-to-end through a real
     // StreamingQuery / the full transform chain and report sustained
-    // throughput alongside the batch timings.
-    val (absaRate, vehicleRate, vehicleRealFps) = streamingRates(spark)
-    val curationRate = curationIngestRate(spark)
+    // throughput alongside the batch timings. Bracketed by their OWN
+    // canary (r10: the batch suite's bracket had already closed when a
+    // degraded tail window published absa 5.6k rows/s vs 23.3k on
+    // identical code — an uninterpretable artifact number); a >2×
+    // canary shift reruns the rates once and the adjudication travels
+    // in `rates_canary`.
+    var ratesCanaryBefore = canarySecs(spark)
+    var ratesCanaryAfter = 0.0
+    var ratesReruns = -1
+    var ratesDegraded = false
+    var absaRate = -1.0; var vehicleRate = -1.0; var vehicleRealFps = -1.0
+    var curationRate = -1.0; var curationRatePacked = -1.0
+    do {
+      ratesReruns += 1
+      val (a, v, vr) = streamingRates(spark)
+      absaRate = a; vehicleRate = v; vehicleRealFps = vr
+      curationRate = curationIngestRate(spark)
+      curationRatePacked = curationIngestRate(spark, packed = true)
+      ratesCanaryAfter = canarySecs(spark)
+      ratesDegraded = math.max(ratesCanaryBefore, ratesCanaryAfter) >
+        2.0 * math.min(ratesCanaryBefore, ratesCanaryAfter)
+      if (ratesDegraded && ratesReruns == 0) {
+        System.err.println(f"[bench] rates canary shifted " +
+          f"$ratesCanaryBefore%.3f -> $ratesCanaryAfter%.3f s: " +
+          "noisy window, rerunning streaming/ingest rates")
+        ratesCanaryBefore = canarySecs(spark)
+      }
+    } while (ratesDegraded && ratesReruns < 1)
+    val ratesCanaryJson = f"""{"before":$ratesCanaryBefore%.3f,"after":""" +
+      f"""$ratesCanaryAfter%.3f,"reruns":$ratesReruns,""" +
+      f""""degraded":$ratesDegraded}"""
     val annRecallJson = annRecall(spark, sfDir)
     val bbitJson = bbitQuality(spark, sfDir)
     val spikesJson = spikes.mkString("[", ",", "]")
@@ -143,7 +171,7 @@ object Bench {
     // swings (q42 +25 %, q68 −30 %): the recorded statistic is min-of-N
     // and the note travels in the artifact so a future reader never
     // adjudicates a single-query delta inside that band as a regression.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_$repeat","noise_note":"per-query swings up to +/-30pct on identical code (r5 vs r6 calibration); single-query spikes beyond 3x committed are rerun in-session and adjudicated in `spikes`","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"spikes":$spikesJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate,"vehicle_fps_real":$vehicleRealFps,"curation_docs_per_sec":$curationRate,"ann_recall":$annRecallJson,"bbit":$bbitJson}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_$repeat","noise_note":"per-query swings up to +/-30pct on identical code (r5 vs r6 calibration); single-query spikes beyond 3x committed are rerun in-session and adjudicated in `spikes`","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"rates_canary":$ratesCanaryJson,"spikes":$spikesJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate,"vehicle_fps_real":$vehicleRealFps,"curation_docs_per_sec":$curationRate,"curation_docs_per_sec_packed":$curationRatePacked,"ann_recall":$annRecallJson,"bbit":$bbitJson}"""
     println(line)
     // persist the full line INSIDE the repo (the round commits it), so
     // all per-query times stay recoverable even when the driver's
@@ -273,7 +301,8 @@ object Bench {
     }
   }
 
-  private def curationIngestRate(spark: SparkSession): Double = {
+  private def curationIngestRate(spark: SparkSession,
+      packed: Boolean = false): Double = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     val n = 4000
@@ -294,7 +323,8 @@ object Bench {
         src.mkString(" ")
       }
     }
-    val idxPath = java.nio.file.Files.createTempDirectory("bench-cur-idx")
+    val tbl = if (packed) "bench_cur_idx_pk" else "bench_cur_idx"
+    val idxPath = java.nio.file.Files.createTempDirectory(tbl)
     val keptDir = idxPath.resolve("kept").toString
     val ckpt = java.nio.file.Files.createTempDirectory("bench-cur-ckpt")
     val input = MemoryStream[(Long, String)](spark)
@@ -306,8 +336,8 @@ object Bench {
         input.addData(batch.map(i => (i.toLong, text(i))))
         val q = graft.operators.CurationIngest.stream(
           input.toDF().toDF("doc_id", "text"),
-          "bench_cur_idx", idxPath.toString, keptDir, ckpt.toString,
-          threshold = 0.5, buckets = 8)
+          tbl, idxPath.toString, keptDir, ckpt.toString,
+          threshold = 0.5, buckets = 8, packed = packed)
         q.awaitTermination(300000)
         processed += batch.size
       }
@@ -318,8 +348,8 @@ object Bench {
         System.err.println(s"[bench] curation rate FAILED: ${e.getMessage}")
         -1.0
     } finally {
-      spark.sql("DROP TABLE IF EXISTS bench_cur_idx_sigs")
-      spark.sql("DROP TABLE IF EXISTS bench_cur_idx_buckets")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_sigs")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_buckets")
     }
   }
 

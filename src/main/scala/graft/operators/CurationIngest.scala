@@ -43,13 +43,20 @@ object CurationIngest {
 
   /** `foreachBatch` body: prepare, then near-dup ingest (intra-batch
     * self-dedup on — near-dups arriving together collapse to their
-    * minimum doc_id before touching the index).
+    * minimum doc_id before touching the index). `packed = true` selects
+    * the X67 b-bit probe prefilter (the index-side candidate read drops
+    * from 32 signature longs to ONE packed word per doc — the r9 batch
+    * win, now reachable from the crawl-shaped streaming loop too; same
+    * mined pairs by [[IncrementalDedup.probeStaged]]'s packed-mode
+    * contract since the packed word only PREfilters, exact signature
+    * agreement still decides).
     */
   def step(batch: DataFrame, table: String, indexPath: String,
       keptDir: String, threshold: Double = 0.5, buckets: Int = 32,
-      minQuality: Double = 0.3): Unit =
+      minQuality: Double = 0.3, packed: Boolean = false): Unit =
     IncrementalDedup.ingestBatch(prepare(batch, minQuality), table,
-      indexPath, keptDir, threshold, buckets, selfDedup = true)
+      indexPath, keptDir, threshold, buckets, selfDedup = true,
+      packed = packed)
 
   /** Wire a (doc_id, text) stream into the curation loop. One
     * checkpoint location across restarts → each run processes exactly
@@ -59,14 +66,15 @@ object CurationIngest {
   def stream(input: DataFrame, table: String, indexPath: String,
       keptDir: String, checkpointDir: String, threshold: Double = 0.5,
       buckets: Int = 32, minQuality: Double = 0.3,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      packed: Boolean = false): StreamingQuery =
     input.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         step(batch, table, indexPath, keptDir, threshold, buckets,
-          minQuality)
+          minQuality, packed)
       }
       .start()
 }

@@ -266,7 +266,8 @@ object IncrementalDedup {
     */
   def ingestBatch(batch: DataFrame, table: String, indexPath: String,
       keptDir: String, threshold: Double, buckets: Int = 32,
-      textCol: String = "text", selfDedup: Boolean = false): Unit = {
+      textCol: String = "text", selfDedup: Boolean = false,
+      packed: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val keptPath = new org.apache.hadoop.fs.Path(keptDir)
     val fs = keptPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -301,7 +302,7 @@ object IncrementalDedup {
       } else {
         val corpus = spark.read.parquet(keptDir)
         val (pairs, shF, sigTableF) =
-          probeStaged(fresh, corpus, table, threshold, textCol)
+          probeStaged(fresh, corpus, table, threshold, textCol, packed)
         val dups = pairs.select(col("batch_doc").as("doc_id")).distinct()
         // materialized: the survivor set feeds TWO writes below and must
         // not be recomputed differently between them

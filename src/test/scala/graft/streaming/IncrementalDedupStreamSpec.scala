@@ -113,6 +113,51 @@ class IncrementalDedupStreamSpec extends SparkSpec {
     }
   }
 
+  test("packed b-bit probe mode in the streaming loop keeps the exact " +
+      "same docs as the full-signature mode (r10 item 8)") {
+    // identical input stream through BOTH probe modes (separate index
+    // tables/dirs): the packed word only PREfilters, exact signature
+    // agreement still decides — so outcomes must be identical while the
+    // packed probe reads 1/32 of the signature index
+    val nearDup = base.split(" ").filter(_ != "green").mkString(" ")
+    val batches = Seq(
+      Seq((0L, base), (1L, other)),
+      Seq((2L, nearDup), (3L, third)),
+      Seq((3L, third))) // replay
+    val results = Seq(false, true).map { packed =>
+      val tbl = if (packed) "t_pkstream_p" else "t_pkstream_f"
+      val idxPath = tmpDir(s"pkstream-idx-$packed")
+      val keptDir = tmpDir(s"pkstream-kept-$packed") + "/docs"
+      val ckpt = tmpDir(s"pkstream-ckpt-$packed")
+      val input = MemoryStream[(Long, String)](spark)
+      try {
+        batches.foreach { b =>
+          input.addData(b)
+          val q = input.toDF().toDF("doc_id", "text")
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              IncrementalDedup.ingestBatch(batch, tbl, idxPath,
+                keptDir, threshold = 0.5, buckets = 4, packed = packed)
+            }
+            .start()
+          q.awaitTermination(120000)
+        }
+        spark.read.parquet(keptDir)
+          .select(col("doc_id")).as[Long].collect().toSet
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS ${tbl}_sigs")
+        spark.sql(s"DROP TABLE IF EXISTS ${tbl}_buckets")
+      }
+    }
+    assert(results(0) === Set(0L, 1L, 3L))
+    assert(results(0) === results(1),
+      s"packed and full-signature streaming ingest diverge: " +
+        s"full=${results(0)} packed=${results(1)}")
+  }
+
   test("crash before the first index write cannot duplicate the batch") {
     val idxPath = tmpDir("crash-idx")
     val keptDir = tmpDir("crash-kept") + "/docs"

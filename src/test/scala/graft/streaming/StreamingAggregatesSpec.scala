@@ -50,6 +50,38 @@ class StreamingAggregatesSpec extends SparkSpec {
       "late row must have been dropped by the watermark")
   }
 
+  test("late-row quarantine count: a planted late batch surfaces in " +
+      "numRowsDroppedByWatermark via QueryMonitor (lateness audit)") {
+    val monitor = new QueryMonitor().attach(spark)
+    val input = MemoryStream[ShapedFrame](spark)
+    val q = StreamingAggregates
+      .vehicleTrend(input.toDF(), watermark = "2 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trend_lateaudit")
+      .start()
+    try {
+      input.addData(ShapedFrame("CAM_1", "car", 2, ts(0, 10)))
+      q.processAllAvailable()
+      // advance the watermark far past minute 0
+      input.addData(ShapedFrame("CAM_1", "car", 1, ts(10, 0)))
+      q.processAllAvailable()
+      // plant TWO late rows behind the watermark: dropped AND counted —
+      // the audit face; silently-vanishing late data is the failure mode
+      input.addData(
+        ShapedFrame("CAM_1", "car", 99, ts(0, 50)),
+        ShapedFrame("CAM_2", "bus", 98, ts(0, 55)))
+      q.processAllAvailable()
+      q.stop()
+      val mine = monitor.batches.filter(_.queryName == "trend_lateaudit")
+      assert(mine.map(_.droppedByWatermark).sum === 2L,
+        s"expected exactly the 2 planted late rows quarantined, got " +
+          s"${mine.map(b => b.batchId -> b.droppedByWatermark)}")
+    } finally {
+      monitor.detach(spark)
+      if (q.isActive) q.stop()
+    }
+  }
+
   test("session windows close after the gap") {
     val input = MemoryStream[ShapedFrame](spark)
     val q = StreamingAggregates
