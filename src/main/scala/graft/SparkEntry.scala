@@ -19,7 +19,8 @@ object SparkEntry {
       SimilarityQueries.all ++ TextQueries.all ++ SketchQueries.all ++
       ReconQueries.all ++ TrainPrepQueries.all ++ SqlSurfaceQueries.all ++
       OverlapQueries.all ++ KmvSketch.all ++ TextRank.all ++
-      DumpNovelty.all ++ EmbeddingOutliers.all
+      DumpNovelty.all ++ EmbeddingOutliers.all ++ HardNegatives.all ++
+      Bm25.all ++ CharEntropy.all ++ CrossDecontam.all ++ MmrDiversify.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
