@@ -146,8 +146,11 @@ object AnnIvf {
     * on the bench corpus ranged 0.64-0.86 over eight deterministic
     * seeds — and within-cluster distortion is the model-selection
     * criterion that needs no labels, so best-of-R restarts is the
-    * standard fix (measured: lifts recall@5 from ~0.6 to 0.80-0.86 at
-    * nprobe 6/16 across all three SFs). The sample stage costs one
+    * standard fix (measured: lifts recall@5 from ~0.6 to 0.80-0.86
+    * across all three SFs; the default probe is 8/16 since the r11
+    * decade probe measured 6/16 decaying to 0.62 on the 10× corpus —
+    * 8/16 holds 0.88/0.82 at sf0.1/10× while still halving the
+    * candidate read). The sample stage costs one
     * bounded collect plus driver flops on ≤ sampleCap×dim doubles; the
     * distributed stage is what survives 100 TB — each refine pass shows
     * the quantizer the vectors the sample could not, one map-side
@@ -349,7 +352,7 @@ object AnnIvf {
     */
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       centroids: Array[Array[Double]], queryIds: Seq[Long], k: Int,
-      nprobe: Int = 6): DataFrame = {
+      nprobe: Int = 8): DataFrame = {
     import spark.implicits._
     val idx = spark.read.parquet(path)
     // query vectors: ONE keyed lookup (at scale these come with the
@@ -417,7 +420,7 @@ object AnnIvf {
     * the int8 column is the only thing the coarse scan touches.
     */
   def topKTwoStage(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      nlist: Int = 16, nprobe: Int = 6, coarseK: Int = 64): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 8, coarseK: Int = 64): DataFrame = {
     val session = embeddings.sparkSession
     import session.implicits._
     val dim = 64
@@ -460,7 +463,7 @@ object AnnIvf {
 
   /** Approximate top-k: probe the `nprobe` nearest cells per query. */
   def topK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      nlist: Int = 16, nprobe: Int = 6): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 8): DataFrame = {
     val session = embeddings.sparkSession
     import session.implicits._
     val dim = 64
