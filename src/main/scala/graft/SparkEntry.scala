@@ -20,7 +20,9 @@ object SparkEntry {
       ReconQueries.all ++ TrainPrepQueries.all ++ SqlSurfaceQueries.all ++
       OverlapQueries.all ++ KmvSketch.all ++ TextRank.all ++
       DumpNovelty.all ++ EmbeddingOutliers.all ++ HardNegatives.all ++
-      Bm25.all ++ CharEntropy.all ++ CrossDecontam.all ++ MmrDiversify.all
+      Bm25.all ++ CharEntropy.all ++ CrossDecontam.all ++
+      MmrDiversify.all ++ TransitionMatrix.all ++ TableProfile.all ++
+      RobustOutliers.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
