@@ -115,7 +115,14 @@ object ProfileSfx {
       graft.operators.DedupQueries.q40,
       graft.operators.DedupQueries.q42,
       graft.operators.DedupQueries.q110,
-      graft.operators.SimilarityQueries.q116)
+      graft.operators.SimilarityQueries.q116,
+      // r11 additions: BM25 (token-linear, two tiny agg frames), char
+      // entropy (alphabet-bounded count arrays), cross-corpus decontam
+      // (the Σ df_train·df_eval face — the replica transform keeps the
+      // train/eval split and the within-replica overlap structure)
+      graft.operators.Bm25.q133,
+      graft.operators.CharEntropy.q134,
+      graft.operators.CrossDecontam.q135)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
