@@ -22,7 +22,8 @@ object SparkEntry {
       DumpNovelty.all ++ EmbeddingOutliers.all ++ HardNegatives.all ++
       Bm25.all ++ CharEntropy.all ++ CrossDecontam.all ++
       MmrDiversify.all ++ TransitionMatrix.all ++ TableProfile.all ++
-      RobustOutliers.all ++ StatsQueries.all ++ CurationAudit.all
+      RobustOutliers.all ++ StatsQueries.all ++ CurationAudit.all ++
+      TemperatureMix.all ++ ScoreCalibration.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
