@@ -80,7 +80,16 @@ object ProfileSfxRel {
       graft.operators.SessionQueries.q35,    // sessionize (events)
       graft.operators.SessionQueries.q97,    // ts pattern (events)
       graft.operators.SessionQueries.q98,    // cohorts (events)
-      graft.operators.SessionQueries.q99)    // funnel (events)
+      graft.operators.SessionQueries.q99,    // funnel (events)
+      // r11 events/lineitem-family additions: Markov transitions (one
+      // user window), robust MAD gate (two grouped percentile passes),
+      // bootstrap CI (×R explode w/ combiner), CUSUM (hours frame),
+      // per-column profile (5 pruned agg passes)
+      graft.operators.TransitionMatrix.q137,
+      graft.operators.TableProfile.q138,
+      graft.operators.RobustOutliers.q139,
+      graft.operators.StatsQueries.q140,
+      graft.operators.StatsQueries.q141)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
