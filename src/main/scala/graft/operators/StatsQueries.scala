@@ -47,8 +47,14 @@ object StatsQueries {
         val weighted = ev
           .select(col("event_id"), col("value"),
             explode(sequence(lit(0), lit(Reps - 1))).as("rep"))
+          // pre-mod before the LCG multiply: (id·R + rep) can reach
+          // ~1e15 at petabyte row counts and ·1103515245 would overflow
+          // long (caught LIVE by the sf10 decade probe at id ~1e8);
+          // reducing to the 10^6 grid first bounds the product at
+          // ~1.1e15 for ANY id
           .withColumn("u", pmod(
-            (col("event_id") * Reps + col("rep")) * 1103515245L + 12345L,
+            pmod(col("event_id") * Reps + col("rep"), lit(1000000L))
+              * 1103515245L + 12345L,
             lit(1000000L)))
           .withColumn("w",
             when(col("u") < PoissonCdf(0), 0L)
@@ -89,8 +95,8 @@ object StatsQueries {
                  ELSE 5 END AS w
         FROM (
           SELECT e.event_id, e.value, r.rep,
-                 ((e.event_id * $Reps + r.rep) * 1103515245 + 12345)
-                   % 1000000 AS u
+                 ((e.event_id * $Reps + r.rep) % 1000000
+                   * 1103515245 + 12345) % 1000000 AS u
           FROM events e
           CROSS JOIN (SELECT unnest(generate_series(0, ${Reps - 1}))
                       AS rep) r)),

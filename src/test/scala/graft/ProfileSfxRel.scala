@@ -122,7 +122,13 @@ object ProfileSfxRel {
         graft.operators.RelationalQueries.q12,
         graft.operators.RelationalQueries.q20,
         graft.operators.SessionQueries.q35,
-        graft.operators.SessionQueries.q97)
+        graft.operators.SessionQueries.q97,
+        // r11: the statistics/monitoring tier at the data-bound decade
+        graft.operators.TransitionMatrix.q137,
+        graft.operators.TableProfile.q138,
+        graft.operators.RobustOutliers.q139,
+        graft.operators.StatsQueries.q140,
+        graft.operators.StatsQueries.q141)
       deep.filter(q => only.forall(names =>
         names.exists(q.name.startsWith))).foreach { q =>
         val t1 = minOf(2)(q.build(spark, dst).count())
