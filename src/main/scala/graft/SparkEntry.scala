@@ -23,7 +23,8 @@ object SparkEntry {
       Bm25.all ++ CharEntropy.all ++ CrossDecontam.all ++
       MmrDiversify.all ++ TransitionMatrix.all ++ TableProfile.all ++
       RobustOutliers.all ++ StatsQueries.all ++ CurationAudit.all ++
-      TemperatureMix.all ++ ScoreCalibration.all ++ Cuped.all
+      TemperatureMix.all ++ ScoreCalibration.all ++ Cuped.all ++
+      MaterializedAgg.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

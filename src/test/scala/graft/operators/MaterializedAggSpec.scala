@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** [[MaterializedAgg]] (X98) oracles: incremental merge ≡ one-shot
+  * recompute under DIFFERENT batch slicings (exact columns equal, HLL
+  * estimates equal — sketches are insertion-order-independent), the
+  * HLL estimate stays within its rsd of the true distinct count, and
+  * a crash mid-swap leaves the previous state readable.
+  */
+class MaterializedAggSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val ev = spark.read
+    .parquet(s"$sf0001/events.parquet")
+    .select(col("event_type").as("g"), col("value").as("v"),
+      col("user_id").as("u"), col("event_id"))
+
+  private def run(slices: Seq[org.apache.spark.sql.DataFrame]): String = {
+    val path = tmpDir("matagg") + "/state"
+    MaterializedAgg.init(slices.head, path)
+    slices.tail.foreach(MaterializedAgg.merge(_, path))
+    path
+  }
+
+  private def snapshot(path: String): Seq[(String, Long, Double,
+      Double, Double, Double)] =
+    MaterializedAgg.read(spark, path)
+      .selectExpr("g", "n", "total", "mn", "mx", "approx_distinct")
+      .as[(String, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+
+  test("merge == one-shot recompute under two different batch " +
+      "slicings, HLL estimates included") {
+    val byMod = run((0 to 3).map(b => ev.filter(col("event_id") % 4 === b)))
+    val byRange = run(Seq(
+      ev.filter(col("event_id") < 100),
+      ev.filter(col("event_id") >= 100 && col("event_id") < 150),
+      ev.filter(col("event_id") >= 150)))
+    val oneShot = run(Seq(ev))
+    assert(snapshot(byMod) === snapshot(oneShot),
+      "mod-4 slicing must replay to the one-shot state")
+    assert(snapshot(byRange) === snapshot(oneShot),
+      "range slicing must replay to the one-shot state")
+  }
+
+  test("HLL distinct estimate within 5% of truth per group") {
+    val path = run((0 to 3).map(b => ev.filter(col("event_id") % 4 === b)))
+    val truth = ev.groupBy(col("g"))
+      .agg(countDistinct(col("u")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    snapshot(path).foreach { case (g, _, _, _, _, est) =>
+      val t = truth(g).toDouble
+      assert(math.abs(est - t) / t < 0.05,
+        s"group $g: estimate $est vs true $t")
+    }
+  }
+
+  test("a failed merge cannot corrupt the state (tmp-then-swap)") {
+    val path = tmpDir("matagg-crash") + "/state"
+    MaterializedAgg.init(ev.filter(col("event_id") % 2 === 0), path)
+    val before = snapshot(path)
+    // a delta with a wrong schema throws mid-merge — state must survive
+    intercept[Exception] {
+      MaterializedAgg.merge(
+        Seq((1, 2)).toDF("bad", "schema"), path)
+    }
+    assert(snapshot(path) === before, "state changed after failed merge")
+  }
+}
