@@ -578,4 +578,51 @@ class PlanSpec extends SparkSpec {
     assert(textBroadcasts.isEmpty,
       s"document text must never broadcast:\n${textBroadcasts.mkString("\n")}")
   }
+
+  test("q133 BM25: top-k is a TakeOrderedAndProject, not a global window") {
+    val plan = planOf(Bm25.q133.build(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bm25 top-k must be a distributed partial top-k:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q138 profile: five per-column scans, each pruned to ONE column") {
+    val plan = planOf(TableProfile.q138.build(spark, sf0001))
+    // the EXPAND anti-pattern (one wide agg with multiple count
+    // distincts) multiplied the input 5x — measured 7.4s vs 0.13s
+    assert(!plan.contains("Expand"),
+      s"profile must not EXPAND:\n${plan.take(2000)}")
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.size >= 5, s"expected >=5 pruned scans, got ${reads.size}")
+    reads.foreach { r =>
+      // every scan reads exactly one column: a single struct field in
+      // the ReadSchema payload (one ':' inside the struct<...>)
+      val inner = r.substring(r.indexOf("struct<") + 7)
+      assert(inner.count(_ == ':') == 1,
+        s"profile scan must read ONE column: $r")
+    }
+  }
+
+  test("q135 cross-decontam: the TRAIN side never broadcasts (the eval " +
+      "side is bounded by design and MAY — AQE rightly does at this SF)") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    val carriesRaw = carriesAny(Set("text", "norm", "words")) _
+    val df = CrossDecontam.q135.build(spark, sf0001)
+    df.collect()
+    val nodes = executedNodes(df)
+    val rawBroadcasts = nodes.collect {
+      case e: BroadcastExchangeLike if carriesRaw(e.output) => e
+    }
+    assert(rawBroadcasts.isEmpty,
+      s"raw text must never broadcast:\n${rawBroadcasts.mkString("\n")}")
+    // a shingle frame may broadcast ONLY as the eval side (its output
+    // is eval-named); the 100 TB train side must stay an exchange
+    val trainBroadcasts = nodes.collect {
+      case e: BroadcastExchangeLike
+        if e.output.exists(_.name.contains("shingle")) &&
+          e.output.exists(_.name.contains("train_doc")) => e
+    }
+    assert(trainBroadcasts.isEmpty,
+      s"train-side shingles must never broadcast:\n${trainBroadcasts.mkString("\n")}")
+  }
 }
