@@ -68,6 +68,80 @@ object MaterializedAgg {
         col("mn"), col("mx"),
         hll_sketch_estimate(col("hll")).as("approx_distinct"))
 
+  /** The marker carrying the last merged batch id. Underscore-prefixed
+    * so parquet readers ignore it, and written INTO the tmp dir BEFORE
+    * the swap — the rename that commits the data commits the marker in
+    * the same atomic step, which is what makes [[mergeOnce]] safe
+    * against a crash between "state written" and "progress recorded"
+    * (the gap a separate side-file would leave).
+    */
+  private val Marker = "_committed_batch"
+
+  /** Last batch id committed into the state, −1 if none recorded. */
+  def committedBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fp = new org.apache.hadoop.fs.Path(path, Marker)
+    val fs = fp.getFileSystem(hconf)
+    if (!fs.exists(fp)) -1L
+    else {
+      val in = fs.open(fp)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeMarker(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batchId: Long): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fp = new org.apache.hadoop.fs.Path(dir, Marker)
+    val out = fp.getFileSystem(hconf).create(fp, true)
+    try out.write(batchId.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Idempotent merge: a batch at or below the committed id is a
+    * REPLAY (foreachBatch re-invocation after a crash before the
+    * checkpoint commit — the at-least-once face) and is skipped, so
+    * sums never double-count. First batch initializes.
+    */
+  def mergeOnce(delta: DataFrame, path: String, batchId: Long): Unit = {
+    val spark = delta.sparkSession
+    if (batchId <= committedBatch(spark, path)) ()
+    else {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val pp = new org.apache.hadoop.fs.Path(path)
+      val fs = pp.getFileSystem(hconf)
+      val merged =
+        if (!fs.exists(pp)) partials(delta)
+        else combine(spark.read.parquet(path), partials(delta))
+      val tmp = path + ".tmp"
+      merged.write.mode("overwrite").parquet(tmp)
+      writeMarker(spark, tmp, batchId)
+      fs.delete(pp, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), pp)
+    }
+  }
+
+  /** Wire a (g, v, u) stream into the maintenance loop — exactly-once
+    * state effects over an at-least-once foreachBatch, via the
+    * batch-id marker swapped atomically with the data.
+    */
+  def stream(input: DataFrame, path: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    input.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeOnce(batch, path, batchId)
+      }
+      .start()
+
   /** q147 — the maintenance loop END TO END as a query: the events
     * table is split into 4 deterministic batches (event_id % 4 — an
     * arrival slicing), the state store is initialized from batch 0 and

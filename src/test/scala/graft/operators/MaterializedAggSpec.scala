@@ -59,6 +59,38 @@ class MaterializedAggSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming maintenance is exactly-once under replay: a " +
+      "re-delivered batch id is skipped, the state never double-counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = tmpDir("matagg-stream") + "/state"
+    val ckpt = tmpDir("matagg-ckpt")
+    val input = MemoryStream[(String, Double, Long)](spark)
+    def runAvailable(): Unit = {
+      val q = MaterializedAgg.stream(
+        input.toDF().toDF("g", "v", "u"), path, ckpt)
+      q.awaitTermination(120000)
+    }
+    input.addData(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 5.0, 1L))
+    runAvailable()
+    input.addData(("a", 4.0, 3L))
+    runAvailable()
+    val after = snapshot(path)
+    assert(MaterializedAgg.committedBatch(spark, path) === 1L)
+    // simulate the at-least-once face: foreachBatch re-invoked with an
+    // ALREADY-COMMITTED batch id (crash after state swap, before the
+    // checkpoint commit) — must be a no-op
+    MaterializedAgg.mergeOnce(
+      Seq(("a", 4.0, 3L)).toDF("g", "v", "u"), path, batchId = 1L)
+    assert(snapshot(path) === after, "replayed batch double-counted")
+    val a = after.find(_._1 == "a").get
+    assert(a._2 === 3L)      // 3 rows for g=a
+    assert(a._3 === 7.0)     // 1+2+4
+    // a genuinely NEW batch id still merges
+    MaterializedAgg.mergeOnce(
+      Seq(("b", 1.0, 9L)).toDF("g", "v", "u"), path, batchId = 2L)
+    assert(snapshot(path).find(_._1 == "b").get._3 === 6.0)
+  }
+
   test("a failed merge cannot corrupt the state (tmp-then-swap)") {
     val path = tmpDir("matagg-crash") + "/state"
     MaterializedAgg.init(ev.filter(col("event_id") % 2 === 0), path)
