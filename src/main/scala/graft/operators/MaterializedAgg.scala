@@ -16,11 +16,21 @@ import Q._
   * self-maintainable-view set, plus the X44 HLL precedent for the
   * non-self-maintainable COUNT DISTINCT).
   *
-  * Crash/replay: writes go to a tmp dir then swap (the Warehouse
-  * compact discipline); a replayed merge of the same delta is NOT
-  * idempotent for sums — the caller keys batches (the X25 checkpoint
-  * contract) so each delta commits once; the spec proves merge ≡
-  * one-shot recompute under any batch slicing.
+  * Crash/replay: writes commit via a RENAME-AWAY swap — tmp is made a
+  * complete candidate (data, then batch marker, then a `_swap_ready`
+  * sentinel written LAST), the live dir is renamed aside to `.old`,
+  * tmp is renamed in, `.old` is deleted. Every entry point first runs
+  * [[recover]], which rolls any crash window forward (tmp carries the
+  * ready sentinel ⇒ it is the committed candidate) or back (no
+  * sentinel ⇒ the attempt never committed; restore `.old` if the live
+  * dir is missing). At no point does the protocol delete the only
+  * copy of the state — the defect in the previous delete-then-rename
+  * shape, where a kill between the two ops left NO live dir and the
+  * retry path silently re-initialized from the next delta alone. A
+  * replayed merge of the same delta is NOT idempotent for sums — the
+  * caller keys batches (the X25 checkpoint contract) so each delta
+  * commits once; the spec proves merge ≡ one-shot recompute under any
+  * batch slicing and kills the swap at every window.
   */
 object MaterializedAgg {
 
@@ -40,46 +50,128 @@ object MaterializedAgg {
         min(col("mn")).as("mn"), max(col("mx")).as("mx"),
         hll_union_agg(col("hll"), lit(false)).as("hll"))
 
-  /** Initialize the state store from a first delta. */
+  /** The sentinel whose presence marks a tmp dir as a COMPLETE commit
+    * candidate. Written strictly after the data and the batch marker,
+    * so recovery can treat `tmp/_swap_ready` as the commit point: a
+    * crash before it rolls back, a crash after it rolls forward.
+    */
+  private val Ready = "_swap_ready"
+
+  private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    hPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Roll the store out of any crash window a killed [[commitSwap]]
+    * can leave. Idempotent; run by every reader and writer entry
+    * point, so a replayed `foreachBatch` (or a fresh reader) always
+    * sees a consistent committed state:
+    *
+    *   - `tmp/_swap_ready` present ⇒ tmp is a complete candidate and
+    *     the swap passed its commit point — roll FORWARD (rename the
+    *     live dir aside if the kill hit before that step, rename tmp
+    *     in, drop `.old`).
+    *   - tmp present without the sentinel ⇒ the attempt never
+    *     committed — roll BACK (drop tmp; restore `.old` over a
+    *     missing live dir).
+    *
+    * Either way exactly one committed state survives: the batch
+    * marker travels inside the dir, so [[committedBatch]] after
+    * recovery tells a replaying caller precisely whether its delta is
+    * already in.
+    */
+  def recover(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val pp = hPath(path)
+    val tmp = hPath(path + ".tmp")
+    val old = hPath(path + ".old")
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmp, Ready))) {
+      if (fs.exists(pp)) {
+        if (fs.exists(old)) fs.delete(old, true)
+        require(fs.rename(pp, old), s"recovery rename $pp -> $old failed")
+      }
+      require(fs.rename(tmp, pp), s"recovery rename $tmp -> $pp failed")
+    } else if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (!fs.exists(pp) && fs.exists(old))
+      require(fs.rename(old, pp), s"recovery restore $old -> $pp failed")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.delete(new org.apache.hadoop.fs.Path(pp, Ready), false)
+  }
+
+  /** Commit `merged` as the new state via the rename-away swap.
+    * Sequence: recover → write tmp → marker → ready sentinel (the
+    * commit point) → live-dir renamed to `.old` → tmp renamed in →
+    * `.old` deleted. A kill at ANY point leaves a state [[recover]]
+    * restores to exactly one committed version — never zero copies.
+    */
+  private def commitSwap(merged: DataFrame, path: String,
+      batchId: Option[Long]): Unit = {
+    val spark = merged.sparkSession
+    recover(spark, path)
+    val fs = fsOf(spark, path)
+    val pp = hPath(path)
+    val tmp = hPath(path + ".tmp")
+    val old = hPath(path + ".old")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    batchId.foreach(b => writeMarker(spark, tmp.toString, b))
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, Ready), true)
+    out.close()
+    if (fs.exists(pp)) {
+      if (fs.exists(old)) fs.delete(old, true)
+      require(fs.rename(pp, old), s"swap rename $pp -> $old failed")
+    }
+    require(fs.rename(tmp, pp), s"swap rename $tmp -> $pp failed")
+    fs.delete(old, true)
+    fs.delete(new org.apache.hadoop.fs.Path(pp, Ready), false)
+  }
+
+  /** Initialize the state store from a first delta (same swap path as
+    * merges — a kill mid-init leaves nothing committed, and the next
+    * attempt starts clean).
+    */
   def init(delta: DataFrame, path: String): Unit =
-    partials(delta).write.mode("overwrite").parquet(path)
+    commitSwap(partials(delta), path, None)
 
   /** Merge one delta into the state store: state ∪ partials(delta) →
-    * combined, written via tmp-then-swap so a crash mid-write leaves
-    * the previous state intact.
+    * combined, committed via the rename-away swap. Any batch marker
+    * already in the store is carried forward.
     */
   def merge(delta: DataFrame, path: String): Unit = {
     val spark = delta.sparkSession
+    recover(spark, path)
+    val cur = committedBatch(spark, path)
     val merged = combine(spark.read.parquet(path), partials(delta))
-    val tmp = path + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(path))
+    commitSwap(merged, path, if (cur >= 0) Some(cur) else None)
   }
 
   /** Read the state to final values (distinct via the HLL estimate). */
   def read(spark: org.apache.spark.sql.SparkSession, path: String)
-      : DataFrame =
+      : DataFrame = {
+    recover(spark, path)
     spark.read.parquet(path)
       .select(col("g"), col("n"), col("s").cast("double").as("total"),
         col("mn"), col("mx"),
         hll_sketch_estimate(col("hll")).as("approx_distinct"))
+  }
 
   /** The marker carrying the last merged batch id. Underscore-prefixed
     * so parquet readers ignore it, and written INTO the tmp dir BEFORE
-    * the swap — the rename that commits the data commits the marker in
-    * the same atomic step, which is what makes [[mergeOnce]] safe
+    * the ready sentinel — data, marker, and commit point travel as one
+    * unit through the swap, which is what makes [[mergeOnce]] safe
     * against a crash between "state written" and "progress recorded"
     * (the gap a separate side-file would leave).
     */
   private val Marker = "_committed_batch"
 
-  /** Last batch id committed into the state, −1 if none recorded. */
+  /** Last batch id committed into the state, −1 if none recorded.
+    * Runs [[recover]] first, so a caller asking "is my batch in?"
+    * after a crash gets the post-recovery truth.
+    */
   def committedBatch(spark: org.apache.spark.sql.SparkSession,
       path: String): Long = {
+    recover(spark, path)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fp = new org.apache.hadoop.fs.Path(path, Marker)
     val fs = fp.getFileSystem(hconf)
@@ -109,19 +201,17 @@ object MaterializedAgg {
     */
   def mergeOnce(delta: DataFrame, path: String, batchId: Long): Unit = {
     val spark = delta.sparkSession
+    // committedBatch runs recover(), so after ANY mid-swap kill the
+    // store is back to exactly one committed version before the
+    // replay decision — a missing marker here genuinely means "no
+    // batch ever committed", never "the swap ate the state"
     if (batchId <= committedBatch(spark, path)) ()
     else {
-      val hconf = spark.sparkContext.hadoopConfiguration
-      val pp = new org.apache.hadoop.fs.Path(path)
-      val fs = pp.getFileSystem(hconf)
+      val fs = fsOf(spark, path)
       val merged =
-        if (!fs.exists(pp)) partials(delta)
+        if (!fs.exists(hPath(path))) partials(delta)
         else combine(spark.read.parquet(path), partials(delta))
-      val tmp = path + ".tmp"
-      merged.write.mode("overwrite").parquet(tmp)
-      writeMarker(spark, tmp, batchId)
-      fs.delete(pp, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), pp)
+      commitSwap(merged, path, Some(batchId))
     }
   }
 

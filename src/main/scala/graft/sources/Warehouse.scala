@@ -78,10 +78,13 @@ object Warehouse {
     * FileSystem listing, not a data scan; the rewrite is one job.
     * Returns the new file count.
     *
-    * The swap (delete + rename) is not atomic on object stores —
-    * concurrent readers see a missing directory for the rename window;
-    * run it from the owning pipeline (e.g. between micro-batches), or
-    * use a transactional table format where that window is unacceptable.
+    * The swap (rename-away: dir → `._old`, tmp → dir, drop `._old`) is
+    * not atomic on object stores — concurrent readers see a missing
+    * directory for the rename window; run it from the owning pipeline
+    * (e.g. between micro-batches), or use a transactional table format
+    * where that window is unacceptable. A kill inside the window never
+    * loses data: the original survives in `._old` and the next call
+    * restores it before doing anything else.
     *
     * For a hive-PARTITIONED directory, compact each leaf partition
     * directory individually (pass the partition path): a whole-root
@@ -99,6 +102,19 @@ object Warehouse {
     require(path.getParent != null, s"refusing to compact a root: $path")
     val tmp = new org.apache.hadoop.fs.Path(path.getParent,
       path.getName + "._compacting")
+    val old = new org.apache.hadoop.fs.Path(path.getParent,
+      path.getName + "._old")
+    // heal a prior attempt killed mid-swap: the rename-away protocol
+    // below never deletes the only copy, so either the live dir still
+    // exists (drop the leftover `._old`) or `._old` holds the original
+    // (restore it; the stale `._compacting` rewrite is redone below) —
+    // the previous delete-then-rename shape could strand the only copy
+    // in tmp and then DELETE it on the next call
+    if (fs.exists(old)) {
+      if (!fs.exists(path))
+        require(fs.rename(old, path), s"restore $old -> $path failed")
+      else fs.delete(old, true)
+    }
     // a streaming FileStreamSink directory carries a _spark_metadata
     // commit log that the swap below cannot preserve coherently (its
     // file list would no longer match); those sinks need a
@@ -135,8 +151,13 @@ object Warehouse {
     // partial rewrite must leave the original directory untouched
     require(fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")),
       s"compaction rewrite of $dir did not commit; original left in place")
-    fs.delete(path, true)
+    // rename-away swap: the original is set aside, never deleted while
+    // it is the only copy — a kill between the two renames leaves the
+    // original in `._old` (readers fail loudly on the missing dir; the
+    // next compact call restores it via the healing step above)
+    require(fs.rename(path, old), s"rename $path -> $old failed")
     require(fs.rename(tmp, path), s"rename $tmp -> $path failed")
+    fs.delete(old, true)
     n
   }
 }

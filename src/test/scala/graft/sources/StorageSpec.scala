@@ -144,4 +144,31 @@ class StorageSpec extends SparkSpec {
     assert(spark.read.parquet(dir).orderBy(col("event_id")).collect().toSeq
       === before, "compaction must preserve the data exactly")
   }
+
+  test("a compact killed between the two swap renames loses nothing: " +
+      "the next call restores the original from ._old and completes") {
+    val dir = tmpDir("compact-kill") + "/events"
+    val src = Tables(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    src.repartition(8).write.parquet(dir)
+    val before = src.orderBy(col("event_id")).collect().toSeq
+    // stage the exact mid-swap window: a finished rewrite stranded in
+    // `._compacting` and the live dir already renamed to `._old`
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    val old = new org.apache.hadoop.fs.Path(p.getParent,
+      p.getName + "._old")
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      p.getName + "._compacting")
+    src.repartition(1).write.parquet(tmp.toString)
+    require(fs.rename(p, old))
+    assert(!fs.exists(p), "window staged: live dir missing")
+    // the next compact must FIRST restore ._old, then compact normally
+    val n = Warehouse.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(n === 1)
+    assert(spark.read.parquet(dir).orderBy(col("event_id")).collect().toSeq
+      === before, "healing + compaction must preserve the data exactly")
+    assert(!fs.exists(old) && !fs.exists(tmp), "swap debris cleaned up")
+  }
 }
