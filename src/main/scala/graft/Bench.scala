@@ -35,24 +35,71 @@ object Bench {
     // committed per-query baseline for the spike guard (r9: q40/q11/q64
     // spiked 20×/12×/4.9× in ONE driver run on identical code — far
     // outside the ±30 % band — and the whole-suite canary bracket
-    // missed them because the suite total stayed within 1.3 %)
-    val committedTimes: Map[String, Double] = try {
-      val p = java.nio.file.Paths.get(outFile)
-      if (java.nio.file.Files.exists(p)) {
-        val q = """"(q[0-9][^"]*)":(-?[0-9]+\.[0-9]+)""".r
-        q.findAllMatchIn(java.nio.file.Files.readString(p))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } else Map.empty
-    } catch { case _: Throwable => Map.empty }
+    // missed them because the suite total stayed within 1.3 %).
+    //
+    // The baseline is the artifact at the ROUND-START commit (the last
+    // driver round-boundary commit), not the working file: in-session
+    // reruns overwrite the working file, so comparing against it let
+    // r11's q53 (3.5×) and q79 (2.9×) cross-round swings publish with
+    // `spikes: []` (VERDICT r11 item 4). Fallbacks: HEAD's committed
+    // artifact, then the working file (fresh clone with no history).
+    val repoRoot = java.nio.file.Paths.get(outFile).getParent
+    def gitShow(ref: String): Option[String] = try {
+      val pb = new ProcessBuilder("git", "-C", repoRoot.toString, "show",
+        s"$ref:BENCH_FULL.json")
+      pb.redirectErrorStream(false)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None
+    } catch { case _: Throwable => None }
+    val roundStartRef: Option[String] = try {
+      val pb = new ProcessBuilder("git", "-C", repoRoot.toString, "log",
+        "-E", "--grep", "^round [0-9]+:", "--format=%H", "-n", "1")
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None
+    } catch { case _: Throwable => None }
+    val baselineArtifact: Option[String] =
+      roundStartRef.flatMap(gitShow)
+        .orElse(gitShow("HEAD"))
+        .orElse(try {
+          val p = java.nio.file.Paths.get(outFile)
+          if (java.nio.file.Files.exists(p))
+            Some(java.nio.file.Files.readString(p))
+          else None
+        } catch { case _: Throwable => None })
+    System.err.println(s"[bench] spike-guard baseline: " +
+      roundStartRef.map(r => s"round-start commit ${r.take(10)}")
+        .getOrElse("no round-boundary commit; HEAD/working fallback"))
+    val committedTimes: Map[String, Double] = baselineArtifact.map { s =>
+      val q = """"(q[0-9][^"]*)":(-?[0-9]+\.[0-9]+)""".r
+      q.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+    val committedPlanHashes: Map[String, String] = baselineArtifact.map { s =>
+      val h = """"(q[0-9][^"]*)":"([0-9a-f]{8})"""".r
+      h.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
+    }.getOrElse(Map.empty)
 
+    val planHashes = scala.collection.mutable.Map.empty[String, String]
     def runSuite(): (Map[String, Double], Seq[String]) = {
       val failed = scala.collection.mutable.ListBuffer.empty[String]
       val results = selected.map { case (name, fn) =>
         val times = (1 to repeat).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
-            fn(spark, sfDir).count()
-            Some((System.nanoTime() - t0) / 1e9)
+            val df = fn(spark, sfDir)
+            df.count()
+            val t = (System.nanoTime() - t0) / 1e9
+            // fingerprint the EXECUTED (post-AQE) plan once per query —
+            // a silent shape regression (a broadcast flipping to SMJ)
+            // then shows as a plan_hash diff in the artifact even when
+            // no PlanSpec gate watches that query (VERDICT r11 item 7)
+            if (!planHashes.contains(name))
+              try { planHashes(name) = planFingerprint(df) }
+              catch { case _: Throwable => () }
+            Some(t)
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -167,11 +214,26 @@ object Bench {
     val bbitJson = bbitQuality(spark, sfDir)
     val spikesJson = spikes.mkString("[", ",", "]")
 
+    // plan-shape drift vs the round-start artifact: a changed hash is
+    // not a failure (plans legitimately evolve with code changes) but
+    // it must be VISIBLE, so an unintended flip never ships silently
+    val planChanges = planHashes.toSeq.sortBy(_._1).collect {
+      case (name, h) if committedPlanHashes.get(name).exists(_ != h) => name
+    }
+    planChanges.foreach(n => System.err.println(
+      s"[bench] plan_hash changed vs round-start baseline: $n " +
+        s"(${committedPlanHashes(n)} -> ${planHashes(n)})"))
+    val planHashJson = planHashes.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val planChangesJson = planChanges.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+
     // r5-vs-r6 ran byte-identical code and still saw ±25-30 % per-query
     // swings (q42 +25 %, q68 −30 %): the recorded statistic is min-of-N
     // and the note travels in the artifact so a future reader never
     // adjudicates a single-query delta inside that band as a regression.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_$repeat","noise_note":"per-query swings up to +/-30pct on identical code (r5 vs r6 calibration); single-query spikes beyond 3x committed are rerun in-session and adjudicated in `spikes`","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"rates_canary":$ratesCanaryJson,"spikes":$spikesJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate,"vehicle_fps_real":$vehicleRealFps,"curation_docs_per_sec":$curationRate,"curation_docs_per_sec_packed":$curationRatePacked,"ann_recall":$annRecallJson,"bbit":$bbitJson}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_$repeat","noise_note":"per-query swings up to +/-30pct on identical code (r5 vs r6 calibration); single-query spikes beyond 3x committed are rerun in-session and adjudicated in `spikes`","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"rates_canary":$ratesCanaryJson,"spikes":$spikesJson,"plan_hashes":$planHashJson,"plan_changes":$planChangesJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate,"vehicle_fps_real":$vehicleRealFps,"curation_docs_per_sec":$curationRate,"curation_docs_per_sec_packed":$curationRatePacked,"ann_recall":$annRecallJson,"bbit":$bbitJson}"""
     println(line)
     // persist the full line INSIDE the repo (the round commits it), so
     // all per-query times stay recoverable even when the driver's
@@ -192,6 +254,32 @@ object Bench {
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()
+  }
+
+  /** Stable 8-hex fingerprint of a query's executed physical plan.
+    * Run-varying tokens are normalized away so the hash tracks SHAPE
+    * (operator tree, join strategies, exchanges), not identity: expr
+    * ids (#123), plan/stage ids, temp-dir paths, and AQE annotations
+    * all churn between identical runs; what remains is exactly what a
+    * PlanSpec gate would read. Same code + same data ⇒ same hash;
+    * a broadcast→SMJ flip ⇒ different hash.
+    */
+  private def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    val norm = plan
+      .replaceAll("#\\d+[A-Z]*", "#x")
+      .replaceAll("\\[id=#?\\d+\\]", "")
+      .replaceAll("\\[plan_id=\\d+\\]", "")
+      .replaceAll("(?i)(file|hdfs|s3a?):[^,\\s\\]\\)]+", "PATH")
+      .replaceAll("/[^,\\s\\]\\)]*(tmp|temp)[^,\\s\\]\\)]*", "PATH")
+      .replaceAll("isFinalPlan=(true|false)", "")
+      .replaceAll("\\(\\d+ paths?\\)", "(paths)")
+      .replaceAll("cachedrdd-\\d+", "cachedrdd")
+      .replaceAll("ReusedExchange \\[[^\\]]*\\]", "ReusedExchange")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.take(4).map(b => f"${b & 0xff}%02x").mkString
   }
 
   /** Fixed CPU-bound probe (no IO, whole-stage codegen): its min-of-3

@@ -29,20 +29,17 @@ import graft.functions.expressions.VectorFunctions
   */
 object IvfPq {
 
-  /** Coarse cells. */
-  val NList = 16
-
-  /** Cells probed per query. r10's 4/16 was the larger half of the
-    * composed tier's recall deficit — the ceiling an IVF index can't
-    * re-rank past is the true-neighbor mass in unprobed cells. Measured
-    * recall@5 by nprobe at shortlist 128/256: sf0.001 → 0.64 / 0.82 /
-    * 0.88 at nprobe 4/6/8; sf0.1 → 0.68 / 0.86 / 0.84. 8/16 is the
-    * config that clears 0.8 at BOTH scales; the probe fraction (1/2 of
-    * cells at nlist 16) shrinks as nlist grows with the corpus —
-    * production nlist is O(√N), the fraction here is an artifact of
-    * the small fixed cell count.
+  /** Coarse cell count and probe count now follow [[AnnIvf.autoNlist]]
+    * (√N cells) and [[AnnIvf.autoNprobe]] (constant cell fraction,
+    * floor 8) — the r11 decade probe showed the flat 16-cell regime
+    * losing cell coverage as occupancy grows (plain-IVF recall
+    * 0.86 → 0.62 at 10× before the nprobe bump), and its own sweep
+    * showed √N cells at a fixed probe fraction matching flat-16 recall
+    * at 10× while reading a shrinking corpus fraction. Historical
+    * measured points at the old flat 16/8: recall@5 0.84 (sf0.1) /
+    * 0.78 (10×); the auto rule's decade numbers live in SCALE.md.
     */
-  val NProbe = 8
+  def nListFor(n: Long): Int = AnnIvf.autoNlist(n)
 
   private def centFrame(spark: org.apache.spark.sql.SparkSession,
       coarse: Array[Array[Double]]): DataFrame = {
@@ -67,8 +64,10 @@ object IvfPq {
       model: Array[Array[Array[Double]]],
       codes: DataFrame)
 
-  private[operators] def buildIndex(vecs: DataFrame, dim: Int): Index = {
-    val coarse = AnnIvf.trainCentroids(vecs, NList, dim)
+  private[operators] def buildIndex(vecs: DataFrame, dim: Int,
+      nlist: Int = 0, m: Int = PqAnn.M): Index = {
+    val nl = if (nlist > 0) nlist else nListFor(vecs.count())
+    val coarse = AnnIvf.trainCentroids(vecs, nl, dim)
     val cells = centFrame(vecs.sparkSession, coarse)
     val withRes = vecs
       .withColumn("cell", VectorFunctions.nearestCentroidId(col("emb"),
@@ -76,7 +75,7 @@ object IvfPq {
       .join(broadcast(cells), "cell")
       .withColumn("res", zip_with(col("emb"), col("carr"), (x, c) => x - c))
     val model = PqAnn.train(
-      withRes.select(col("vec_id"), col("res").as("emb")))
+      withRes.select(col("vec_id"), col("res").as("emb")), m = m)
     Index(coarse, model, withRes.select(col("vec_id"), col("cell"),
       PqAnn.encode(col("res"), model).as("code")))
   }
@@ -116,7 +115,8 @@ object IvfPq {
     idx.codes
       .join(broadcast(probes), "cell")
       .filter(col("qid") =!= col("vec_id"))
-      .withColumn("adc_dist", PqAnn.adcDist(col("code"), col("lut")))
+      .withColumn("adc_dist",
+        PqAnn.adcDist(col("code"), col("lut"), idx.model.length))
       .withColumn("srk", row_number().over(wAdc))
       .filter(col("srk") <= shortlist)
       .select(col("qid"), col("vec_id"), col("cell"), col("adc_dist"))
@@ -131,13 +131,16 @@ object IvfPq {
     * comparable and measured 0.86 recall@5 at sf0.1).
     */
   def topK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      nprobe: Int = NProbe, shortlist: Int = 0): DataFrame = {
+      nprobe: Int = 0, shortlist: Int = 0, m: Int = PqAnn.M): DataFrame = {
     val dim = 64
     val vecs = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val sl = if (shortlist > 0) shortlist else PqAnn.autoShortlist(vecs.count())
-    val idx = buildIndex(vecs, dim)
-    val cand = adcCandidates(idx, vecs, queryIds, nprobe, sl)
+    val n = vecs.count()
+    val sl = if (shortlist > 0) shortlist else PqAnn.autoShortlist(n)
+    val nl = nListFor(n)
+    val np = if (nprobe > 0) nprobe else AnnIvf.autoNprobe(nl)
+    val idx = buildIndex(vecs, dim, nl, m)
+    val cand = adcCandidates(idx, vecs, queryIds, np, sl)
       .select(col("qid"), col("vec_id"))
 
     val qVecs = vecs.filter(col("vec_id").isin(queryIds: _*))

@@ -199,7 +199,20 @@ object MaterializedAgg {
     * checkpoint commit — the at-least-once face) and is skipped, so
     * sums never double-count. First batch initializes.
     */
-  def mergeOnce(delta: DataFrame, path: String, batchId: Long): Unit = {
+  def mergeOnce(delta: DataFrame, path: String, batchId: Long): Unit =
+    mergeOnceAs(delta, path, batchId, partials, combine)
+
+  /** The same exactly-once maintenance loop with CALLER-SUPPLIED
+    * partial and combine forms — any associative+commutative state
+    * (X100's per-column profile rows and frozen-grid histogram cells
+    * ride this) gets the full swap/marker/recovery machinery without
+    * re-implementing it. `toPartials` maps a delta to the mergeable
+    * shape; `combinePartials` must be insensitive to which side is
+    * state and which is delta.
+    */
+  def mergeOnceAs(delta: DataFrame, path: String, batchId: Long,
+      toPartials: DataFrame => DataFrame,
+      combinePartials: (DataFrame, DataFrame) => DataFrame): Unit = {
     val spark = delta.sparkSession
     // committedBatch runs recover(), so after ANY mid-swap kill the
     // store is back to exactly one committed version before the
@@ -209,8 +222,8 @@ object MaterializedAgg {
     else {
       val fs = fsOf(spark, path)
       val merged =
-        if (!fs.exists(hPath(path))) partials(delta)
-        else combine(spark.read.parquet(path), partials(delta))
+        if (!fs.exists(hPath(path))) toPartials(delta)
+        else combinePartials(spark.read.parquet(path), toPartials(delta))
       commitSwap(merged, path, Some(batchId))
     }
   }

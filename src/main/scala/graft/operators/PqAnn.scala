@@ -38,7 +38,14 @@ import graft.functions.expressions.VectorFunctions
   */
 object PqAnn {
 
-  /** Subspaces (codes per vector). */
+  /** Subspaces (codes per vector) — the DEFAULT code budget. The M/Ks
+    * product is the bits-per-vector knob: recall past the shortlist cap
+    * is bought here, not with a longer re-rank (measured in SCALE.md's
+    * past-the-cap probe: at N=100k the 32-bit default holds 0.52@cap
+    * while doubling to m=16 — 64-bit codes, same Ks — restores the
+    * compressed-domain ranking). Any m dividing the corpus dim with
+    * m·4 ≤ 64 bits packs into the single Long code column.
+    */
   val M = 8
 
   /** Dimensions per subspace (M · SubDim = 64, the corpus dim). */
@@ -47,11 +54,8 @@ object PqAnn {
   /** Codebook size per subspace — 4-bit codes, 2 codes/byte. */
   val Ks = 16
 
-  /** Nibble place values for packing codes in plain integer
-    * arithmetic; unpacking uses literal-shift `shiftright` since the
-    * subspace index is a compile-time loop variable.
-    */
-  private val places: Array[Long] = Array.tabulate(M)(j => 1L << (4 * j))
+  /** Corpus embedding dimension. */
+  private val Dim = 64
 
   /** Train one codebook per subspace. Returns flat (M × Ks × SubDim)
     * c-major model. Training reuses the IVF trainer per subspace:
@@ -65,48 +69,66 @@ object PqAnn {
     * 100 TB encode run needs and the spec corpora never trigger.
     */
   def train(vecs: DataFrame, iterations: Int = 3,
-      restarts: Int = 8): Array[Array[Array[Double]]] =
-    Array.tabulate(M) { j =>
+      restarts: Int = 8, m: Int = M): Array[Array[Array[Double]]] = {
+    require(Dim % m == 0 && 4 * m <= 64,
+      s"m=$m must divide $Dim and pack into 64 bits")
+    val subDim = Dim / m
+    Array.tabulate(m) { j =>
       AnnIvf.trainCentroids(
         vecs.select(col("vec_id"),
-          slice(col("emb"), j * SubDim + 1, SubDim).as("emb")),
-        nlist = Ks, dim = SubDim, iterations = iterations,
+          slice(col("emb"), j * subDim + 1, subDim).as("emb")),
+        nlist = Ks, dim = subDim, iterations = iterations,
         restarts = restarts)
     }
+  }
 
   /** Packed 32-bit PQ code column: per subspace a fused argmin over its
     * codebook, packed as Σ code_j · 16^j. One map-side expression — the
     * encode pass a 100 TB corpus runs once and stores.
     */
-  def encode(emb: Column, model: Array[Array[Array[Double]]]): Column =
-    (0 until M).map { j =>
-      VectorFunctions.nearestCentroidId(
-        slice(emb, j * SubDim + 1, SubDim),
-        model(j).flatten, Ks, SubDim).cast("long") * places(j)
-    }.reduce(_ + _)
+  def encode(emb: Column, model: Array[Array[Array[Double]]]): Column = {
+    val m = model.length
+    val subDim = model(0)(0).length
+    // disjoint 4-bit lanes ORed together: bitwise ops, not multiply —
+    // nibble 15 lands in the sign bits, which ANSI-mode `*` rejects as
+    // a long overflow even though the two's-complement pattern is exact
+    (0 until m).map { j =>
+      shiftleft(
+        VectorFunctions.nearestCentroidId(
+          slice(emb, j * subDim + 1, subDim),
+          model(j).flatten, Ks, subDim).cast("long"), 4 * j)
+    }.reduce(_ bitwiseOR _)
+  }
 
   /** The per-query ADC lookup table: exact squared sub-distances from
     * the query's j-th sub-vector to every codebook entry, flattened
     * j-major (M·Ks doubles).
     */
   private[operators] def lut(q: Array[Double],
-      model: Array[Array[Array[Double]]]): Array[Double] =
-    Array.tabulate(M * Ks) { i =>
+      model: Array[Array[Array[Double]]]): Array[Double] = {
+    val m = model.length
+    val subDim = model(0)(0).length
+    Array.tabulate(m * Ks) { i =>
       val j = i / Ks
       val c = model(j)(i % Ks)
       var d = 0d; var t = 0
-      while (t < SubDim) {
-        val diff = q(j * SubDim + t) - c(t); d += diff * diff; t += 1
+      while (t < subDim) {
+        val diff = q(j * subDim + t) - c(t); d += diff * diff; t += 1
       }
       d
     }
+  }
 
   /** ADC distance of a packed code against a LUT array column:
     * Σ_j lutArr[j·Ks + nibble_j(code)]. Integer unpack + array lookup,
     * fully codegen'd — no vector math in the scan.
     */
-  private[operators] def adcDist(code: Column, lutArr: Column): Column =
-    (0 until M).map { j =>
+  private[operators] def adcDist(code: Column, lutArr: Column,
+      m: Int = M): Column =
+    (0 until m).map { j =>
+      // arithmetic shiftright only differs from logical in bits above
+      // position 3 after the shift; the & 15 mask discards those, so
+      // the top nibble decodes correctly even when the code is negative
       element_at(lutArr,
         shiftright(code, 4 * j).bitwiseAND(lit(15L)).cast("int")
           + lit(j * Ks + 1))
@@ -118,10 +140,11 @@ object PqAnn {
     * consumers that want the no-float-reads scan; [[topK]] adds the
     * exact re-rank production uses.
     */
-  def adcTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+  def adcTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = M): DataFrame = {
     val vecs = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val model = train(vecs)
+    val model = train(vecs, m = m)
     val codes = vecs.select(col("vec_id"),
       encode(col("emb"), model).as("code"))
 
@@ -140,7 +163,7 @@ object PqAnn {
     codes
       .join(broadcast(qFrame))
       .filter(col("qid") =!= col("vec_id")) // a query is its own 0-dist hit
-      .withColumn("adc_dist", adcDist(col("code"), col("lut")))
+      .withColumn("adc_dist", adcDist(col("code"), col("lut"), m))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("rank"), col("adc_dist"))
@@ -172,11 +195,11 @@ object PqAnn {
     * (qid, vec_id, rank, dist) with dist exact.
     */
   def topK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      shortlist: Int = 0): DataFrame = {
+      shortlist: Int = 0, m: Int = M): DataFrame = {
     val vecs = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val sl = if (shortlist > 0) shortlist else autoShortlist(vecs.count())
-    val cand = adcTopK(embeddings, queryIds, sl)
+    val cand = adcTopK(embeddings, queryIds, sl, m)
       .select(col("qid"), col("vec_id"))
     val spark = embeddings.sparkSession
     import spark.implicits._

@@ -137,6 +137,40 @@ object AnnIvf {
 
   import graft.functions.expressions.VectorFunctions
 
+  /** Production cell-count rule (the [[PqAnn.autoShortlist]] precedent
+    * applied to the coarse quantizer): nlist ≈ √N, floored at 16 (below
+    * ~256 vectors finer cells just starve the Lloyd trainer) and capped
+    * at 4096 (the driver-side model stays nlist×dim ≤ 2 MB of doubles).
+    * The r11 decade probe measured WHY a flat nlist decays: 16 cells ×
+    * fixed nprobe lose cell coverage as occupancy grows (recall
+    * 0.86 → 0.62 at 10× with nprobe 6). √N cells restore the two knobs
+    * production IVF turns: centroid-model cost stays O(√N·dim), and
+    * recall at a FIXED probe fraction rises with cell granularity —
+    * which is what lets the fraction (the per-query read) be scheduled
+    * DOWN as the corpus grows instead of up.
+    */
+  def autoNlist(n: Long): Int = {
+    val r = math.round(math.sqrt(n.toDouble))
+    // below ~32 cells the √N regime is strictly worse than the flat
+    // small-corpus default: at N=500 the sweep measured 22 cells /
+    // 10 probes at 0.78-0.82 recall@5 vs 16/8's 0.86-0.88 — fine cells
+    // over a tiny corpus just fragment each query's true-neighbor mass
+    // across more cell boundaries without buying any read reduction
+    if (r < 32L) 16 else math.min(4096L, r).toInt
+  }
+
+  /** Probe count as a constant fraction of the cell count (floor 8 —
+    * the measured small-corpus minimum). A constant cell fraction is a
+    * constant fraction of the corpus per query — the honest cost — but
+    * at √N cells that fraction buys strictly more recall than the same
+    * fraction of 16 flat cells (finer cells waste less of the read on
+    * far geometry), so holding recall ≥ 0.8 needs no upward schedule.
+    * The fraction is chosen from the measured sweep in SCALE.md: it
+    * must clear recall@5 ≥ 0.8 at both decade scales.
+    */
+  def autoNprobe(nlist: Int): Int =
+    math.max(8, math.min(nlist, math.ceil(nlist * 0.45).toInt))
+
   /** Deterministic coarse-quantizer training: multi-restart maximin
     * (farthest-point, the deterministic k-means++ variant) init + local
     * Lloyd on a hash-spread sample, winner chosen by lowest sample
@@ -307,13 +341,14 @@ object AnnIvf {
     * corpus — the nlist/nprobe read-reduction made physical.
     */
   def writeIndex(embeddings: DataFrame, path: String,
-      nlist: Int = 16): Array[Array[Double]] = {
+      nlist: Int = 0): Array[Array[Double]] = {
     val dim = 64
     val vecs = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(VectorFunctions.sqNorm(col("emb"))))
+    val nl = if (nlist > 0) nlist else autoNlist(vecs.count())
     val centroids = trainCentroids(vecs.select(col("vec_id"), col("emb")),
-      nlist, dim)
+      nl, dim)
     // store the int8 form alongside full precision: a two-stage probe's
     // coarse pass reads the ~8× narrower qv column straight off disk
     // instead of re-quantizing the corpus per query
@@ -352,8 +387,9 @@ object AnnIvf {
     */
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       centroids: Array[Array[Double]], queryIds: Seq[Long], k: Int,
-      nprobe: Int = 8): DataFrame = {
+      nprobe: Int = 0): DataFrame = {
     import spark.implicits._
+    val np = if (nprobe > 0) nprobe else autoNprobe(centroids.length)
     val idx = spark.read.parquet(path)
     // query vectors: ONE keyed lookup (at scale these come with the
     // request, not a scan) — the collected rows feed BOTH the probe-cell
@@ -361,7 +397,7 @@ object AnnIvf {
     // exactly once more (the cell-pruned candidate read) after this
     val qRows = idx.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("emb"), col("nrm")).collect()
-    val queryCells = nearestCells(qRows, centroids, nprobe)
+    val queryCells = nearestCells(qRows, centroids, np)
     val probes = queryCells.toDF("qid", "cell")
     val probedCells = queryCells.map(_._2).distinct.sorted
     val queries = qRows
@@ -420,7 +456,7 @@ object AnnIvf {
     * the int8 column is the only thing the coarse scan touches.
     */
   def topKTwoStage(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      nlist: Int = 16, nprobe: Int = 8, coarseK: Int = 64): DataFrame = {
+      nlist: Int = 0, nprobe: Int = 0, coarseK: Int = 64): DataFrame = {
     val session = embeddings.sparkSession
     import session.implicits._
     val dim = 64
@@ -430,15 +466,17 @@ object AnnIvf {
       .withColumn("__scale", Quantize.scaleOf(col("emb")))
       .withColumn("qv", Quantize.quantizeWith(col("emb"), col("__scale")))
       .drop("__scale")
+    val nl = if (nlist > 0) nlist else autoNlist(vecs.count())
+    val np = if (nprobe > 0) nprobe else autoNprobe(nl)
     val centroids = trainCentroids(vecs.select(col("vec_id"), col("emb")),
-      nlist, dim)
+      nl, dim)
     val withCell = vecs.withColumn("cell", cellOf(col("emb"), centroids))
     // ONE query lookup: the collected rows feed the cell selection and
     // the broadcast query side (the tiny local frame re-derives the
     // quantized form with the same column math — identical values)
     val qRows = withCell.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("emb"), col("nrm")).collect()
-    val queryCells = nearestCells(qRows, centroids, nprobe)
+    val queryCells = nearestCells(qRows, centroids, np)
     val probes = queryCells.toDF("qid", "cell")
     val queries = qRows
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
@@ -461,24 +499,29 @@ object AnnIvf {
         col("qnrm"))), "qid"), k)
   }
 
-  /** Approximate top-k: probe the `nprobe` nearest cells per query. */
+  /** Approximate top-k: probe the `nprobe` nearest cells per query.
+    * `nlist <= 0` → [[autoNlist]] of the corpus count; `nprobe <= 0` →
+    * [[autoNprobe]] of the resolved nlist.
+    */
   def topK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      nlist: Int = 16, nprobe: Int = 8): DataFrame = {
+      nlist: Int = 0, nprobe: Int = 0): DataFrame = {
     val session = embeddings.sparkSession
     import session.implicits._
     val dim = 64
     val vecs = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(VectorFunctions.sqNorm(col("emb"))))
+    val nl = if (nlist > 0) nlist else autoNlist(vecs.count())
+    val np = if (nprobe > 0) nprobe else autoNprobe(nl)
     val centroids = trainCentroids(vecs.select(col("vec_id"), col("emb")),
-      nlist, dim)
+      nl, dim)
     val withCell = vecs.withColumn("cell", cellOf(col("emb"), centroids))
 
     // nprobe closest cells per query, driver-side on the tiny model
     val queryCells = nearestCells(
       withCell.filter(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id"), col("emb")).collect(),
-      centroids, nprobe)
+      centroids, np)
     val probes = queryCells.toDF("qid", "cell")
 
     val queries = withCell.filter(col("vec_id").isin(queryIds: _*))

@@ -22,7 +22,12 @@ object ProbeIvfNprobe {
             (a.getOrElse(q, Set.empty[Long]) intersect brute(q)).size)
             .sum.toDouble / (brute.size * 5)
         val emb = sources.Tables(spark, dir, "embeddings")
-        for ((nl, np) <- Seq((16, 6), (16, 8), (16, 10), (32, 12), (48, 18))) {
+        val n = emb.count()
+        val autoNl = operators.AnnIvf.autoNlist(n)
+        val fracSweep = Seq(0.30, 0.375, 0.45).map(f =>
+          (autoNl, math.max(8, math.ceil(autoNl * f).toInt)))
+        for ((nl, np) <- Seq((16, 6), (16, 8), (16, 10), (32, 12),
+            (48, 18)) ++ fracSweep) {
           val t0 = System.nanoTime()
           val r = recall(topSets(
             operators.AnnIvf.topK(emb, 0L to 9L, k = 5, nlist = nl,

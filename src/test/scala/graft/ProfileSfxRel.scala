@@ -89,7 +89,16 @@ object ProfileSfxRel {
       graft.operators.TableProfile.q138,
       graft.operators.RobustOutliers.q139,
       graft.operators.StatsQueries.q140,
-      graft.operators.StatsQueries.q141)
+      graft.operators.StatsQueries.q141,
+      // r12 warehouse tier (VERDICT r11 item 6): the X98 maintenance
+      // loop end-to-end (scan-bound BY DESIGN — every event flows
+      // through partials() exactly once across the 4 batches, so the
+      // honest expectation is exponent ≈ scan-bound ≈ q01's, NOT < 1;
+      // the state-bounded claim is the separate merge-cost probe
+      // below) and the X99 equi-depth histogram (one exact-percentile
+      // pass + broadcast bounds + k-row agg)
+      graft.operators.MaterializedAgg.q147,
+      graft.operators.EquiDepthHistogram.q148)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
@@ -128,7 +137,9 @@ object ProfileSfxRel {
         graft.operators.TableProfile.q138,
         graft.operators.RobustOutliers.q139,
         graft.operators.StatsQueries.q140,
-        graft.operators.StatsQueries.q141)
+        graft.operators.StatsQueries.q141,
+        graft.operators.MaterializedAgg.q147,
+        graft.operators.EquiDepthHistogram.q148)
       deep.filter(q => only.forall(names =>
         names.exists(q.name.startsWith))).foreach { q =>
         val t1 = minOf(2)(q.build(spark, dst).count())
@@ -136,6 +147,35 @@ object ProfileSfxRel {
         println(f"[prof] ${q.name}: sf1 $t1%.2f s -> sf10 $t10%.2f s " +
           f"(ratio ${t10 / t1}%.1fx, exponent ${math.log10(t10 / t1)}%.2f)")
       }
+      mergeCostRow("sf10", dst100)
+    }
+
+    // X98's actual scale claim: ONE merge of a fixed-size delta costs
+    // the same no matter how much corpus the state has absorbed — the
+    // state frame is |groups| partial rows (sketch-sized), so the merge
+    // reads delta + state, never the corpus. A flat row here at 10× and
+    // 100× the absorbed corpus is the measured form of
+    // "sketch-sized merge per ingest batch, never a rescan".
+    def mergeCostRow(label: String, dir: String): Unit = {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type").as("g"), col("value").as("v"),
+          col("user_id").as("u"))
+      val path = java.nio.file.Files
+        .createTempDirectory(s"sfxrel-magg-$label").toString + "/state"
+      graft.operators.MaterializedAgg.init(ev, path)
+      val delta = spark.read.parquet(s"$src/events.parquet")
+        .select(col("event_type").as("g"), col("value").as("v"),
+          col("user_id").as("u"))
+        .limit(1000).cache()
+      delta.count()
+      val t = minOf(3)(graft.operators.MaterializedAgg.merge(delta, path))
+      println(f"[prof] x98 merge of fixed 1000-row delta into state " +
+        f"built from $label events: $t%.2f s")
+      delta.unpersist()
+    }
+    if (only.isEmpty || only.exists(_.exists("q147".startsWith))) {
+      mergeCostRow("sf0.1", src)
+      mergeCostRow("sf1", dst)
     }
     spark.stop()
   }

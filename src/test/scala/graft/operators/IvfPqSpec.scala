@@ -52,7 +52,7 @@ class IvfPqSpec extends AnyFunSuite with SparkSpec {
       "sub-distances to the query's residual)") {
     val queries = Seq(0L, 1L, 2L)
     val cand = IvfPq.adcCandidates(idx, vecs, queries,
-      nprobe = IvfPq.NProbe, shortlist = 8).collect()
+      nprobe = AnnIvf.autoNprobe(idx.coarse.length), shortlist = 8).collect()
     assert(cand.nonEmpty)
     cand.foreach { r =>
       val qid = r.getLong(0); val vid = r.getLong(1)
