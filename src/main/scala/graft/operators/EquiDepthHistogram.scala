@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import Q._
@@ -29,29 +30,44 @@ object EquiDepthHistogram {
   /** Buckets. */
   val K = 10
 
+  /** The histogram with a pluggable boundary pass. `approx = true` is
+    * the 100 TB form: the exact `percentile` holds a per-group sorted
+    * buffer of every value (linear memory — the r12 decade probe
+    * measured the exact pass going exponent 0.98 and 52 s at 60M rows,
+    * the flagged swap point), while Greenwald–Khanna
+    * (`approx_percentile`, accuracy 1/ε) keeps O((1/ε)·log εN) state
+    * and bounds rank error at ε·n — bucket depths stay ~n/k ± ε·n.
+    * The exact form is the oracle-checked q148; same plan either way.
+    */
+  def histogram(li: DataFrame, approx: Boolean): DataFrame = {
+    val quantiles = (1 until K).map(i => i.toDouble / K)
+    val vals = li.select(col("v"))
+    val boundExpr =
+      if (approx)
+        s"approx_percentile(v, array(${quantiles.mkString(", ")}), 10000)"
+      else s"percentile(v, array(${quantiles.mkString(", ")}))"
+    val bounds = vals.agg(expr(boundExpr).as("bs"),
+      min(col("v")).as("lo0"), max(col("v")).as("hiK"))
+    vals.join(broadcast(bounds))
+      .withColumn("bucket",
+        (size(filter(col("bs"), b => col("v") > b)) + 1))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(first(when(col("bucket") === 1, col("lo0"))
+          .otherwise(element_at(col("bs"), col("bucket") - 1))), 2)
+          .as("lo_r"),
+        round(first(when(col("bucket") === K, col("hiK"))
+          .otherwise(element_at(col("bs"), col("bucket")))), 2)
+          .as("hi_r"))
+      .orderBy(col("bucket"))
+  }
+
   /** q148 — 10-bucket equi-depth histogram of l_extendedprice. */
   val q148 = GraftQuery(
     "q148_equidepth_histogram", {
-      (s, d) => {
-        val quantiles = (1 until K).map(i => i.toDouble / K)
-        val li = t(s, d, "lineitem").select(col("l_extendedprice").as("v"))
-        val bounds = li.agg(
-          expr(s"percentile(v, array(${quantiles.mkString(", ")}))")
-            .as("bs"),
-          min(col("v")).as("lo0"), max(col("v")).as("hiK"))
-        li.join(broadcast(bounds))
-          .withColumn("bucket",
-            (size(filter(col("bs"), b => col("v") > b)) + 1))
-          .groupBy(col("bucket"))
-          .agg(count(lit(1)).as("n_rows"),
-            round(first(when(col("bucket") === 1, col("lo0"))
-              .otherwise(element_at(col("bs"), col("bucket") - 1))), 2)
-              .as("lo_r"),
-            round(first(when(col("bucket") === K, col("hiK"))
-              .otherwise(element_at(col("bs"), col("bucket")))), 2)
-              .as("hi_r"))
-          .orderBy(col("bucket"))
-      }
+      (s, d) => histogram(
+        t(s, d, "lineitem").select(col("l_extendedprice").as("v")),
+        approx = false)
     },
     Some(s"""
       WITH vals AS (SELECT l_extendedprice AS v FROM lineitem),

@@ -138,7 +138,12 @@ object IvfPq {
     val n = vecs.count()
     val sl = if (shortlist > 0) shortlist else PqAnn.autoShortlist(n)
     val nl = nListFor(n)
-    val np = if (nprobe > 0) nprobe else AnnIvf.autoNprobe(nl)
+    // the composed tier probes a HIGHER cell fraction than plain IVF
+    // (0.55 vs 0.45): the residual-ADC ranking is lossy on top of the
+    // cell cut, and the r12 sweep measured 0.45 dipping to 0.78 at
+    // sf0.1 while 0.55 holds 0.84/0.82 across the decade — the extra
+    // probes cost code-column reads (4 B/vector), not float reads
+    val np = if (nprobe > 0) nprobe else AnnIvf.autoNprobe(nl, 0.55)
     val idx = buildIndex(vecs, dim, nl, m)
     val cand = adcCandidates(idx, vecs, queryIds, np, sl)
       .select(col("qid"), col("vec_id"))

@@ -168,8 +168,8 @@ object AnnIvf {
     * The fraction is chosen from the measured sweep in SCALE.md: it
     * must clear recall@5 ≥ 0.8 at both decade scales.
     */
-  def autoNprobe(nlist: Int): Int =
-    math.max(8, math.min(nlist, math.ceil(nlist * 0.45).toInt))
+  def autoNprobe(nlist: Int, fraction: Double = 0.45): Int =
+    math.max(8, math.min(nlist, math.ceil(nlist * fraction).toInt))
 
   /** Deterministic coarse-quantizer training: multi-restart maximin
     * (farthest-point, the deterministic k-means++ variant) init + local

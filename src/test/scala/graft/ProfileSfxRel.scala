@@ -177,6 +177,28 @@ object ProfileSfxRel {
       mergeCostRow("sf0.1", src)
       mergeCostRow("sf1", dst)
     }
+
+    // X99's GK swap measured: the exact percentile pass holds a sorted
+    // buffer of every value (the r12 decade probe measured it linear,
+    // 52 s at 60M rows); the approx_percentile (Greenwald–Khanna) form
+    // is the 100 TB boundary pass — same plan, sketch-sized state
+    def gkRow(label: String, dir: String): Unit = {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_extendedprice").as("v"))
+      val tExact = minOf(2)(
+        graft.operators.EquiDepthHistogram.histogram(li, approx = false)
+          .count())
+      val tGk = minOf(2)(
+        graft.operators.EquiDepthHistogram.histogram(li, approx = true)
+          .count())
+      println(f"[prof] q148 boundary pass at $label: " +
+        f"exact $tExact%.2f s vs GK $tGk%.2f s")
+    }
+    if (only.isEmpty || only.exists(_.exists("q148".startsWith))) {
+      gkRow("sf1", dst)
+      if (sys.env.get("SPARK_GRAFT_SFX100").contains("1"))
+        gkRow("sf10", s"${sys.props("java.io.tmpdir")}/graft-sfx10-rel")
+    }
     spark.stop()
   }
 }

@@ -625,4 +625,27 @@ class PlanSpec extends SparkSpec {
     assert(trainBroadcasts.isEmpty,
       s"train-side shingles must never broadcast:\n${trainBroadcasts.mkString("\n")}")
   }
+
+  test("q149 rank-sum: the corpus-sized window is PARTITIONED by " +
+      "bucket; only the 1025-row bucket-offsets window is global") {
+    val plan = planOf(RankSum.q149.build(spark, sf0001))
+    // the two-level prefix sum: the per-value cumulative window must
+    // carry the bucket partition spec, or ranking funnels the whole
+    // distinct-value frame through one partition
+    assert(plan.contains("partitionBy") ||
+      plan.contains("windowspecdefinition(bkt"),
+      s"value window must be bucket-partitioned:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q150 correlation matrix: ONE lineitem scan feeds all pairs " +
+      "(a per-pair agg would re-scan |pairs| times) and no EXPAND") {
+    val plan = planOf(CorrelationMatrix.q150.build(spark, sf0001))
+    assert(!plan.contains("Expand"),
+      s"moment agg must not EXPAND:\n${plan.take(2000)}")
+    val scans = plan.linesIterator
+      .filter(l => l.contains("Scan parquet") || l.contains("FileScan"))
+      .size
+    assert(scans == 1, s"expected exactly 1 lineitem scan, got $scans")
+  }
 }
