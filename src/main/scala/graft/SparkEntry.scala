@@ -25,7 +25,8 @@ object SparkEntry {
       RobustOutliers.all ++ StatsQueries.all ++ CurationAudit.all ++
       TemperatureMix.all ++ ScoreCalibration.all ++ Cuped.all ++
       MaterializedAgg.all ++ EquiDepthHistogram.all ++ RankSum.all ++
-      CorrelationMatrix.all ++ VocabDrift.all ++ GiniConcentration.all
+      CorrelationMatrix.all ++ VocabDrift.all ++ GiniConcentration.all ++
+      ScdHistory.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
