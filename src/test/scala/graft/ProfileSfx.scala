@@ -122,7 +122,13 @@ object ProfileSfx {
       // train/eval split and the within-replica overlap structure)
       graft.operators.Bm25.q133,
       graft.operators.CharEntropy.q134,
-      graft.operators.CrossDecontam.q135)
+      graft.operators.CrossDecontam.q135,
+      // r12 additions: Hellinger vocab drift (the sorted-fold array is
+      // the SHARED vocab — Heaps-sublinear is the claim to certify)
+      // and incremental CC (certificate-merge closure over the sliced
+      // brute pair set — the Σdf² pair face plus 4 star-forest merges)
+      graft.operators.VocabDrift.q151,
+      graft.operators.IncrementalCc.q154)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>

@@ -98,7 +98,11 @@ object ProfileSfxRel {
       // below) and the X99 equi-depth histogram (one exact-percentile
       // pass + broadcast bounds + k-row agg)
       graft.operators.MaterializedAgg.q147,
-      graft.operators.EquiDepthHistogram.q148)
+      graft.operators.EquiDepthHistogram.q148,
+      // r12: rank-sum (two-level prefix over the distinct-value frame)
+      // and SCD2 history (two entity-partitioned windows over events)
+      graft.operators.RankSum.q149,
+      graft.operators.ScdHistory.q153)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
@@ -139,7 +143,9 @@ object ProfileSfxRel {
         graft.operators.StatsQueries.q140,
         graft.operators.StatsQueries.q141,
         graft.operators.MaterializedAgg.q147,
-        graft.operators.EquiDepthHistogram.q148)
+        graft.operators.EquiDepthHistogram.q148,
+        graft.operators.RankSum.q149,
+        graft.operators.ScdHistory.q153)
       deep.filter(q => only.forall(names =>
         names.exists(q.name.startsWith))).foreach { q =>
         val t1 = minOf(2)(q.build(spark, dst).count())
