@@ -74,8 +74,14 @@ object IncrementalCc {
   val q154 = GraftQuery(
     "q154_incremental_components", {
       (s, d) => {
+        import graft.Checkpoints.EagerCheckpoint
+        // materialize the mined pairs ONCE: each of the four merges
+        // reads its slice from the checkpoint instead of re-running
+        // the Σdf² pair join per batch (in production the batches
+        // arrive as data; re-mining per merge is a harness artifact)
         val pairs = DedupQueries.jaccardPairs(s, d)
           .select(col("doc_a"), col("doc_b"))
+          .eagerCheckpoint()
         val path = java.nio.file.Files
           .createTempDirectory("q154-state").toString + "/state"
         (0 to 3).foreach(b =>
