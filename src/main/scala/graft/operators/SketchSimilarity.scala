@@ -263,11 +263,25 @@ object AnnIvf {
     }
 
     // best-of-R restarts by sample distortion; deterministic seed
-    // stride, strictly-less keeps the lowest seed on ties
+    // stride, strictly-less keeps the lowest seed on ties. Restarts
+    // are independent, so they run on driver THREADS — the local
+    // Lloyd is O(R·iters·sample·cells·dim) flops and with the √N cell
+    // rule `cells` grows with the corpus, making this the dominant
+    // training stage (r12 decade: the IVF time exponent is trainer,
+    // not query); the winner pick stays a SEQUENTIAL argmin over the
+    // per-restart results, so parallelism cannot change the model
+    val nR = math.max(1, restarts)
+    val results = new Array[(Array[Array[Double]], Double)](nR)
+    val threads = (0 until nR).map { r =>
+      val t = new Thread(() => {
+        results(r) = localLloyd(maximinInit((r * 997) % sample.length), 10)
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
     var centroids: Array[Array[Double]] = null
     var bestDist = Double.MaxValue
-    for (r <- 0 until math.max(1, restarts)) {
-      val (m, d) = localLloyd(maximinInit((r * 997) % sample.length), 10)
+    results.foreach { case (m, d) =>
       if (d < bestDist) { bestDist = d; centroids = m }
     }
     // Distributed refinement over the FULL corpus — integer-exact
