@@ -26,7 +26,8 @@ object SparkEntry {
       TemperatureMix.all ++ ScoreCalibration.all ++ Cuped.all ++
       MaterializedAgg.all ++ EquiDepthHistogram.all ++ RankSum.all ++
       CorrelationMatrix.all ++ VocabDrift.all ++ GiniConcentration.all ++
-      ScdHistory.all ++ IncrementalCc.all ++ KappaAgreement.all
+      ScdHistory.all ++ IncrementalCc.all ++ KappaAgreement.all ++
+      ZOrderClustering.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
