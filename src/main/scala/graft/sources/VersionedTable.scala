@@ -1,0 +1,179 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** X110 — snapshot-isolated versioned table: the minimal
+  * manifest-and-pointer table format (the core idea of Iceberg/Delta,
+  * Armbrust et al. VLDB'20) that fixes the one caveat the plain
+  * directory layout documents — [[Warehouse.compact]]'s swap window,
+  * where a concurrent reader can observe a missing directory.
+  *
+  * Layout under the table root:
+  *   - `data/part-<uuid>-*.parquet` — immutable data files; never
+  *     renamed, never rewritten in place.
+  *   - `manifest-v<N>` — newline list of the data files that ARE
+  *     version N. Written tmp-then-rename (single-file rename is
+  *     atomic on HDFS/posix).
+  *   - `_latest` — the committed version number; the LAST thing a
+  *     commit moves (also tmp-then-rename). A reader resolves
+  *     `_latest` → manifest → files; every file named by any
+  *     committed manifest still exists until [[vacuum]], so a reader
+  *     holding version N is isolated from appends AND compactions
+  *     that commit after its resolve.
+  *
+  * Crash discipline: data files first, manifest second, pointer last —
+  * a kill anywhere leaves `_latest` on the previous version and only
+  * orphaned (unreferenced) files behind, which [[vacuum]] sweeps; no
+  * window shows a reader a partial state. Appends and compactions are
+  * ordinary commits (compaction = rewrite current files into fewer +
+  * commit; old files stay readable for pinned versions — time travel
+  * for free).
+  *
+  * Single-writer by contract (the engine's pipelines own their
+  * tables); the missing piece for multi-writer is CAS on `_latest`,
+  * which plain filesystems cannot give — documented, not faked.
+  */
+object VersionedTable {
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  private def writeAtomic(spark: SparkSession, path: String,
+      content: String): Unit = {
+    val p = hp(path); val tmp = hp(path + ".tmp")
+    val f = fs(spark, p)
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // OVERWRITE rename (FileContext): one atomic op — a delete-then-
+    // rename pair would open exactly the crash window the X98 fix
+    // closed (no `_latest` at all ⇒ a retry would re-initialize)
+    val ctx = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    ctx.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def readSmall(spark: SparkSession, path: String): Option[String] = {
+    val p = hp(path); val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  /** Latest committed version, 0 if the table does not exist yet.
+    * Belt-and-braces recovery: if the pointer is missing but manifests
+    * exist (a filesystem without atomic overwrite-rename crashed in
+    * the window), the highest manifest is the committed truth — a
+    * manifest is only ever written complete.
+    */
+  def latestVersion(spark: SparkSession, root: String): Long =
+    readSmall(spark, s"$root/_latest").map(_.toLong).getOrElse {
+      val rootP = hp(root); val f = fs(spark, rootP)
+      if (!f.exists(rootP)) 0L
+      else f.listStatus(rootP).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("manifest-v") &&
+          !n.endsWith(".tmp") => n.stripPrefix("manifest-v").toLong }
+        .sorted.lastOption.getOrElse(0L)
+    }
+
+  /** The data files that are version `v`. */
+  def manifest(spark: SparkSession, root: String, v: Long): Seq[String] = {
+    require(v > 0, s"no committed version at $root")
+    readSmall(spark, s"$root/manifest-v$v")
+      .getOrElse(sys.error(s"manifest-v$v missing at $root"))
+      .split("\n").filter(_.nonEmpty).toSeq
+  }
+
+  /** Write `df`'s rows as new immutable data files; returns their
+    * table-relative names. Data only — nothing is committed.
+    */
+  private def writeData(df: DataFrame, root: String): Seq[String] = {
+    val spark = df.sparkSession
+    val batch = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"$root/stage-$batch"
+    df.write.mode("overwrite").parquet(staging)
+    val f = fs(spark, hp(root))
+    f.mkdirs(hp(s"$root/data"))
+    val moved = f.listStatus(hp(staging)).toSeq
+      .filter(s => s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val name = s"data/part-$batch-${s.getPath.getName}"
+        require(f.rename(s.getPath, hp(s"$root/$name")),
+          s"staging move failed for ${s.getPath}")
+        name
+      }
+    f.delete(hp(staging), true)
+    moved
+  }
+
+  private def commit(spark: SparkSession, root: String, v: Long,
+      files: Seq[String]): Long = {
+    writeAtomic(spark, s"$root/manifest-v$v", files.mkString("\n"))
+    writeAtomic(spark, s"$root/_latest", v.toString)
+    v
+  }
+
+  /** Create/replace the table content as version latest+1. */
+  def overwrite(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val v = latestVersion(spark, root) + 1
+    commit(spark, root, v, writeData(df, root))
+  }
+
+  /** Append `df` as version latest+1 (previous files + new ones). */
+  def append(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val cur = latestVersion(spark, root)
+    val base = if (cur == 0) Seq.empty else manifest(spark, root, cur)
+    commit(spark, root, cur + 1, base ++ writeData(df, root))
+  }
+
+  /** Read a version (default: latest). A reader that RESOLVES a
+    * version keeps a consistent file list no matter what commits
+    * after it — files are immutable and survive until [[vacuum]].
+    */
+  def read(spark: SparkSession, root: String, version: Long = 0): DataFrame = {
+    val v = if (version > 0) version else latestVersion(spark, root)
+    val files = manifest(spark, root, v).map(n => s"$root/$n")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Compact the CURRENT version's files into ~`targetFiles` and
+    * commit as a new version. Old files are untouched (pinned readers
+    * and time travel keep working); [[vacuum]] reclaims them.
+    * Returns the new version.
+    */
+  def compact(spark: SparkSession, root: String,
+      targetFiles: Int): Long = {
+    val cur = latestVersion(spark, root)
+    val rewritten = writeData(
+      read(spark, root, cur).repartition(targetFiles), root)
+    commit(spark, root, cur + 1, rewritten)
+  }
+
+  /** Delete data files referenced by NO manifest ≥ `keepFrom` (and
+    * the superseded manifests) — the storage-reclaim step, split from
+    * commits so isolation never depends on writer timing.
+    */
+  def vacuum(spark: SparkSession, root: String, keepFrom: Long): Unit = {
+    val f = fs(spark, hp(root))
+    val latest = latestVersion(spark, root)
+    val keep = (math.max(1L, keepFrom) to latest)
+      .flatMap(v => manifest(spark, root, v)).toSet
+    val dataDir = hp(s"$root/data")
+    if (f.exists(dataDir)) f.listStatus(dataDir).foreach { s =>
+      if (!keep.contains(s"data/${s.getPath.getName}"))
+        f.delete(s.getPath, false)
+    }
+    (1L until math.max(1L, keepFrom)).foreach { v =>
+      f.delete(hp(s"$root/manifest-v$v"), false)
+    }
+  }
+}

@@ -81,9 +81,11 @@ object Warehouse {
     * The swap (rename-away: dir → `._old`, tmp → dir, drop `._old`) is
     * not atomic on object stores — concurrent readers see a missing
     * directory for the rename window; run it from the owning pipeline
-    * (e.g. between micro-batches), or use a transactional table format
-    * where that window is unacceptable. A kill inside the window never
-    * loses data: the original survives in `._old` and the next call
+    * (e.g. between micro-batches), or use [[VersionedTable]] (X110) —
+    * the manifest-and-pointer format whose compaction commits a new
+    * version while pinned readers keep their file list — where that
+    * window is unacceptable. A kill inside the window never loses
+    * data: the original survives in `._old` and the next call
     * restores it before doing anything else.
     *
     * For a hive-PARTITIONED directory, compact each leaf partition

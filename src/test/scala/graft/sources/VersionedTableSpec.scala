@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** [[VersionedTable]] (X110) oracles: snapshot isolation (a resolved
+  * version keeps reading its exact file list through appends AND a
+  * compaction — the reader window [[Warehouse.compact]] documents is
+  * gone), time travel, crash windows at every commit step, compaction
+  * equivalence, and vacuum reclaiming only unreferenced files.
+  */
+class VersionedTableSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def rows(from: Int, n: Int) =
+    (from until from + n).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+
+  private def idsOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+
+  test("append commits versions; time travel reads every old version " +
+      "exactly; latest follows") {
+    val root = tmpDir("vt")
+    assert(VersionedTable.overwrite(rows(0, 10), root) === 1L)
+    assert(VersionedTable.append(rows(10, 5), root) === 2L)
+    assert(VersionedTable.append(rows(15, 5), root) === 3L)
+    assert(idsOf(VersionedTable.read(spark, root)) === (0L until 20L))
+    assert(idsOf(VersionedTable.read(spark, root, 1)) === (0L until 10L))
+    assert(idsOf(VersionedTable.read(spark, root, 2)) === (0L until 15L))
+  }
+
+  test("snapshot isolation: a reader pinned BEFORE a compaction and an " +
+      "append still reads its exact version afterwards — no missing-" +
+      "directory window, unlike the plain swap") {
+    val root = tmpDir("vt-iso")
+    VersionedTable.overwrite(rows(0, 10).repartition(6), root)
+    VersionedTable.append(rows(10, 10).repartition(6), root)
+    val pinned = VersionedTable.latestVersion(spark, root) // = 2
+    val pinnedFiles = VersionedTable.manifest(spark, root, pinned)
+    // writer activity after the pin: compact + another append
+    val v3 = VersionedTable.compact(spark, root, targetFiles = 2)
+    VersionedTable.append(rows(20, 5), root)
+    assert(v3 === 3L)
+    // the pinned reader still sees ITS data, byte-complete
+    assert(idsOf(VersionedTable.read(spark, root, pinned)) ===
+      (0L until 20L))
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    pinnedFiles.foreach(n => assert(
+      f.exists(new org.apache.hadoop.fs.Path(s"$root/$n")),
+      s"pinned file $n must survive later commits"))
+    // and latest reflects everything
+    assert(idsOf(VersionedTable.read(spark, root)) === (0L until 25L))
+  }
+
+  test("compaction shrinks the file count without changing the data") {
+    val root = tmpDir("vt-compact")
+    VersionedTable.overwrite(rows(0, 100).repartition(20), root)
+    val before = VersionedTable
+      .manifest(spark, root, VersionedTable.latestVersion(spark, root))
+    VersionedTable.compact(spark, root, targetFiles = 2)
+    val after = VersionedTable
+      .manifest(spark, root, VersionedTable.latestVersion(spark, root))
+    assert(before.size >= 20 && after.size <= 2)
+    assert(idsOf(VersionedTable.read(spark, root)) === (0L until 100L))
+  }
+
+  test("crash windows: data files written but manifest missing, or " +
+      "manifest written but pointer stale — the committed state is " +
+      "never corrupted and retry works") {
+    val root = tmpDir("vt-crash")
+    VersionedTable.overwrite(rows(0, 10), root)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // window 1: kill after data write, before manifest — orphans only
+    rows(10, 5).write.mode("overwrite").parquet(s"$root/stage-dead")
+    assert(idsOf(VersionedTable.read(spark, root)) === (0L until 10L))
+    // window 2: manifest v2 written, pointer still v1 (the overwrite-
+    // rename makes this unreachable on posix; simulate a filesystem
+    // without it) — recovery reads the highest complete manifest
+    val extra = VersionedTable.latestVersion(spark, root)
+    VersionedTable.append(rows(10, 5), root) // v2 committed properly
+    f.delete(new org.apache.hadoop.fs.Path(s"$root/_latest"), false)
+    assert(VersionedTable.latestVersion(spark, root) === extra + 1,
+      "pointer loss must recover from the manifests")
+    assert(idsOf(VersionedTable.read(spark, root)) === (0L until 15L))
+    // a retry on the recovered state commits the NEXT version cleanly
+    VersionedTable.append(rows(15, 5), root)
+    assert(idsOf(VersionedTable.read(spark, root)) === (0L until 20L))
+  }
+
+  test("vacuum reclaims only files no kept manifest references") {
+    val root = tmpDir("vt-vacuum")
+    VersionedTable.overwrite(rows(0, 50).repartition(8), root)
+    VersionedTable.compact(spark, root, targetFiles = 1)
+    val keptV = VersionedTable.latestVersion(spark, root)
+    VersionedTable.vacuum(spark, root, keepFrom = keptV)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = f.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+      .map(s => s"data/${s.getPath.getName}").toSet
+    assert(live === VersionedTable.manifest(spark, root, keptV).toSet,
+      "exactly the kept manifest's files survive")
+    assert(idsOf(VersionedTable.read(spark, root)) === (0L until 50L))
+    intercept[Exception] { // vacuumed history is gone, loudly
+      VersionedTable.read(spark, root, 1).collect()
+    }
+  }
+}
