@@ -80,4 +80,54 @@ class SystemE2ESpec extends SparkSpec {
     // distinct reviews, each scored identically on every replay
     assert(sink.select("review_text").distinct().count() === 20)
   }
+
+  test("curation batches → gate → dedup-against-table → versioned " +
+      "commits (X110): read-back equals the one-shot pipeline and a " +
+      "pinned reader is isolated from later compaction") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = tmpDir("e2e-vt")
+
+    def text(i: Int): String =
+      if (i % 7 == 0) "junk" // gated out (too short)
+      else s"useful document number ${i % 50} carrying content words"
+    def batch(ids: Range) =
+      ids.map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+
+    // per-batch pipeline: length gate → exact dedup against the TABLE
+    // (left-anti on digest — the X46 probe shape against X110 state)
+    def ingest(b: org.apache.spark.sql.DataFrame): Unit = {
+      val gated = b.filter(length(col("text")) >= 20)
+        .withColumn("digest", sha2(col("text"), 256))
+        .dropDuplicates("digest")
+      val cur = VersionedTable.latestVersion(spark, root)
+      val fresh =
+        if (cur == 0) gated
+        else gated.join(
+          VersionedTable.read(spark, root).select(col("digest")),
+          Seq("digest"), "left_anti")
+      if (cur == 0) VersionedTable.overwrite(fresh, root)
+      else VersionedTable.append(fresh, root)
+    }
+
+    ingest(batch(0 until 40))
+    val pinned = VersionedTable.latestVersion(spark, root)
+    val pinnedDigests = VersionedTable.read(spark, root, pinned)
+      .select(col("digest")).as[String].collect().sorted.toSeq
+    ingest(batch(20 until 70)) // overlaps → cross-batch dups
+    VersionedTable.compact(spark, root, targetFiles = 1)
+    ingest(batch(60 until 90))
+
+    // one-shot equivalent over the full arrival stream
+    val expect = (0 until 90).map(text).filter(_.length >= 20).distinct
+    val got = VersionedTable.read(spark, root)
+      .select(col("text")).as[String].collect().toSeq
+    assert(got.sorted === expect.sorted,
+      "incremental versioned curation must equal the one-shot pipeline")
+    assert(got.distinct.size === got.size, "no duplicate survived")
+    // the pre-compaction reader still resolves ITS exact snapshot
+    assert(VersionedTable.read(spark, root, pinned)
+      .select(col("digest")).as[String].collect().sorted.toSeq ===
+      pinnedDigests)
+  }
 }
