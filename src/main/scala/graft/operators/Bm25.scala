@@ -41,6 +41,49 @@ object Bm25 {
   val B = 0.75
   val TopK = 15
 
+  /** The shared scoring tail: (doc_id, tok, tf) × df × dl × stats →
+    * ranked top-k — ONE implementation for the recompute form (q133)
+    * and the maintained-state form (q157), so the scoring contract
+    * cannot drift between them.
+    */
+  private def scoreAndTop(tf: org.apache.spark.sql.DataFrame,
+      df: org.apache.spark.sql.DataFrame,
+      dl: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val scored = tf
+      .join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .join(broadcast(stats))
+      // identical literal expression tree on both engines:
+      // idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+      .withColumn("idf", log(lit(1.0d) +
+        (col("n_docs").cast("double") - col("df").cast("double")
+          + lit(0.5d)) / (col("df").cast("double") + lit(0.5d))))
+      .withColumn("tff",
+        (col("tf").cast("double") * lit(K1 + 1.0)) /
+          (col("tf").cast("double") + lit(K1) * (lit(1.0 - B) +
+            lit(B) * (col("dl").cast("double") / col("avgdl")))))
+      .withColumn("s", col("idf") * col("tff"))
+    // fixed-order per-term columns → fixed-order final sum
+    def termCol(term: String): Column =
+      coalesce(max(when(col("tok") === term, col("s"))), lit(0.0d))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(termCol(Terms(0)).as("s0"), termCol(Terms(1)).as("s1"),
+        termCol(Terms(2)).as("s2"), termCol(Terms(3)).as("s3"))
+      .withColumn("score",
+        col("s0") + col("s1") + col("s2") + col("s3"))
+    // distributed partial top-k (TakeOrderedAndProject), NOT a
+    // global window over the corpus-sized scored frame; the rank
+    // window then runs over the 15 surviving rows only
+    val top = perDoc.orderBy(col("score").desc, col("doc_id")).limit(TopK)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    top
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), round(col("score"), 4).as("bm25_r"))
+      .orderBy(col("rank"))
+  }
+
   /** q133 — BM25 top-15 for the probe query. */
   val q133 = GraftQuery(
     "q133_bm25_retrieval", {
@@ -59,37 +102,7 @@ object Bm25 {
           .agg(countDistinct(col("doc_id")).as("df"))
         val tf = qtoks.groupBy(col("doc_id"), col("tok"))
           .agg(count(lit(1)).as("tf"))
-        val scored = tf
-          .join(broadcast(df), "tok")
-          .join(dl, "doc_id")
-          .join(broadcast(stats))
-          // identical literal expression tree on both engines:
-          // idf = ln(1 + (N - df + 0.5)/(df + 0.5))
-          .withColumn("idf", log(lit(1.0d) +
-            (col("n_docs").cast("double") - col("df").cast("double")
-              + lit(0.5d)) / (col("df").cast("double") + lit(0.5d))))
-          .withColumn("tff",
-            (col("tf").cast("double") * lit(K1 + 1.0)) /
-              (col("tf").cast("double") + lit(K1) * (lit(1.0 - B) +
-                lit(B) * (col("dl").cast("double") / col("avgdl")))))
-          .withColumn("s", col("idf") * col("tff"))
-        // fixed-order per-term columns → fixed-order final sum
-        def termCol(term: String): Column =
-          coalesce(max(when(col("tok") === term, col("s"))), lit(0.0d))
-        val perDoc = scored.groupBy(col("doc_id"))
-          .agg(termCol(Terms(0)).as("s0"), termCol(Terms(1)).as("s1"),
-            termCol(Terms(2)).as("s2"), termCol(Terms(3)).as("s3"))
-          .withColumn("score",
-            col("s0") + col("s1") + col("s2") + col("s3"))
-        // distributed partial top-k (TakeOrderedAndProject), NOT a
-        // global window over the corpus-sized scored frame; the rank
-        // window then runs over the 15 surviving rows only
-        val top = perDoc.orderBy(col("score").desc, col("doc_id")).limit(TopK)
-        val w = Window.orderBy(col("score").desc, col("doc_id"))
-        top
-          .withColumn("rank", row_number().over(w))
-          .select(col("rank"), col("doc_id"), round(col("score"), 4).as("bm25_r"))
-          .orderBy(col("rank"))
+        scoreAndTop(tf, df, dl, stats)
       }
     },
     Some(s"""
@@ -134,5 +147,85 @@ object Bm25 {
       ORDER BY rank
     """))
 
-  val all: Seq[GraftQuery] = Seq(q133)
+  // ---- X111: incremental index/stats maintenance -------------------
+
+  /** Mergeable retrieval-state partials of a doc batch: the POSTINGS
+    * rows (kind='p': term, doc, tf) and the doc-length rows (kind='d':
+    * doc, dl) in one frame. df, n_docs, and avgdl all DERIVE from this
+    * state, so nothing needs a corpus rescan as batches arrive — this
+    * is the inverted index itself kept as X98-mergeable state
+    * (ingest batches are disjoint doc sets — the X46 curation
+    * contract — so the groupBy-sum combine is exact).
+    */
+  def statsPartials(batch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = batch
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val postings = toks.groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("p").as("kind"), col("tok"), col("doc_id"), col("n"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .select(lit("d").as("kind"), lit(null).cast("string").as("tok"),
+        col("doc_id"), col("n"))
+    postings.unionByName(dl)
+  }
+
+  /** Combine two state frames — additive per (kind, term, doc). */
+  def statsCombine(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    a.unionByName(b).groupBy(col("kind"), col("tok"), col("doc_id"))
+      .agg(sum(col("n")).as("n"))
+
+  /** Merge one doc batch into the retrieval state — exactly-once by
+    * batch id (the X98 contract).
+    */
+  def mergeStatsOnce(batch: org.apache.spark.sql.DataFrame, path: String,
+      batchId: Long): Unit =
+    MaterializedAgg.mergeOnceAs(batch, path, batchId,
+      statsPartials, statsCombine)
+
+  /** Score the probe query against the MAINTAINED state: postings for
+    * the query terms (a pushed-down filter on the state scan — at
+    * scale, with the state range-partitioned by term, a file-skipping
+    * read), df/dl/avgdl derived from the same state, the shared
+    * scoring tail. No corpus access at all.
+    */
+  def scoreFromState(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.DataFrame = {
+    MaterializedAgg.recover(spark, path)
+    val st = spark.read.parquet(path)
+    val dl = st.filter(col("kind") === "d")
+      .select(col("doc_id"), col("n").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    val tf = st.filter(col("kind") === "p" && col("tok").isin(Terms: _*))
+      .select(col("doc_id"), col("tok"), col("n").as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    scoreAndTop(tf, df, dl, stats)
+  }
+
+  /** q157 — the maintenance loop END TO END: the corpus arrives as 4
+    * disjoint batches (doc_id % 4), the index state absorbs each, and
+    * scoring against the state must reproduce q133's full-recompute
+    * ranking EXACTLY (same oracle SQL — the maintained index is
+    * indistinguishable from the rescan).
+    */
+  val q157 = GraftQuery(
+    "q157_bm25_incremental",
+    { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val path = java.nio.file.Files
+        .createTempDirectory("q157-state").toString + "/state"
+      (0 to 3).foreach(b =>
+        mergeStatsOnce(docs.filter(pmod(col("doc_id"), lit(4)) === b),
+          path, b.toLong))
+      scoreFromState(s, path)
+    },
+    q133.oracle)
+
+  val all: Seq[GraftQuery] = Seq(q133, q157)
 }

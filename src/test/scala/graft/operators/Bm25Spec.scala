@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
@@ -82,5 +83,53 @@ class Bm25Spec extends AnyFunSuite with SparkSpec {
       assert(math.abs(s - score(id)) < 1e-4,
         s"bm25 mismatch for doc $id: got $s expected ${score(id)}")
     }
+  }
+
+  // ---- X111: the maintained-index form ------------------------------
+
+  private def docsFrame =
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+  test("X111 state: merged over 4 batches == one-shot partials frame " +
+      "exactly; replayed batch id is a no-op") {
+    val path = tmpDir("bm25-inc") + "/state"
+    (0 to 3).foreach(b => Bm25.mergeStatsOnce(
+      docsFrame.filter(pmod(col("doc_id"), lit(4)) === b), path, b.toLong))
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.selectExpr("kind", "tok", "doc_id", "n").collect()
+        .map(_.toString).sorted.toSeq
+    assert(snap(spark.read.parquet(path)) ===
+      snap(Bm25.statsPartials(docsFrame)),
+      "merged state must equal the one-shot partials")
+    val before = snap(spark.read.parquet(path))
+    Bm25.mergeStatsOnce(docsFrame, path, 3L) // replay id
+    assert(snap(spark.read.parquet(path)) === before)
+  }
+
+  test("X111 stats stay CURRENT: after an append batch, scoring " +
+      "against the state equals a full recompute over the extended " +
+      "corpus (df/avgdl shifts included)") {
+    import spark.implicits._
+    val path = tmpDir("bm25-inc2") + "/state"
+    Bm25.mergeStatsOnce(docsFrame, path, 0L)
+    // an append batch that uses the probe terms — df and avgdl move
+    val extra = (9000L until 9040L).map(i =>
+      (i, s"hash join window stream extra content number $i"))
+      .toDF("doc_id", "text")
+    Bm25.mergeStatsOnce(extra, path, 1L)
+    val fromState = Bm25.scoreFromState(spark, path).collect()
+      .map(_.toString).toSeq
+    // full recompute over the extended corpus through q133's builder
+    val dir = tmpDir("bm25-ext")
+    docsFrame.select(col("doc_id"), col("text"))
+      .unionByName(extra)
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val recompute = Bm25.q133.build(spark, dir).collect()
+      .map(_.toString).toSeq
+    assert(fromState === recompute,
+      "maintained index must be indistinguishable from the rescan")
   }
 }
