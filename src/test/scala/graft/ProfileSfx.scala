@@ -128,7 +128,8 @@ object ProfileSfx {
       // and incremental CC (certificate-merge closure over the sliced
       // brute pair set — the Σdf² pair face plus 4 star-forest merges)
       graft.operators.VocabDrift.q151,
-      graft.operators.IncrementalCc.q154)
+      graft.operators.IncrementalCc.q154,
+      graft.operators.Bm25.q157)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
