@@ -133,6 +133,75 @@ object StreamingProfile {
       .agg(sum(col("n")).as("n"), min(col("mn")).as("mn"),
         max(col("mx")).as("mx"))
 
+  /** GROUPED grid partials: one frozen-grid histogram per key of
+    * `groupCol` (the per-segment/per-source form an ingest dashboard
+    * keeps — same grid for every group so merged groups stay
+    * comparable). State is ≤ |groups|·cells rows; at a large group
+    * count the per-group occupancy just gets sparser, never wider.
+    */
+  def groupedGridPartials(batch: DataFrame, groupCol: String,
+      valueCol: String, lo: Double, hi: Double,
+      cells: Int = Cells): DataFrame = {
+    val w = (hi - lo) / cells
+    batch.select(col(groupCol).cast("string").as("g"),
+      col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+      .withColumn("cell", least(lit(cells - 1), greatest(lit(0),
+        floor((col("v") - lit(lo)) / lit(w)).cast("int"))))
+      .groupBy(col("g"), col("cell"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+        max(col("v")).as("mx"))
+  }
+
+  /** Combine two grouped grid frames — additive per (group, cell). */
+  def groupedGridCombine(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("g"), col("cell"))
+      .agg(sum(col("n")).as("n"), min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"))
+
+  /** Merge one batch into the grouped grid state — exactly-once. */
+  def mergeGroupedGridOnce(batch: DataFrame, groupCol: String,
+      valueCol: String, lo: Double, hi: Double, path: String,
+      batchId: Long, cells: Int = Cells): Unit =
+    MaterializedAgg.mergeOnceAs(batch, path, batchId,
+      groupedGridPartials(_, groupCol, valueCol, lo, hi, cells),
+      groupedGridCombine)
+
+  /** Per-group equi-depth boundaries from the merged grouped state —
+    * the cumulative walk runs per group over its ≤cells-row slice (a
+    * group-partitioned window over bounded frames, not a collect:
+    * |groups| can be large even though each group's frame is small).
+    */
+  def equiDepthBy(spark: org.apache.spark.sql.SparkSession, path: String,
+      k: Int, lo: Double, hi: Double, cells: Int = Cells): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    MaterializedAgg.recover(spark, path)
+    val w = (hi - lo) / cells
+    val st = spark.read.parquet(path)
+    val wg = Window.partitionBy(col("g")).orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wall = Window.partitionBy(col("g"))
+    val cum = st
+      .withColumn("cumBefore", coalesce(sum(col("n")).over(wg), lit(0L)))
+      .withColumn("total", sum(col("n")).over(wall))
+    // boundary i of group g sits in the cell where cumBefore+n first
+    // reaches i·total/k; interpolate within that cell
+    val bounds = cum
+      .select(col("g"), col("cell"), col("n"), col("cumBefore"),
+        col("total"), explode(sequence(lit(1), lit(k - 1))).as("bi"))
+      // integer rank target (div — same floor semantics as the global
+      // equiDepth's driver arithmetic)
+      .withColumn("target", expr(s"(bi * total) div $k"))
+      .filter(col("cumBefore") < col("target") &&
+        col("cumBefore") + col("n") >= col("target"))
+      .withColumn("need", col("target") - col("cumBefore"))
+      .withColumn("bound", lit(lo) + col("cell") * w +
+        lit(w) * col("need").cast("double") / col("n").cast("double"))
+      .select(col("g"), col("bi"), col("bound"))
+    bounds.orderBy(col("g"), col("bi"))
+  }
+
   /** Merge one batch into the grid state — exactly-once by batch id. */
   def mergeGridOnce(batch: DataFrame, valueCol: String, lo: Double,
       hi: Double, path: String, batchId: Long,

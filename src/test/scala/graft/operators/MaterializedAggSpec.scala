@@ -198,6 +198,39 @@ class MaterializedAggSpec extends AnyFunSuite with SparkSpec {
       "rolled-back attempt must not poison the real merge")
   }
 
+  test("kill-storm property: ten merges, each preceded by a SEEDED " +
+      "random staged crash window from the previous attempt — replay " +
+      "always converges to the one-shot state") {
+    val rnd = new scala.util.Random(42)
+    val path = tmpDir("matagg-storm") + "/state"
+    val slices = (0 until 10).map(b => ev.filter(col("event_id") % 10 === b))
+    slices.zipWithIndex.foreach { case (d, b) =>
+      // stage a random wreck of a HALF-DONE attempt at this batch
+      // before the "driver restart" calls mergeOnce
+      rnd.nextInt(4) match {
+        case 0 => // torn tmp write, no ready sentinel
+          fs.mkdirs(hp(path + ".tmp"))
+          val out = fs.create(hp(path + ".tmp/part-0.parquet"), true)
+          out.write("torn".getBytes); out.close()
+        case 1 if fs.exists(hp(path)) => // stale .old from a prior swap
+          org.apache.hadoop.fs.FileUtil.copy(fs, hp(path), fs,
+            hp(path + ".old"), false,
+            spark.sparkContext.hadoopConfiguration)
+        case 2 if fs.exists(hp(path)) =>
+          // ready sentinel accidentally inside the LIVE dir (kill
+          // after rename-in, before cleanup)
+          fs.create(hp(path + "/_swap_ready"), true).close()
+        case _ => () // clean arrival
+      }
+      MaterializedAgg.mergeOnce(d, path, b.toLong)
+    }
+    val oneShot = tmpDir("matagg-storm-ref") + "/state"
+    MaterializedAgg.init(ev, oneShot)
+    assert(snapshot(path) === snapshot(oneShot),
+      "storm-recovered state must equal the one-shot state")
+    assert(MaterializedAgg.committedBatch(spark, path) === 9L)
+  }
+
   test("X98 streaming form survives a REAL kill between state swap and " +
       "checkpoint commit (X71 source): restart replays the batch id, " +
       "mergeOnce skips it, read-back ≡ one-shot") {

@@ -130,6 +130,47 @@ class StreamingProfileSpec extends AnyFunSuite with SparkSpec {
     assert(bounds.last._3 === stats.getDouble(1))
   }
 
+  test("grouped grid: per-group merged == one-shot, and every group's " +
+      "equi-depth boundaries hit their per-group rank targets within " +
+      "crossing-cell occupancy") {
+    val v = "l_extendedprice"; val g = "l_returnflag"
+    val stats = li.agg(min(col(v)), max(col(v))).first()
+    val (lo, hi) = (stats.getDouble(0), stats.getDouble(1) + 1e-9)
+    def build(slices: Seq[DataFrame]): String = {
+      val path = tmpDir("ggrid") + "/state"
+      slices.zipWithIndex.foreach { case (s, i) =>
+        StreamingProfile.mergeGroupedGridOnce(s, g, v, lo, hi, path,
+          i.toLong)
+      }
+      path
+    }
+    val merged = build(
+      (0 to 3).map(b => li.filter(col("l_orderkey") % 4 === b)))
+    val oneShot = build(Seq(li))
+    def cells(p: String): Seq[String] =
+      spark.read.parquet(p).selectExpr("g", "cell", "n", "mn", "mx")
+        .collect().map(_.toString).sorted.toSeq
+    assert(cells(merged) === cells(oneShot))
+    val k = 4
+    val bounds = StreamingProfile.equiDepthBy(spark, merged, k, lo, hi)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val groups = li.select(col(g)).distinct().collect()
+      .map(_.getString(0)).toSeq
+    groups.foreach { grp =>
+      val total = li.filter(col(g) === grp).count()
+      val maxOcc = spark.read.parquet(merged)
+        .filter(col("g") === grp).agg(max(col("n"))).first().getLong(0)
+      val mine = bounds.filter(_._1 == grp)
+      assert(mine.length === k - 1, s"group $grp boundary count")
+      mine.foreach { case (_, bi, b) =>
+        val rank = li.filter(col(g) === grp && col(v) <= b).count()
+        val target = bi.toLong * total / k
+        assert(math.abs(rank - target) <= maxOcc,
+          s"group $grp boundary $bi: rank $rank vs $target (occ $maxOcc)")
+      }
+    }
+  }
+
   test("streaming form end-to-end: MemoryStream batches -> profile " +
       "state == one-shot over the same rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
