@@ -648,4 +648,14 @@ class PlanSpec extends SparkSpec {
       .size
     assert(scans == 1, s"expected exactly 1 lineitem scan, got $scans")
   }
+
+  test("q157 maintained-index scoring PUSHES the query terms into the " +
+      "state scan (at scale: a file-skipping read of term-partitioned " +
+      "postings, never a full state sweep)") {
+    val plan = planOf(Bm25.q157.build(spark, sf0001))
+    assert(plan.contains("PushedFilters") &&
+      """PushedFilters: \[[^\]]*tok""".r.findFirstIn(plan).isDefined,
+      s"query terms must reach the state scan:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
