@@ -129,7 +129,10 @@ object ProfileSfx {
       // brute pair set — the Σdf² pair face plus 4 star-forest merges)
       graft.operators.VocabDrift.q151,
       graft.operators.IncrementalCc.q154,
-      graft.operators.Bm25.q157)
+      graft.operators.Bm25.q157,
+      graft.operators.KappaAgreement.q155,
+      graft.operators.GiniConcentration.q152,
+      graft.operators.RankingMetrics.q158)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>

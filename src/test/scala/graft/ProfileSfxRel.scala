@@ -102,7 +102,9 @@ object ProfileSfxRel {
       // r12: rank-sum (two-level prefix over the distinct-value frame)
       // and SCD2 history (two entity-partitioned windows over events)
       graft.operators.RankSum.q149,
-      graft.operators.ScdHistory.q153)
+      graft.operators.ScdHistory.q153,
+      graft.operators.CorrelationMatrix.q150,
+      graft.operators.ZOrderClustering.q156)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
@@ -145,7 +147,9 @@ object ProfileSfxRel {
         graft.operators.MaterializedAgg.q147,
         graft.operators.EquiDepthHistogram.q148,
         graft.operators.RankSum.q149,
-        graft.operators.ScdHistory.q153)
+        graft.operators.ScdHistory.q153,
+        graft.operators.CorrelationMatrix.q150,
+        graft.operators.ZOrderClustering.q156)
       deep.filter(q => only.forall(names =>
         names.exists(q.name.startsWith))).foreach { q =>
         val t1 = minOf(2)(q.build(spark, dst).count())
