@@ -7,13 +7,22 @@ object Bench {
     // ONE source of session truth (GraftSession) so parquet/timezone
     // semantics can't drift between the entry points (ADVICE r8)
     val spark = GraftSession.local(cpus)
+    // scratch-run conf overrides ("k=v;k=v") — used by tools/planstab.sh
+    // to prove the plan_changes guard fires on a REAL plan flip (e.g.
+    // autoBroadcastJoinThreshold=-1 turning broadcasts into SMJ)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").filter(_.nonEmpty)
+      .foreach(_.split(";").filter(_.nonEmpty).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+      System.err.println(s"[bench] scratch conf override: $k=$v")
+    })
     // optional filters for local iteration: SPARK_GRAFT_ONLY=q42,q43
     // runs a subset; SPARK_GRAFT_REPEAT overrides the repeat count.
     // Default is min-of-3: this host shows multi-x background-noise
     // swings (SCALE.md), and single-shot timings mis-adjudicated two
     // queries in round 2 — the minimum over 3 runs is the noise-robust
     // statistic the driver's per-round BENCH should record.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty)
       .map(_.split(",").toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val selected = SparkEntry.queries
@@ -77,10 +86,24 @@ object Bench {
       val q = """"(q[0-9][^"]*)":(-?[0-9]+\.[0-9]+)""".r
       q.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
     }.getOrElse(Map.empty)
-    val committedPlanHashes: Map[String, String] = baselineArtifact.map { s =>
-      val h = """"(q[0-9][^"]*)":"([0-9a-f]{8})"""".r
-      h.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
-    }.getOrElse(Map.empty)
+    // only diff hashes produced by the SAME fingerprint definition —
+    // r12's v1 hashed a never-executed plan, v2 hashes the executed
+    // one, so a cross-version diff would flag all 159 queries at once
+    // and train readers to ignore plan_changes (VERDICT r12 item 1)
+    val baselinePlanVer: Int = baselineArtifact
+      .flatMap(s => """"plan_hash_ver":(\d+)""".r
+        .findFirstMatchIn(s).map(_.group(1).toInt))
+      .getOrElse(1)
+    val committedPlanHashes: Map[String, String] =
+      if (baselinePlanVer != PlanHashVersion) {
+        System.err.println(s"[bench] baseline plan_hash_ver " +
+          s"$baselinePlanVer != current $PlanHashVersion: " +
+          "plan_changes suppressed across the version boundary")
+        Map.empty
+      } else baselineArtifact.map { s =>
+        val h = """"(q[0-9][^"]*)":"([0-9a-f]{8})"""".r
+        h.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
+      }.getOrElse(Map.empty)
 
     val planHashes = scala.collection.mutable.Map.empty[String, String]
     def runSuite(): (Map[String, Double], Seq[String]) = {
@@ -90,14 +113,22 @@ object Bench {
           val t0 = System.nanoTime()
           try {
             val df = fn(spark, sfDir)
-            df.count()
+            // the timed action is the count-aggregate COLLECTED THROUGH
+            // ITS OWN QueryExecution (Dataset.count() plans a separate
+            // one), so `agg.queryExecution.executedPlan` afterwards IS
+            // the executed, AQE-finalized tree — r12's fingerprint read
+            // a fresh never-executed plan (isFinalPlan=false) and its
+            // "post-AQE" claim was wrong (ADVICE r12)
+            val agg = df.groupBy().count()
+            agg.collect()
             val t = (System.nanoTime() - t0) / 1e9
-            // fingerprint the EXECUTED (post-AQE) plan once per query —
-            // a silent shape regression (a broadcast flipping to SMJ)
-            // then shows as a plan_hash diff in the artifact even when
-            // no PlanSpec gate watches that query (VERDICT r11 item 7)
+            // fingerprint the EXECUTED (post-AQE, final) plan once per
+            // query — a silent shape regression (a broadcast flipping
+            // to SMJ) then shows as a plan_hash diff in the artifact
+            // even when no PlanSpec gate watches that query (VERDICT
+            // r11 item 7)
             if (!planHashes.contains(name))
-              try { planHashes(name) = planFingerprint(df) }
+              try { planHashes(name) = planFingerprint(name, agg) }
               catch { case _: Throwable => () }
             Some(t)
           } catch {
@@ -145,21 +176,44 @@ object Bench {
     // an immediate same-session rerun; the recorded value is the min of
     // ALL observations and the adjudication travels in the artifact —
     // a one-off GC/host spike can no longer read as a regression.
+    //
+    // DRIFT tier (VERDICT r12 item 2): r12 shipped q126 +65 % and q136
+    // +42 % on unchanged code — outside the documented ±30 % noise band
+    // but under the 3× spike bar, so nothing reran them and the
+    // artifact carried an unadjudicated number. Now any query whose
+    // min lands in (1.35×, 3×] of committed (and >0.25 s absolute)
+    // also reruns once, the min of all observations is recorded, and
+    // the adjudication travels in `drift` — noise self-corrects in the
+    // artifact, a real slowdown survives the rerun and is VISIBLY
+    // flagged rather than buried in the total.
     val spikes = scala.collection.mutable.ListBuffer.empty[String]
+    val drift = scala.collection.mutable.ListBuffer.empty[String]
+    def rerunMinOf(name: String, fallback: Double): Double = try {
+      (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        selected(name)(spark, sfDir).groupBy().count().collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    } catch { case _: Throwable => fallback } // crash → keep first value
     results = results.map { case (name, v) =>
       committedTimes.get(name) match {
         case Some(base) if base > 0 && v > 3.0 * base && v - base > 0.25 =>
-          val rerunMin = try {
-            (1 to repeat).map { _ =>
-              val t0 = System.nanoTime()
-              selected(name)(spark, sfDir).count()
-              (System.nanoTime() - t0) / 1e9
-            }.min
-          } catch { case _: Throwable => v } // crash → keep the first value
+          val rerunMin = rerunMinOf(name, v)
           System.err.println(f"[bench] $name spiked: $v%.3f s vs " +
             f"committed $base%.3f s; rerun min $rerunMin%.3f s")
           spikes += f"""{"query":"$name","first":$v%.3f,""" +
             f""""rerun":$rerunMin%.3f,"committed":$base%.3f}"""
+          name -> math.min(v, rerunMin)
+        case Some(base) if base > 0 && v > 1.35 * base && v - base > 0.25 =>
+          val rerunMin = rerunMinOf(name, v)
+          val verdict =
+            if (rerunMin <= 1.35 * base) "noise" else "persistent"
+          System.err.println(f"[bench] $name drifted: $v%.3f s vs " +
+            f"committed $base%.3f s; rerun min $rerunMin%.3f s " +
+            s"($verdict)")
+          drift += f"""{"query":"$name","first":$v%.3f,""" +
+            f""""rerun":$rerunMin%.3f,"committed":$base%.3f,""" +
+            f""""verdict":"$verdict"}"""
           name -> math.min(v, rerunMin)
         case _ => name -> v
       }
@@ -213,6 +267,7 @@ object Bench {
     val annRecallJson = annRecall(spark, sfDir)
     val bbitJson = bbitQuality(spark, sfDir)
     val spikesJson = spikes.mkString("[", ",", "]")
+    val driftJson = drift.mkString("[", ",", "]")
 
     // plan-shape drift vs the round-start artifact: a changed hash is
     // not a failure (plans legitimately evolve with code changes) but
@@ -233,7 +288,7 @@ object Bench {
     // swings (q42 +25 %, q68 −30 %): the recorded statistic is min-of-N
     // and the note travels in the artifact so a future reader never
     // adjudicates a single-query delta inside that band as a regression.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_$repeat","noise_note":"per-query swings up to +/-30pct on identical code (r5 vs r6 calibration); single-query spikes beyond 3x committed are rerun in-session and adjudicated in `spikes`","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"rates_canary":$ratesCanaryJson,"spikes":$spikesJson,"plan_hashes":$planHashJson,"plan_changes":$planChangesJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate,"vehicle_fps_real":$vehicleRealFps,"curation_docs_per_sec":$curationRate,"curation_docs_per_sec_packed":$curationRatePacked,"ann_recall":$annRecallJson,"bbit":$bbitJson}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_$repeat","noise_note":"per-query swings up to +/-30pct on identical code (r5 vs r6 calibration); 1.35x-3x vs committed is rerun and adjudicated in `drift`, beyond 3x in `spikes` -- an unexplained cross-round delta can no longer ship unadjudicated","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"rates_canary":$ratesCanaryJson,"spikes":$spikesJson,"drift":$driftJson,"plan_hash_ver":$PlanHashVersion,"plan_hashes":$planHashJson,"plan_changes":$planChangesJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate,"vehicle_fps_real":$vehicleRealFps,"curation_docs_per_sec":$curationRate,"curation_docs_per_sec_packed":$curationRatePacked,"ann_recall":$annRecallJson,"bbit":$bbitJson}"""
     println(line)
     // persist the full line INSIDE the repo (the round commits it), so
     // all per-query times stay recoverable even when the driver's
@@ -256,15 +311,32 @@ object Bench {
     spark.stop()
   }
 
-  /** Stable 8-hex fingerprint of a query's executed physical plan.
-    * Run-varying tokens are normalized away so the hash tracks SHAPE
-    * (operator tree, join strategies, exchanges), not identity: expr
-    * ids (#123), plan/stage ids, temp-dir paths, and AQE annotations
-    * all churn between identical runs; what remains is exactly what a
-    * PlanSpec gate would read. Same code + same data ⇒ same hash;
-    * a broadcast→SMJ flip ⇒ different hash.
+  /** Fingerprint version, published as `plan_hash_ver` in the artifact.
+    * v2 = executed (post-AQE, final) plan of the counted query — the
+    * pre-r13 v1 hashed a never-executed re-plan, so v1 and v2 hashes
+    * are incomparable and the diff is suppressed across the version
+    * boundary rather than crying wolf on all 159 queries at once.
     */
-  private def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
+  val PlanHashVersion = 2
+
+  /** Stable 8-hex fingerprint of a query's EXECUTED physical plan
+    * (the caller collects through the dataset's own QueryExecution
+    * first, so the AQE tree here is final — runtime join-strategy
+    * flips ARE captured). Run-varying tokens are normalized away so
+    * the hash tracks SHAPE (operator tree, join strategies,
+    * exchanges), not identity: expr ids (#123), plan/stage ids,
+    * temp-dir paths, partition/row statistics, and AQE annotations all
+    * churn between identical runs; what remains is exactly what a
+    * PlanSpec gate would read. Same code + same data ⇒ same hash
+    * (asserted for ALL queries by `tools/planstab.sh`, two full runs);
+    * a broadcast→SMJ flip ⇒ different hash (proven non-vacuously by
+    * the same tool's threshold-flip scratch run).
+    *
+    * SPARK_GRAFT_PLAN_DUMP=dir writes each query's normalized text to
+    * dir/<name>.txt so any future churn diffs in seconds.
+    */
+  private def planFingerprint(name: String,
+      df: org.apache.spark.sql.DataFrame): String = {
     val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.executedPlan.toString
     val norm = plan
@@ -277,6 +349,29 @@ object Bench {
       .replaceAll("\\(\\d+ paths?\\)", "(paths)")
       .replaceAll("cachedrdd-\\d+", "cachedrdd")
       .replaceAll("ReusedExchange \\[[^\\]]*\\]", "ReusedExchange")
+      // the final AQE tree prints runtime artifacts a re-run never
+      // reproduces: query-stage ordinals, shuffle/broadcast stage
+      // statistics (rowCount, sizeInBytes), coalesced-partition
+      // counts, and subquery result ids — all statistics, not shape
+      .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
+      .replaceAll("coalesced( \\d+ partitions)?", "coalesced")
+      .replaceAll("\\d+ partitions", "N partitions")
+      .replaceAll("stage-\\d+", "stage-N")
+      .replaceAll("QueryStage \\d+", "QueryStage N")
+      // JVM object identity of closures: MapPartitions prints the
+      // lambda's hidden-class id + address + hashCode
+      // ($$Lambda$5141/0x00007f85ed406178@2fedae96) — this was the
+      // r12 churn on q13/q31/q53/q79 (all four carry an object-plan
+      // MapPartitions/UDAF node), pure run identity, zero shape
+      .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$\\$Lambda")
+      .replaceAll("@[0-9a-fA-F]{6,}", "@obj")
+    sys.env.get("SPARK_GRAFT_PLAN_DUMP").foreach { dir =>
+      try {
+        val d = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(d)
+        java.nio.file.Files.writeString(d.resolve(s"$name.txt"), norm)
+      } catch { case _: Throwable => () }
+    }
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     md.take(4).map(b => f"${b & 0xff}%02x").mkString

@@ -37,13 +37,19 @@ object CorrelationMatrix {
   def momentPartials(batch: DataFrame,
       pairs: Seq[(String, String)]): DataFrame = {
     val cols = pairs.flatMap { case (x, y) => Seq(x, y) }.distinct
+    // listwise deletion: a null in ANY participating column would make
+    // n (count of all rows) inconsistent with the null-skipping sums
+    // and silently skew cov/ρ — the operator is exposed to arbitrary
+    // streams via streamMoments, not just the non-null TPC-H columns
+    // (ADVICE r12)
+    val clean = batch.na.drop("any", cols)
     val aggs =
       cols.map(c => sum(col(c).cast(D)).as(s"s_$c")) ++
         cols.map(c => sum(col(c).cast(D) * col(c).cast(D)).as(s"q_$c")) ++
         pairs.map { case (x, y) =>
           sum(col(x).cast(D) * col(y).cast(D)).as(s"p_${x}_$y")
         }
-    val one = batch.agg(count(lit(1)).as("n"), aggs: _*)
+    val one = clean.agg(count(lit(1)).as("n"), aggs: _*)
     one.select(explode(array(pairs.map { case (x, y) =>
       struct(lit(s"$x~$y").as("pair"), col("n"),
         col(s"s_$x").as("sx"), col(s"s_$y").as("sy"),

@@ -271,17 +271,26 @@ object AnnIvf {
     // not query); the winner pick stays a SEQUENTIAL argmin over the
     // per-restart results, so parallelism cannot change the model
     val nR = math.max(1, restarts)
-    val results = new Array[(Array[Array[Double]], Double)](nR)
+    // each slot holds Try, not the bare result: an exception inside a
+    // restart thread would otherwise go to the default uncaught handler
+    // and leave results(r) null, surfacing later as an opaque NPE that
+    // masks the real training failure (ADVICE r12)
+    val results =
+      new Array[scala.util.Try[(Array[Array[Double]], Double)]](nR)
     val threads = (0 until nR).map { r =>
       val t = new Thread(() => {
-        results(r) = localLloyd(maximinInit((r * 997) % sample.length), 10)
+        results(r) = scala.util.Try(
+          localLloyd(maximinInit((r * 997) % sample.length), 10))
       })
       t.start(); t
     }
     threads.foreach(_.join())
+    results.collectFirst { case scala.util.Failure(e) => e }
+      .foreach(e => throw new RuntimeException(
+        "k-means restart thread failed", e))
     var centroids: Array[Array[Double]] = null
     var bestDist = Double.MaxValue
-    results.foreach { case (m, d) =>
+    results.map(_.get).foreach { case (m, d) =>
       if (d < bestDist) { bestDist = d; centroids = m }
     }
     // Distributed refinement over the FULL corpus — integer-exact

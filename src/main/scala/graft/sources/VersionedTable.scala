@@ -165,6 +165,14 @@ object VersionedTable {
   def vacuum(spark: SparkSession, root: String, keepFrom: Long): Unit = {
     val f = fs(spark, hp(root))
     val latest = latestVersion(spark, root)
+    // keepFrom > latest would make the keep-range EMPTY and reclaim
+    // every live data file while _latest still points at the (now
+    // dangling) newest manifest — an off-by-one caller error must not
+    // destroy the table (ADVICE r12)
+    require(keepFrom <= latest,
+      s"vacuum keepFrom=$keepFrom exceeds latest committed version " +
+        s"$latest at $root — the current version's files can never " +
+        "be reclaimed")
     val keep = (math.max(1L, keepFrom) to latest)
       .flatMap(v => manifest(spark, root, v)).toSet
     val dataDir = hp(s"$root/data")
