@@ -131,12 +131,16 @@ object IvfPq {
     * comparable and measured 0.86 recall@5 at sf0.1).
     */
   def topK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      nprobe: Int = 0, shortlist: Int = 0, m: Int = PqAnn.M): DataFrame = {
+      nprobe: Int = 0, shortlist: Int = 0, m: Int = 0): DataFrame = {
     val dim = 64
     val vecs = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val n = vecs.count()
     val sl = if (shortlist > 0) shortlist else PqAnn.autoShortlist(n)
+    // code budget follows the corpus like the cell count does:
+    // [[PqAnn.autoM]] — m=8 while the shortlist cap is slack, m=16
+    // once it binds (the N=100k residual-ADC decay 0.70 → 0.92)
+    val mm = if (m > 0) m else PqAnn.autoM(n)
     val nl = nListFor(n)
     // the composed tier probes a HIGHER cell fraction than plain IVF
     // (0.55 vs 0.45): the residual-ADC ranking is lossy on top of the
@@ -144,7 +148,7 @@ object IvfPq {
     // sf0.1 while 0.55 holds 0.84/0.82 across the decade — the extra
     // probes cost code-column reads (4 B/vector), not float reads
     val np = if (nprobe > 0) nprobe else AnnIvf.autoNprobe(nl, 0.55)
-    val idx = buildIndex(vecs, dim, nl, m)
+    val idx = buildIndex(vecs, dim, nl, mm)
     val cand = adcCandidates(idx, vecs, queryIds, np, sl)
       .select(col("qid"), col("vec_id"))
 

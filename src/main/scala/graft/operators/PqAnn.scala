@@ -141,10 +141,11 @@ object PqAnn {
     * exact re-rank production uses.
     */
   def adcTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      m: Int = M): DataFrame = {
+      m: Int = 0): DataFrame = {
     val vecs = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val model = train(vecs, m = m)
+    val mm = if (m > 0) m else autoM(vecs.count())
+    val model = train(vecs, m = mm)
     val codes = vecs.select(col("vec_id"),
       encode(col("emb"), model).as("code"))
 
@@ -163,7 +164,7 @@ object PqAnn {
     codes
       .join(broadcast(qFrame))
       .filter(col("qid") =!= col("vec_id")) // a query is its own 0-dist hit
-      .withColumn("adc_dist", adcDist(col("code"), col("lut"), m))
+      .withColumn("adc_dist", adcDist(col("code"), col("lut"), mm))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("rank"), col("adc_dist"))
@@ -186,6 +187,22 @@ object PqAnn {
   private[operators] def autoShortlist(n: Long): Int =
     math.max(128L, math.min(1024L, n / 8)).toInt
 
+  /** Auto code budget (VERDICT r12 item 3 — the same gap
+    * [[AnnIvf.autoNlist]] closed for the cell count): while the corpus
+    * is small enough that the shortlist cap does NOT bind
+    * (N ≤ 8·1024, where the N/8 rule keeps the re-rank ratio fixed),
+    * the 32-bit m=8 code is enough — every measured point ≤ 8k holds
+    * recall@5 ≥ 0.84. Past the bind point the re-rank ratio shrinks
+    * and ADC code resolution becomes the binding constraint: the
+    * N=100k probe (ProfileAnnCap) measured m=8 decaying to 0.52 (PQ) /
+    * 0.70 (IVFADC) with nprobe doubling NOT fixing it (0.72), while
+    * m=16 — 64-bit codes, same Ks — restores 0.96 / 0.92. So: m=8
+    * while the cap is slack, m=16 beyond. 4-bit nibbles cap packing at
+    * m=16 per 64-bit code; past ~2²⁰ vectors the next budget step is
+    * Ks growth or a wider code column — documented, not auto.
+    */
+  def autoM(n: Long): Int = if (n <= 8L * 1024L) M else 16
+
   /** Production PQ search: ADC shortlist of [[autoShortlist]] (or an
     * explicit `shortlist > 0`) candidates in the compressed domain,
     * then EXACT squared-L2 re-rank of only those — the standard
@@ -195,11 +212,13 @@ object PqAnn {
     * (qid, vec_id, rank, dist) with dist exact.
     */
   def topK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      shortlist: Int = 0, m: Int = M): DataFrame = {
+      shortlist: Int = 0, m: Int = 0): DataFrame = {
     val vecs = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val sl = if (shortlist > 0) shortlist else autoShortlist(vecs.count())
-    val cand = adcTopK(embeddings, queryIds, sl, m)
+    val n = vecs.count()
+    val sl = if (shortlist > 0) shortlist else autoShortlist(n)
+    val cand = adcTopK(embeddings, queryIds, sl,
+      if (m > 0) m else autoM(n))
       .select(col("qid"), col("vec_id"))
     val spark = embeddings.sparkSession
     import spark.implicits._

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *   - IVFADC at double nprobe — the other recall knob at fixed cap.
   *
   * Run AFTER ProfileSfx (reuses nothing from it; builds its own dir):
-  *   sbt "Test/runMain graft.ProfileAnnCap"
+  *   sbt "Test/runMain graft.ProfileAnnCap"   # auto-m arms added r13
   * Reuse the built corpus with SPARK_GRAFT_SFX_REUSE=1.
   */
 object ProfileAnnCap {
@@ -66,26 +66,29 @@ object ProfileAnnCap {
         operators.AnnLsh.topK(emb, q, k = 5), 0, 2)),
       ("ivf_auto", () => topSets(
         operators.AnnIvf.topK(emb, q, k = 5), 0, 2)),
-      ("pq_capped_1024", () => topSets(
-        operators.PqAnn.topK(emb, q, k = 5), 0, 1)),
+      // m=8 PINNED at the fixed cap — the decay the auto rule exists
+      // to fix (r12 measured 0.52/0.70 here)
+      ("pq_capped_m8", () => topSets(
+        operators.PqAnn.topK(emb, q, k = 5, m = 8), 0, 1)),
       ("pq_uncapped_n8", () => topSets(
-        operators.PqAnn.topK(emb, q, k = 5,
+        operators.PqAnn.topK(emb, q, k = 5, m = 8,
           shortlist = (n / 8).toInt), 0, 1)),
-      ("ivfpq_capped_1024", () => topSets(
-        operators.IvfPq.topK(emb, q, k = 5), 0, 1)),
+      ("ivfpq_capped_m8", () => topSets(
+        operators.IvfPq.topK(emb, q, k = 5, m = 8), 0, 1)),
       ("ivfpq_uncapped_n8", () => topSets(
-        operators.IvfPq.topK(emb, q, k = 5,
+        operators.IvfPq.topK(emb, q, k = 5, m = 8,
           shortlist = (n / 8).toInt), 0, 1)),
       ("ivfpq_2x_nprobe", () => topSets(
-        operators.IvfPq.topK(emb, q, k = 5, nprobe =
+        operators.IvfPq.topK(emb, q, k = 5, m = 8, nprobe =
           2 * operators.AnnIvf.autoNprobe(
             operators.AnnIvf.autoNlist(n))), 0, 1)),
-      // the M/Ks trade at the FIXED cap: double the code budget
-      // (m=16 → 64-bit codes, same Ks) instead of the re-rank length
-      ("pq_capped_m16", () => topSets(
-        operators.PqAnn.topK(emb, q, k = 5, m = 16), 0, 1)),
-      ("ivfpq_capped_m16", () => topSets(
-        operators.IvfPq.topK(emb, q, k = 5, m = 16), 0, 1)))
+      // the DEFAULTS: PqAnn.autoM must pick m=16 here (N ≫ 8·cap) and
+      // restore the compressed-domain ranking on its own — the r12
+      // "nothing auto-selects m" gap, closed (VERDICT r12 item 3)
+      ("pq_auto_default", () => topSets(
+        operators.PqAnn.topK(emb, q, k = 5), 0, 1)),
+      ("ivfpq_auto_default", () => topSets(
+        operators.IvfPq.topK(emb, q, k = 5), 0, 1)))
     arms.foreach { case (name, run) =>
       val t0 = System.nanoTime()
       val r = recall(run())
