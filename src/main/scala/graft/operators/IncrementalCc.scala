@@ -56,6 +56,26 @@ object IncrementalCc {
   def mergeOnce(delta: DataFrame, path: String, batchId: Long): Unit =
     MaterializedAgg.mergeOnceAs(delta, path, batchId, partials, combine)
 
+  /** Wire a pair stream (doc_a, doc_b columns) into the cluster-state
+    * maintenance loop — the deployment shape: the same foreachBatch +
+    * mergeOnce discipline as [[MaterializedAgg.stream]], so a kill
+    * between the state swap and the checkpoint commit replays the
+    * batch id on restart and the merge is a no-op (proven with a REAL
+    * kill over the X71 source in IncrementalCcSpec).
+    */
+  def stream(input: DataFrame, path: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    input.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeOnce(batch.select(col("doc_a"), col("doc_b")), path, batchId)
+      }
+      .start()
+
   /** Read the state back to (id, comp) labels — root rows included. */
   def readLabels(spark: SparkSession, path: String): DataFrame = {
     MaterializedAgg.recover(spark, path)

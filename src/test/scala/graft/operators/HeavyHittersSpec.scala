@@ -95,4 +95,67 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSpec {
     input.addData(rows.drop(1500)); runAvailable()
     check(rows, path)
   }
+
+  test("X105 summary maintenance survives a REAL kill between state " +
+      "swap and checkpoint commit (X71 source): restart replays the " +
+      "batch id, merge skips it, state == an identical unkilled run " +
+      "and the MG guarantees hold") {
+    import graft.streaming.EmbeddedLog
+    val rows = stream(3000)
+    def feed(topic: String): Unit = {
+      EmbeddedLog.createTopic(topic, 2)
+      rows.zipWithIndex.foreach { case (k, i) =>
+        EmbeddedLog.sendString(topic, k, s"""{"k":"$k"}""", 1000L + i)
+      }
+    }
+    def run(topic: String, path: String, ckpt: String,
+        kill: Option[java.util.concurrent.atomic.AtomicBoolean])
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream
+        .format(classOf[graft.streaming.EmbeddedLogProvider].getName)
+        .option("topic", topic).option("startingOffsets", "earliest")
+        .option("maxRecordsPerTrigger", "1000")
+        .load()
+        .selectExpr("from_json(CAST(value AS STRING), 'k STRING') AS j")
+        .selectExpr("j.k AS k")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          HeavyHitters.mergeOnce(b, "k", path, id)
+          // the crash window under test: summary swapped, checkpoint
+          // for this batch NOT yet committed
+          if (id == 1L && kill.exists(_.getAndSet(false)))
+            throw new RuntimeException("injected kill after state swap")
+        }
+        .start()
+    // killed + restarted run
+    val pathK = tmpDir("mg-ks") + "/state"
+    val ckptK = tmpDir("mg-ks-ckpt")
+    feed("mgkill")
+    val killOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val q1 = run("mgkill", pathK, ckptK, Some(killOnce))
+    intercept[Exception] { q1.processAllAvailable() }
+    assert(MaterializedAgg.committedBatch(spark, pathK) >= 1L,
+      "batch 1's state swap happened before the kill")
+    val q2 = run("mgkill", pathK, ckptK, None)
+    q2.processAllAvailable()
+    q2.stop()
+    // identical unkilled run: same data, same admission cap -> the
+    // same batch sequence, so the (order-sensitive within bounds) MG
+    // state must be IDENTICAL if and only if the replay was a no-op
+    val pathC = tmpDir("mg-ks-clean") + "/state"
+    val ckptC = tmpDir("mg-ks-clean-ckpt")
+    feed("mgclean")
+    val q3 = run("mgclean", pathC, ckptC, None)
+    q3.processAllAvailable()
+    q3.stop()
+    val snapK = HeavyHitters.read(spark, pathK).collect()
+      .toSeq.map(_.toString)
+    val snapC = HeavyHitters.read(spark, pathC).collect()
+      .toSeq.map(_.toString)
+    assert(snapK === snapC,
+      "killed+restarted summary must equal the unkilled run's")
+    check(rows, pathK)
+    EmbeddedLog.dropTopic("mgkill"); EmbeddedLog.dropTopic("mgclean")
+  }
 }

@@ -66,6 +66,60 @@ class IncrementalCcSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(path).count() === 3L) // 4 nodes − 1 comp
   }
 
+  test("X107 streaming form survives a REAL kill between state swap " +
+      "and checkpoint commit (X71 source): restart replays the batch " +
+      "id, mergeOnce skips it, read-back ≡ the one-shot q68-style " +
+      "closure of the full mined pair set (the q154 oracle machinery)") {
+    import graft.streaming.EmbeddedLog
+    // the REAL pair set q154's oracle hash-checks: near-dup pairs
+    // mined from the sf0.001 documents corpus
+    val pairs = DedupQueries.jaccardPairs(spark, sf0001)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length > 10, "the mined pair set must be non-trivial")
+    val path = tmpDir("icc-ks") + "/state"
+    val ckpt = tmpDir("icc-ks-ckpt")
+    EmbeddedLog.createTopic("iccpairs", 2)
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      EmbeddedLog.sendString("iccpairs", a.toString,
+        s"""{"doc_a":$a,"doc_b":$b}""", 1000L + i)
+    }
+    val killOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream
+        .format(classOf[graft.streaming.EmbeddedLogProvider].getName)
+        .option("topic", "iccpairs").option("startingOffsets", "earliest")
+        .option("maxRecordsPerTrigger", (pairs.length / 3 + 1).toString)
+        .load()
+        .selectExpr("from_json(CAST(value AS STRING), " +
+          "'doc_a BIGINT, doc_b BIGINT') AS j")
+        .selectExpr("j.doc_a AS doc_a", "j.doc_b AS doc_b")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          IncrementalCc.mergeOnce(b, path, id)
+          // the crash window under test: cluster state swapped,
+          // checkpoint for this batch NOT yet committed
+          if (id == 1L && killOnce.getAndSet(false))
+            throw new RuntimeException("injected kill after state swap")
+        }
+        .start()
+    val q1 = run()
+    intercept[Exception] { q1.processAllAvailable() }
+    assert(graft.operators.MaterializedAgg
+      .committedBatch(spark, path) >= 1L,
+      "batch 1's state swap happened before the kill")
+    val q2 = run() // restart from the SAME checkpoint → batch 1 replays
+    q2.processAllAvailable()
+    q2.stop()
+    val oneShot = ConnectedComponents
+      .labels(pairs.toSeq.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelsOf(path) === oneShot,
+      "post-recovery clusters must equal the one-shot closure")
+    EmbeddedLog.dropTopic("iccpairs")
+  }
+
   test("replayed batch id is a no-op (inherited X98 exactly-once)") {
     val path = tmpDir("icc-replay") + "/state"
     val d = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")

@@ -192,4 +192,58 @@ class StreamingProfileSpec extends AnyFunSuite with SparkSpec {
       rows.toDF("a", "b"), Seq("a", "b"), ref, 0L)
     assert(snap(path) === snap(ref))
   }
+
+  test("X100 profile maintenance survives a REAL kill between state " +
+      "swap and checkpoint commit (X71 source): restart replays the " +
+      "batch id, merge skips it, read-back == one-shot on every exact " +
+      "field with HLL within 1%") {
+    import graft.streaming.EmbeddedLog
+    val path = tmpDir("sprof-ks") + "/state"
+    val ckpt = tmpDir("sprof-ks-ckpt")
+    EmbeddedLog.createTopic("sprof", 2)
+    val rows = (0 until 90).map(i => (i.toLong % 17, i * 0.25))
+    rows.zipWithIndex.foreach { case ((a, b), i) =>
+      EmbeddedLog.sendString("sprof", a.toString,
+        s"""{"a":$a,"b":$b}""", 1000L + i)
+    }
+    val killOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream
+        .format(classOf[graft.streaming.EmbeddedLogProvider].getName)
+        .option("topic", "sprof").option("startingOffsets", "earliest")
+        .option("maxRecordsPerTrigger", "35")
+        .load()
+        .selectExpr(
+          "from_json(CAST(value AS STRING), 'a BIGINT, b DOUBLE') AS j")
+        .selectExpr("j.a AS a", "j.b AS b")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamingProfile.mergeProfileOnce(b, Seq("a", "b"), path, id)
+          // the crash window under test: profile state swapped,
+          // checkpoint for this batch NOT yet committed
+          if (id == 1L && killOnce.getAndSet(false))
+            throw new RuntimeException("injected kill after state swap")
+        }
+        .start()
+    val q1 = run()
+    intercept[Exception] { q1.processAllAvailable() }
+    assert(MaterializedAgg.committedBatch(spark, path) >= 1L,
+      "batch 1's state swap happened before the kill")
+    val q2 = run() // restart from the SAME checkpoint -> batch 1 replays
+    q2.processAllAvailable()
+    q2.stop()
+    val ref = tmpDir("sprof-ks-ref") + "/state"
+    StreamingProfile.mergeProfileOnce(
+      rows.toDF("a", "b"), Seq("a", "b"), ref, 0L)
+    assert(snap(path) === snap(ref),
+      "post-recovery profile must equal the one-shot on exact fields")
+    val refEst = estimates(ref)
+    estimates(path).foreach { case (c, est) =>
+      assert(math.abs(est - refEst(c)).toDouble /
+        math.max(1L, refEst(c)) < 0.01,
+        s"$c estimate $est vs one-shot ${refEst(c)}")
+    }
+    EmbeddedLog.dropTopic("sprof")
+  }
 }

@@ -91,6 +91,42 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(idsOf(VersionedTable.read(spark, root)) === (0L until 20L))
   }
 
+  test("writer lease: a LIVE second writer fails loudly with " +
+      "ConcurrentWriteException; a STALE (crashed-writer) lock is " +
+      "broken and the commit proceeds; vacuum keepFrom > latest is " +
+      "rejected before it can reclaim live files") {
+    val root = tmpDir("vt-lock")
+    VersionedTable.overwrite(rows(0, 10), root)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$root/_writer.lock")
+    // another writer holds a FRESH lease → this table is single-writer
+    val out = f.create(lock, false)
+    out.write("other-writer".getBytes); out.close()
+    intercept[VersionedTable.ConcurrentWriteException] {
+      VersionedTable.append(rows(10, 5), root)
+    }
+    intercept[VersionedTable.ConcurrentWriteException] {
+      VersionedTable.compact(spark, root, targetFiles = 1)
+    }
+    assert(idsOf(VersionedTable.read(spark, root)) === (0L until 10L),
+      "the rejected writer must not have committed anything")
+    // a crashed writer's residue: age the lock past LockStaleMs — the
+    // next commit breaks it (liveness) and proceeds
+    f.setTimes(lock,
+      System.currentTimeMillis() - VersionedTable.LockStaleMs - 1000, -1)
+    assert(VersionedTable.append(rows(10, 5), root) === 2L)
+    assert(idsOf(VersionedTable.read(spark, root)) === (0L until 15L))
+    assert(!f.exists(lock), "lease released after the commit")
+    // the ADVICE r12 vacuum guard: an off-by-one keepFrom must throw,
+    // not delete every live data file
+    intercept[IllegalArgumentException] {
+      VersionedTable.vacuum(spark, root,
+        keepFrom = VersionedTable.latestVersion(spark, root) + 1)
+    }
+    assert(idsOf(VersionedTable.read(spark, root)) === (0L until 15L))
+  }
+
   test("vacuum reclaims only files no kept manifest references") {
     val root = tmpDir("vt-vacuum")
     VersionedTable.overwrite(rows(0, 50).repartition(8), root)
