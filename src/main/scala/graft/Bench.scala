@@ -266,6 +266,7 @@ object Bench {
       f""""degraded":$ratesDegraded}"""
     val annRecallJson = annRecall(spark, sfDir)
     val bbitJson = bbitQuality(spark, sfDir)
+    val gkJson = gkHistogram(spark, sfDir)
     val spikesJson = spikes.mkString("[", ",", "]")
     val driftJson = drift.mkString("[", ",", "]")
 
@@ -288,7 +289,7 @@ object Bench {
     // swings (q42 +25 %, q68 −30 %): the recorded statistic is min-of-N
     // and the note travels in the artifact so a future reader never
     // adjudicates a single-query delta inside that band as a regression.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_$repeat","noise_note":"per-query swings up to +/-30pct on identical code (r5 vs r6 calibration); 1.35x-3x vs committed is rerun and adjudicated in `drift`, beyond 3x in `spikes` -- an unexplained cross-round delta can no longer ship unadjudicated","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"rates_canary":$ratesCanaryJson,"spikes":$spikesJson,"drift":$driftJson,"plan_hash_ver":$PlanHashVersion,"plan_hashes":$planHashJson,"plan_changes":$planChangesJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate,"vehicle_fps_real":$vehicleRealFps,"curation_docs_per_sec":$curationRate,"curation_docs_per_sec_packed":$curationRatePacked,"ann_recall":$annRecallJson,"bbit":$bbitJson}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_$repeat","noise_note":"per-query swings up to +/-30pct on identical code (r5 vs r6 calibration); 1.35x-3x vs committed is rerun and adjudicated in `drift`, beyond 3x in `spikes` -- an unexplained cross-round delta can no longer ship unadjudicated","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"rates_canary":$ratesCanaryJson,"spikes":$spikesJson,"drift":$driftJson,"plan_hash_ver":$PlanHashVersion,"plan_hashes":$planHashJson,"plan_changes":$planChangesJson,"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate,"vehicle_fps_real":$vehicleRealFps,"curation_docs_per_sec":$curationRate,"curation_docs_per_sec_packed":$curationRatePacked,"ann_recall":$annRecallJson,"bbit":$bbitJson,"gk_histogram":$gkJson}"""
     println(line)
     // persist the full line INSIDE the repo (the round commits it), so
     // all per-query times stay recoverable even when the driver's
@@ -480,6 +481,51 @@ object Bench {
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bbit quality probe failed: ${e.getMessage}")
+      """{"error":true}"""
+    }
+  }
+
+  /** X99's GK swap, tracked per round (VERDICT r12 item 6: the
+    * 5.2×/4.2× boundary-pass win lived only in SCALE.md, so a
+    * regression in the `approx = true` path was invisible round to
+    * round). Publishes the GK and exact boundary-pass times over the
+    * bench corpus (min-of-2 each) plus the GK boundaries' MAX RANK
+    * ERROR against the exact target ranks i·n/k — the Greenwald–Khanna
+    * guarantee is ≤ ε·n with ε = 1/10000, so `max_rank_err` (as a
+    * fraction of n) drifting above ~2e-4 flags a broken sketch path
+    * even while the exact q148 stays green.
+    */
+  private def gkHistogram(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    try {
+      val li = graft.sources.Tables(spark, sfDir, "lineitem")
+        .select(col("l_extendedprice").cast("double").as("v"))
+      def timed(approx: Boolean): Double =
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          graft.operators.EquiDepthHistogram.histogram(li, approx).collect()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      val gkSecs = timed(approx = true)
+      val exactSecs = timed(approx = false)
+      val k = graft.operators.EquiDepthHistogram.K
+      val qs = (1 until k).map(i => i.toDouble / k)
+      val bounds = li.agg(expr(
+        s"approx_percentile(v, array(${qs.mkString(", ")}), 10000)")
+        .as("bs")).head.getSeq[Double](0)
+      val rankRow = li.agg(
+        count(lit(1)).as("n"),
+        bounds.zipWithIndex.map { case (b, i) =>
+          sum(when(col("v") <= b, 1L).otherwise(0L)).as(s"r$i")
+        }: _*).head
+      val n = rankRow.getLong(0)
+      val maxErr = bounds.indices.map { i =>
+        math.abs(rankRow.getLong(i + 1) - (i + 1).toLong * n / k).toDouble / n
+      }.max
+      f"""{"gk_secs":$gkSecs%.3f,"exact_secs":$exactSecs%.3f,""" +
+        f""""max_rank_err":$maxErr%.6f}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] gk histogram probe failed: ${e.getMessage}")
       """{"error":true}"""
     }
   }
