@@ -103,6 +103,51 @@ object StreamingProfile {
       }
       .start()
 
+  // ---- GK-sketch histogram state (unknown bounds, X113) -----------
+
+  /** Mergeable GK-sketch partials of `valueCol`: ONE row of
+    * (serialized sketch, exact n) per batch — the unknown-bounds
+    * path the frozen grid's scaladoc promises: no [lo, hi) a priori,
+    * rank error ≤ ε·n instead of one-cell-width resolution
+    * ([[graft.functions.expressions.GkQuantileSketch]]).
+    */
+  def sketchPartials(batch: DataFrame, valueCol: String,
+      eps: Double = graft.functions.expressions.GkQuantileSketch.DefaultEps)
+      : DataFrame =
+    batch.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .agg(graft.functions.expressions.GkQuantileSketch
+        .sketchAgg(col("v"), eps).as("gk"),
+        count(lit(1)).as("n"))
+
+  /** Combine two sketch frames — GK merge + exact count addition. */
+  def sketchCombine(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).agg(
+      graft.functions.expressions.GkQuantileSketch
+        .mergeAgg(col("gk")).as("gk"),
+      sum(col("n")).as("n"))
+
+  /** Merge one batch into the sketch state — exactly-once. */
+  def mergeSketchOnce(batch: DataFrame, valueCol: String, path: String,
+      batchId: Long,
+      eps: Double = graft.functions.expressions.GkQuantileSketch.DefaultEps)
+      : Unit =
+    MaterializedAgg.mergeOnceAs(batch, path, batchId,
+      sketchPartials(_, valueCol, eps), sketchCombine)
+
+  /** Equi-depth boundaries off the merged sketch state: k−1 quantiles
+    * queried from the ONE-row state frame — no grid, no bounds, rank
+    * error ≤ ε·n per boundary.
+    */
+  def equiDepthSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int): Seq[Double] = {
+    MaterializedAgg.recover(spark, path)
+    val row = spark.read.parquet(path).select(col("gk")).head
+    graft.functions.expressions.GkQuantileSketch
+      .query(row.getAs[Array[Byte]](0),
+        (1 until k).map(i => i.toDouble / k)).toSeq
+  }
+
   // ---- frozen-grid histogram state --------------------------------
 
   /** Fine cells in the frozen grid. Bounded and constant: the state

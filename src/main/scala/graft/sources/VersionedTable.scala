@@ -236,6 +236,28 @@ object VersionedTable {
     commit(spark, root, cur + 1, rewritten)
   }
 
+  /** OPTIMIZE ZORDER (r13, VERDICT r12 stretch 10): rewrite the
+    * CURRENT version clustered on the Morton key of columns (a, b) —
+    * X109's layout composed into the versioned write path, the
+    * Delta/Iceberg `OPTIMIZE ... ZORDER BY` shape — committed as an
+    * ordinary new version, so pinned readers are untouched and the
+    * old layout's files survive for time travel until [[vacuum]].
+    * Same one-exchange cost as [[compact]] (repartitionByRange on the
+    * z key instead of round-robin); after it, parquet min/max file
+    * stats prune on EITHER clustered column.
+    */
+  def optimizeZOrder(spark: SparkSession, root: String, a: String,
+      b: String, targetFiles: Int): Long = withLease(spark, root) {
+    import org.apache.spark.sql.functions.col
+    val cur = latestVersion(spark, root)
+    val clustered = graft.operators.ZOrderClustering
+      .withZ(read(spark, root, cur), a, b)
+      .repartitionByRange(targetFiles, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("za", "zb", "z")
+    commit(spark, root, cur + 1, writeData(clustered, root))
+  }
+
   /** Delete data files referenced by NO manifest ≥ `keepFrom` (and
     * the superseded manifests) — the storage-reclaim step, split from
     * commits so isolation never depends on writer timing.

@@ -127,6 +127,54 @@ class VersionedTableSpec extends AnyFunSuite with SparkSpec {
     assert(idsOf(VersionedTable.read(spark, root)) === (0L until 15L))
   }
 
+  test("OPTIMIZE ZORDER: a versioned rewrite clustered on (partkey, " +
+      "orderkey) preserves the data exactly, leaves pinned readers on " +
+      "the old layout, and gives files compact second-column spans a " +
+      "round-robin layout doesn't") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"))
+    val root = tmpDir("vt-zorder")
+    // ingest shape: arrival-ordered appends → every file spans the
+    // whole key space
+    VersionedTable.overwrite(li.filter(col("l_orderkey") % 2 === 0)
+      .repartition(8), root)
+    VersionedTable.append(li.filter(col("l_orderkey") % 2 === 1)
+      .repartition(8), root)
+    val pinned = VersionedTable.latestVersion(spark, root) // = 2
+    val pinnedRows = VersionedTable.read(spark, root, pinned).count()
+
+    def fileSpans(df: org.apache.spark.sql.DataFrame): Seq[Double] = {
+      val agg = df.groupBy(input_file_name())
+        .agg(min(col("l_orderkey")).as("olo"),
+          max(col("l_orderkey")).as("ohi"))
+        .select(col("olo"), col("ohi")).collect()
+      val lo = agg.map(_.getLong(0)).min.toDouble
+      val hi = agg.map(_.getLong(1)).max.toDouble
+      agg.map(r => (r.getLong(1) - r.getLong(0)).toDouble / (hi - lo)).toSeq
+    }
+    val beforeSpans = fileSpans(VersionedTable.read(spark, root, pinned))
+
+    val v = VersionedTable.optimizeZOrder(spark, root,
+      "l_partkey", "l_orderkey", targetFiles = 16)
+    assert(v === pinned + 1)
+    // data identical (multiset equality via sorted full-row render)
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey")).collect().map(_.toString).sorted.toSeq
+    assert(snap(VersionedTable.read(spark, root)) ===
+      snap(li), "OPTIMIZE must not change the data")
+    // pinned reader still sees its exact version (old files alive)
+    assert(VersionedTable.read(spark, root, pinned).count() === pinnedRows)
+    // layout claim: mean per-file orderkey span shrinks materially —
+    // round-robin files each span ~the whole range (~1.0), z-files
+    // cover compact rectangles
+    val afterSpans = fileSpans(VersionedTable.read(spark, root))
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    assert(mean(afterSpans) < 0.6 * mean(beforeSpans),
+      s"z spans ${mean(afterSpans)} vs ingest ${mean(beforeSpans)}")
+  }
+
   test("vacuum reclaims only files no kept manifest references") {
     val root = tmpDir("vt-vacuum")
     VersionedTable.overwrite(rows(0, 50).repartition(8), root)
