@@ -27,7 +27,8 @@ object SparkEntry {
       MaterializedAgg.all ++ EquiDepthHistogram.all ++ RankSum.all ++
       CorrelationMatrix.all ++ VocabDrift.all ++ GiniConcentration.all ++
       ScdHistory.all ++ IncrementalCc.all ++ KappaAgreement.all ++
-      ZOrderClustering.all ++ RankingMetrics.all
+      ZOrderClustering.all ++ RankingMetrics.all ++ BenfordAudit.all ++
+      CalibrationError.all ++ DecayedCounts.all ++ ChiSquareDrift.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

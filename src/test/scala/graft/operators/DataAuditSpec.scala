@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Planted oracles for the r13 data-audit tier — X114 Benford (q159),
+  * X115 calibration/ECE (q160), X116 half-life decay (q161), X117 χ²
+  * independence (q162). Each query's VALUE correctness is the DuckDB
+  * hash check; these specs pin the statistical semantics on
+  * constructed inputs where the right answer is known in closed form.
+  */
+class DataAuditSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // ---- X114 Benford -----------------------------------------------
+
+  test("Benford: a stream built to the exact Benford frequencies " +
+      "passes (chi2 ~ 0); a uniform-digit stream fails loudly") {
+    val n = 100000
+    // counts proportional to log10(1+1/d), first digit d via value d*111
+    val conforming = (1 to 9).flatMap { d =>
+      val cnt = math.round(BenfordAudit.P(d - 1) * n).toInt
+      Seq.fill(cnt)(d.toLong * 111L)
+    }
+    val good = BenfordAudit.audit(conforming.toDF("c")).collect()
+    assert(good.length === 9)
+    assert(good.forall(_.getBoolean(5)), "conforming stream must pass")
+    assert(good.head.getDouble(4) < 1.0, s"chi2 ${good.head.getDouble(4)}")
+
+    val uniform = (1 to 9).flatMap(d => Seq.fill(n / 9)(d.toLong * 200L))
+    val bad = BenfordAudit.audit(uniform.toDF("c")).collect()
+    assert(bad.forall(!_.getBoolean(5)), "uniform digits must fail")
+    assert(bad.head.getDouble(4) > 1000.0)
+  }
+
+  test("Benford: chi2 equals a driver replay on the corpus cents") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val cents = li.select(
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("c"))
+    val got = BenfordAudit.audit(cents).collect()
+    val digits = cents.collect().map(_.getLong(0).toString.head.asDigit)
+    val n = digits.length.toDouble
+    val chi = (1 to 9).map { d =>
+      val o = digits.count(_ == d).toDouble
+      val e = n * BenfordAudit.P(d - 1)
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(got.head.getDouble(4) - chi) < 1e-4,
+      s"engine ${got.head.getDouble(4)} vs driver $chi")
+  }
+
+  // ---- X115 calibration / ECE -------------------------------------
+
+  test("ECE: a perfectly calibrated score (bin-b outcome rate == bin " +
+      "midpoint confidence) scores ~0; the anti-calibrated flip " +
+      "scores ~0.8; both match a driver replay") {
+    // 1000 users per bin at mu = bin midpoint; exactly conf fraction
+    // positive → acc_b == conf_b per bin
+    def plant(flip: Boolean) = (0 until 10).flatMap { b =>
+      val mu = b * 100000L + 50000L
+      val pos = ((b * 100000 + 50000) / 1000).toInt // conf·1000 users
+      (0 until 1000).map { i =>
+        val p = if (i < pos) 1L else 0L
+        (if (flip) 1L - p else p, mu)
+      }
+    }
+    val cal = CalibrationError.reliability(
+      plant(flip = false).toDF("purchased", "mu")).collect()
+    assert(cal.length === 10)
+    assert(cal.head.getDouble(6) < 0.001,
+      s"calibrated ECE ${cal.head.getDouble(6)}")
+    val anti = CalibrationError.reliability(
+      plant(flip = true).toDF("purchased", "mu")).collect()
+    // gaps |1−2·conf_b| over conf 0.05..0.95 average to exactly 0.5
+    assert(anti.head.getDouble(6) >= 0.5 - 1e-9,
+      s"anti-calibrated ECE ${anti.head.getDouble(6)}")
+    // driver replay of the calibrated table
+    val rows = plant(flip = false)
+    val byBin = rows.groupBy(_._2 * 10 / 1000000)
+    val eceDriver = byBin.map { case (_, rs) =>
+      val nb = rs.size.toDouble
+      val acc = rs.count(_._1 == 1L) / nb
+      val conf = rs.map(_._2).sum / nb / 1e6
+      nb / rows.size * math.abs(acc - conf)
+    }.sum
+    assert(math.abs(cal.head.getDouble(6) - eceDriver) < 1e-6)
+  }
+
+  // ---- X116 half-life decay ---------------------------------------
+
+  test("decayed counts: hand-computed fixture (ages 0,1,2 -> " +
+      "1 + 1/2 + 1/4), horizon cutoff at H zeroes old events") {
+    val rows = Seq(("a", 0), ("a", 1), ("a", 2),
+      ("old", DecayedCounts.H), ("old", DecayedCounts.H + 100))
+    val got = DecayedCounts.decayed(rows.toDF("event_type", "age"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("a") === 1.75)
+    assert(got("old") === 0.0, "past-horizon events must weigh 0")
+  }
+
+  test("decayed counts: engine equals a driver replay on the corpus " +
+      "(exact decimal sum of power-of-two weights)") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_type"), to_date(col("ts")).as("d")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val refd = ev.map(_._2).maxBy(_.toEpochDay)
+    val driver = ev.groupBy(_._1).map { case (t, rs) =>
+      val s = rs.map { case (_, d) =>
+        val age = (refd.toEpochDay - d.toEpochDay).toInt
+        if (age >= DecayedCounts.H) BigInt(0)
+        else BigInt(1) << (DecayedCounts.H - 1 - age)
+      }.sum
+      t -> math.rint(s.toDouble /
+        (1L << (DecayedCounts.H - 1)).toDouble * 1e6) / 1e6
+    }
+    val evDf = spark.read.parquet(s"$sf0001/events.parquet")
+    val ref = evDf.agg(max(to_date(col("ts"))).as("refd"))
+    val got = DecayedCounts.decayed(evDf.join(broadcast(ref))
+      .withColumn("age", datediff(col("refd"), to_date(col("ts"))))
+      .select(col("event_type"), col("age")))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    driver.foreach { case (t, v) =>
+      assert(got(t) === v, s"$t: engine ${got(t)} vs driver $v")
+    }
+  }
+
+  // ---- X117 chi-square independence -------------------------------
+
+  test("chi-square: perfectly proportional factors score exactly 0; " +
+      "a fully dependent table scores n*(k-1); corpus ~ driver replay") {
+    // independent: every (segment, type) cell has the same count
+    val indep = for (s <- 0L to 3L; t <- Seq("x", "y", "z");
+      _ <- 1 to 50) yield (s, t)
+    val gi = ChiSquareDrift.independence(indep.toDF("segment", "event_type"))
+      .collect()
+    assert(gi.head.getDouble(5) === 0.0)
+    assert(gi.head.getLong(6) === 6L) // (4-1)(3-1)
+    // fully dependent: segment s only ever emits type s → χ² = n(k−1)
+    val dep = for (s <- 0L to 2L; _ <- 1 to 100) yield (s, s"t$s")
+    val gd = ChiSquareDrift.independence(dep.toDF("segment", "event_type"))
+      .collect()
+    assert(math.abs(gd.head.getDouble(5) - 300.0 * 2) < 1e-6)
+    // corpus replay
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(pmod(col("user_id"), lit(4L)).as("segment"),
+        col("event_type"))
+    val got = ChiSquareDrift.independence(ev).collect()
+    val pairs = ev.collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = pairs.length.toDouble
+    val cells = pairs.groupBy(identity).view.mapValues(_.length).toMap
+    val rt = pairs.groupBy(_._1).view.mapValues(_.length).toMap
+    val ct = pairs.groupBy(_._2).view.mapValues(_.length).toMap
+    val chi = (for (s <- rt.keys; t <- ct.keys) yield {
+      val o = cells.getOrElse((s, t), 0).toDouble
+      val e = rt(s) * ct(t) / n
+      (o - e) * (o - e) / e
+    }).sum
+    assert(math.abs(got.head.getDouble(5) - chi) < 1e-4,
+      s"engine ${got.head.getDouble(5)} vs driver $chi")
+  }
+}
