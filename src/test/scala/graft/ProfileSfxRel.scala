@@ -104,7 +104,14 @@ object ProfileSfxRel {
       graft.operators.RankSum.q149,
       graft.operators.ScdHistory.q153,
       graft.operators.CorrelationMatrix.q150,
-      graft.operators.ZOrderClustering.q156)
+      graft.operators.ZOrderClustering.q156,
+      // r13 data-audit tier: all four reduce to dimension-sized frames
+      // after one map-side-combined pass (digit/bin/type/cell), so the
+      // honest expectation is scan-bound exponents ≈ q01's
+      graft.operators.BenfordAudit.q159,
+      graft.operators.CalibrationError.q160,
+      graft.operators.DecayedCounts.q161,
+      graft.operators.ChiSquareDrift.q162)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
@@ -149,7 +156,11 @@ object ProfileSfxRel {
         graft.operators.RankSum.q149,
         graft.operators.ScdHistory.q153,
         graft.operators.CorrelationMatrix.q150,
-        graft.operators.ZOrderClustering.q156)
+        graft.operators.ZOrderClustering.q156,
+        graft.operators.BenfordAudit.q159,
+        graft.operators.CalibrationError.q160,
+        graft.operators.DecayedCounts.q161,
+        graft.operators.ChiSquareDrift.q162)
       deep.filter(q => only.forall(names =>
         names.exists(q.name.startsWith))).foreach { q =>
         val t1 = minOf(2)(q.build(spark, dst).count())
