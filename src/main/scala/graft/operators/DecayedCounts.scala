@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import Q._
@@ -25,8 +26,11 @@ import Q._
   *
   * Scale shape: one map-side-combined groupBy(event_type) — the same
   * cost as a plain count; the reference day is one 1-row agg broadcast
-  * unhinted. The STREAMING form is X98 state with (w_sum·2^(−Δdays))
-  * folded at merge time — same exactness argument, documented here.
+  * unhinted. The STREAMING form (X118, [[dayPartials]]/[[readDecayed]])
+  * keeps the exact integer day histogram as X98 state — a decayed
+  * FLOAT would truncate low bits on every 2^(−Δ) re-fold; the
+  * histogram derivation is bit-identical to this batch form under any
+  * slicing, with a lossless \|types\|·H-row horizon bound.
   */
 object DecayedCounts {
 
@@ -40,16 +44,24 @@ object DecayedCounts {
     */
   def decayed(aged0: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val aged = aged0
-      .withColumn("w", when(col("age") >= H, 0L).otherwise(
-        expr(s"shiftleft(CAST(1 AS BIGINT), ${H - 1} - age)")))
+    // accepts per-event rows OR a pre-counted day histogram (column
+    // `n` — the X118 state shape); weights scale by n in DECIMAL so
+    // n·2^61 cannot overflow
+    val withN =
+      if (aged0.columns.contains("n")) aged0
+      else aged0.withColumn("n", lit(1L))
+    val aged = withN
+      .withColumn("w", when(col("age") >= H, lit(0L).cast("decimal(38,0)"))
+        .otherwise(col("n").cast("decimal(38,0)") *
+          expr(s"shiftleft(CAST(1 AS BIGINT), ${H - 1} - age)")
+            .cast("decimal(38,0)")))
     // per-event weights reach 2^61, so the per-key sum must be
     // exact DECIMAL(38,0) (ANSI long sum would overflow at ~128
     // day-0 events); decimal addition is associative, and the one
     // decimal→double cast is correctly rounded on both engines
     aged.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n_events"),
-            sum(col("w").cast("decimal(38,0)")).as("w_sum"))
+          .agg(sum(col("n")).as("n_events"),
+            sum(col("w")).as("w_sum"))
           .select(col("event_type"), col("n_events"),
             round(col("w_sum").cast("double") /
               lit((1L << (H - 1)).toDouble), 6).as("decayed_r"),
@@ -58,6 +70,72 @@ object DecayedCounts {
               col("n_events").cast("double"), 6).as("recency_r"))
           .orderBy(col("event_type"))
   }
+
+  // ---- X118: streaming maintenance (bounded per-day count state) --
+
+  /** Per-batch partials for the STREAMING form: exact (event_type,
+    * day, n) counts. The state never stores decayed floats — it stores
+    * the integer day histogram the decay is DERIVED from at read time,
+    * so the maintained value is bit-identical to the batch q161 over
+    * the same absorbed events under any slicing (exact equality, a
+    * stronger contract than the sketch tiers' bounds). State is
+    * bounded at |types|·H rows: [[dayCombine]] prunes days ≥ H behind
+    * the newest absorbed day, which is lossless — their weight is
+    * exactly 0 against any reference ≥ that day, and merges only move
+    * the reference forward.
+    */
+  def dayPartials(batch: DataFrame): DataFrame =
+    batch.select(col("event_type"), to_date(col("ts")).as("d"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Combine two day-histogram frames: additive per (type, day) +
+    * the lossless horizon prune.
+    */
+  def dayCombine(a: DataFrame, b: DataFrame): DataFrame = {
+    val u = a.unionByName(b).groupBy(col("event_type"), col("d"))
+      .agg(sum(col("n")).as("n"))
+    val mx = u.agg(max(col("d")).as("mxd"))
+    u.join(broadcast(mx))
+      .filter(datediff(col("mxd"), col("d")) < H)
+      .select(col("event_type"), col("d"), col("n"))
+  }
+
+  /** Merge one batch into the day-histogram state — exactly-once by
+    * batch id (the X98 contract; swap/marker/recovery inherited).
+    */
+  def mergeDecayedOnce(batch: DataFrame, path: String,
+      batchId: Long): Unit =
+    MaterializedAgg.mergeOnceAs(batch, path, batchId, dayPartials,
+      dayCombine)
+
+  /** Read the maintained decayed counts — [[decayed]] over the state's
+    * own day histogram (reference = newest absorbed day), weights
+    * n·2^(H−1−age) exact.
+    */
+  def readDecayed(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    MaterializedAgg.recover(spark, path)
+    val st = spark.read.parquet(path)
+    val ref = st.agg(max(col("d")).as("refd"))
+    decayed(st.join(broadcast(ref))
+      .withColumn("age", datediff(col("refd"), col("d")))
+      .select(col("event_type"), col("age"), col("n")))
+  }
+
+  /** Wire a stream into the decayed-count maintenance loop. */
+  def stream(input: DataFrame, path: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    input.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeDecayedOnce(batch, path, batchId)
+      }
+      .start()
 
   /** q161 — per-event-type decayed counts against the corpus's last
     * event day.

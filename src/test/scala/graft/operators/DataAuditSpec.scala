@@ -127,6 +127,92 @@ class DataAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ---- X118 streaming half-life maintenance -----------------------
+
+  test("X118 maintained decayed counts == the batch q161 EXACTLY over " +
+      "the same absorbed events, under two different slicings (the " +
+      "state is the integer day histogram, not a sketch)") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    // batch reference over the full corpus
+    val ref = ev.agg(max(to_date(col("ts"))).as("refd"))
+    val batch = snap(DecayedCounts.decayed(ev.join(broadcast(ref))
+      .withColumn("age", datediff(col("refd"), to_date(col("ts"))))
+      .select(col("event_type"), col("age"))))
+    def maintained(slices: Seq[org.apache.spark.sql.DataFrame])
+        : String = {
+      val path = tmpDir("decay") + "/state"
+      slices.zipWithIndex.foreach { case (s, b) =>
+        DecayedCounts.mergeDecayedOnce(s, path, b.toLong)
+      }
+      path
+    }
+    val byMod = maintained((0 to 3).map(b =>
+      ev.filter(pmod(col("event_id"), lit(4L)) === b)))
+    val byTime = maintained(Seq( // chronological arrival — the real shape
+      ev.filter(dayofmonth(col("ts")) <= 10),
+      ev.filter(dayofmonth(col("ts")) > 10 &&
+        dayofmonth(col("ts")) <= 20),
+      ev.filter(dayofmonth(col("ts")) > 20)))
+    assert(snap(DecayedCounts.readDecayed(spark, byMod)) === batch)
+    assert(snap(DecayedCounts.readDecayed(spark, byTime)) === batch)
+    // bounded state: ≤ |types|·H day rows
+    val stRows = spark.read.parquet(byMod).count()
+    assert(stRows <= 5L * DecayedCounts.H, s"state $stRows rows")
+    // replay no-op (X98 inheritance)
+    val before = snap(DecayedCounts.readDecayed(spark, byMod))
+    DecayedCounts.mergeDecayedOnce(ev, byMod, 1L)
+    assert(snap(DecayedCounts.readDecayed(spark, byMod)) === before)
+  }
+
+  test("X118 horizon prune is lossless and bounds the state: days " +
+      "older than H behind the newest absorbed day are dropped, and " +
+      "the read-back equals the unpruned computation") {
+    import java.sql.Date
+    val path = tmpDir("decay-prune") + "/state"
+    def day(i: Int) = Date.valueOf(java.time.LocalDate
+      .of(2024, 1, 1).plusDays(i))
+    // batch 0: 100 ancient events; batch 1: 10 events H+5 days later
+    val old = (0 until 100).map(i =>
+      ("a", new java.sql.Timestamp(day(0).getTime + i)))
+    val fresh = (0 until 10).map(i =>
+      ("a", new java.sql.Timestamp(day(DecayedCounts.H + 5).getTime + i)))
+    DecayedCounts.mergeDecayedOnce(old.toDF("event_type", "ts"), path, 0L)
+    DecayedCounts.mergeDecayedOnce(fresh.toDF("event_type", "ts"), path, 1L)
+    // the ancient day is outside the horizon of the new reference —
+    // pruned from state, weight would have been exactly 0 anyway
+    assert(spark.read.parquet(path).count() === 1L)
+    val got = DecayedCounts.readDecayed(spark, path).collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(1) === 10L, "n_events counts surviving days")
+    assert(got.head.getDouble(2) === 10.0, "10 day-0 events weigh 1 each")
+  }
+
+  test("X118 streaming end-to-end: MemoryStream batches -> maintained " +
+      "state == one-shot merge over the same rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = tmpDir("decay-stream") + "/state"
+    val ckpt = tmpDir("decay-stream-ckpt")
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows = (0 until 300).map(i =>
+      (s"t${i % 3}", new java.sql.Timestamp(
+        base + (i % 20).toLong * 86400000L)))
+    val input = MemoryStream[(String, java.sql.Timestamp)](spark)
+    def runAvailable(): Unit = {
+      val q = DecayedCounts.stream(
+        input.toDF().toDF("event_type", "ts"), path, ckpt)
+      q.awaitTermination(120000)
+    }
+    input.addData(rows.take(150)); runAvailable()
+    input.addData(rows.drop(150)); runAvailable()
+    val ref = tmpDir("decay-stream-ref") + "/state"
+    DecayedCounts.mergeDecayedOnce(rows.toDF("event_type", "ts"), ref, 0L)
+    assert(DecayedCounts.readDecayed(spark, path).collect().map(_.toString)
+      .toSeq === DecayedCounts.readDecayed(spark, ref).collect()
+      .map(_.toString).toSeq)
+  }
+
   // ---- X117 chi-square independence -------------------------------
 
   test("chi-square: perfectly proportional factors score exactly 0; " +

@@ -658,4 +658,34 @@ class PlanSpec extends SparkSpec {
       s"query terms must reach the state scan:\n${plan.take(3000)}")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("r13 audit tier: every scan is pruned to exactly the needed " +
+      "columns and nothing corpus-sized crosses a non-broadcast join") {
+    // q159: one lineitem column feeds the digit ladder
+    val p159 = planOf(BenfordAudit.q159.build(spark, sf0001))
+    val rs159 = p159.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(rs159.nonEmpty && rs159.forall(_.contains("l_extendedprice")))
+    assert(rs159.forall(l => !l.contains("l_orderkey") &&
+      !l.contains("l_comment")), s"unpruned q159 scan:\n${rs159.mkString}")
+    // q160: user_id + event_type only
+    val p160 = planOf(CalibrationError.q160.build(spark, sf0001))
+    val rs160 = p160.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(rs160.forall(l => !l.contains("props") && !l.contains("value")),
+      s"unpruned q160 scan:\n${rs160.mkString}")
+    // q161: event_type + ts only
+    val p161 = planOf(DecayedCounts.q161.build(spark, sf0001))
+    val rs161 = p161.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(rs161.forall(l => !l.contains("props") && !l.contains("user_id")),
+      s"unpruned q161 scan:\n${rs161.mkString}")
+    // q162: the margins/χ² joins run on the ≤|A|·|B| cell frame —
+    // broadcast, never a corpus-sized shuffle join; no cartesian
+    val p162 = planOf(ChiSquareDrift.q162.build(spark, sf0001))
+    assert(!p162.contains("CartesianProduct"), p162.take(2000))
+    assert(!p162.contains("SortMergeJoin"),
+      s"cell-frame joins must broadcast:\n${p162.take(3000)}")
+    // all four combine map-side: a partial aggregate precedes every
+    // exchange that feeds a final aggregate
+    Seq(p159, p160, p161, p162).foreach(p =>
+      assert(p.contains("partial_"), "missing map-side combine"))
+  }
 }
