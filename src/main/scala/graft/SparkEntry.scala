@@ -28,7 +28,8 @@ object SparkEntry {
       CorrelationMatrix.all ++ VocabDrift.all ++ GiniConcentration.all ++
       ScdHistory.all ++ IncrementalCc.all ++ KappaAgreement.all ++
       ZOrderClustering.all ++ RankingMetrics.all ++ BenfordAudit.all ++
-      CalibrationError.all ++ DecayedCounts.all ++ ChiSquareDrift.all
+      CalibrationError.all ++ DecayedCounts.all ++ ChiSquareDrift.all ++
+      KAnonymity.all ++ ProfileDrift.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

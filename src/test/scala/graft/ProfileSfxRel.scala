@@ -111,7 +111,9 @@ object ProfileSfxRel {
       graft.operators.BenfordAudit.q159,
       graft.operators.CalibrationError.q160,
       graft.operators.DecayedCounts.q161,
-      graft.operators.ChiSquareDrift.q162)
+      graft.operators.ChiSquareDrift.q162,
+      graft.operators.KAnonymity.q163,
+      graft.operators.ProfileDrift.q164)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
@@ -160,7 +162,9 @@ object ProfileSfxRel {
         graft.operators.BenfordAudit.q159,
         graft.operators.CalibrationError.q160,
         graft.operators.DecayedCounts.q161,
-        graft.operators.ChiSquareDrift.q162)
+        graft.operators.ChiSquareDrift.q162,
+        graft.operators.KAnonymity.q163,
+        graft.operators.ProfileDrift.q164)
       deep.filter(q => only.forall(names =>
         names.exists(q.name.startsWith))).foreach { q =>
         val t1 = minOf(2)(q.build(spark, dst).count())

@@ -213,6 +213,61 @@ class DataAuditSpec extends AnyFunSuite with SparkSpec {
       .map(_.toString).toSeq)
   }
 
+  // ---- X119 k-anonymity -------------------------------------------
+
+  test("k-anonymity: a planted 3-row quasi-id class is flagged at " +
+      "k=5, achieved_k and risk share are exact, and a uniform table " +
+      "is k-anonymous") {
+    val rows = (0 until 100).map(i => (i % 4, "seg")) ++
+      Seq((9, "rare"), (9, "rare"), (9, "rare")) // a 3-row class
+    val got = KAnonymity.audit(rows.toDF("nation", "segment"),
+      Seq("nation", "segment"), k = 5).collect()
+    assert(got.length === 5)
+    val rare = got.find(_.getInt(0) == 9).get
+    assert(rare.getLong(2) === 3L && rare.getBoolean(3),
+      "the 3-row class must be at risk")
+    assert(rare.getLong(4) === 3L, "achieved k = smallest class")
+    assert(!rare.getBoolean(5), "table is NOT 5-anonymous")
+    assert(math.abs(rare.getDouble(6) - 3.0 / 103.0) < 1e-5)
+    val uniform = KAnonymity.audit(
+      (0 until 100).map(i => (i % 4, "s")).toDF("nation", "segment"),
+      Seq("nation", "segment"), k = 5).collect()
+    assert(uniform.forall(r => !r.getBoolean(3) && r.getBoolean(5)))
+    assert(uniform.head.getDouble(6) === 0.0)
+  }
+
+  // ---- X120 profile drift -----------------------------------------
+
+  test("profile drift: planted null flood, cardinality collapse, and " +
+      "bounds shift each fire their own verdict on their own column; " +
+      "identical slices report no drift") {
+    val ref = (0 until 1000)
+      .map(i => (Some(i.toDouble), Some((i % 100).toLong), i.toDouble))
+      .toDF("a", "b", "c")
+    // a: 5% nulls (null flood); b: 100 -> 3 distinct (collapse);
+    // c: max doubled (bounds shift)
+    val cur = (0 until 1000).map { i =>
+      (if (i % 20 == 0) None else Some(i.toDouble),
+        Some((i % 3).toLong),
+        if (i == 999) 2000.0 else i.toDouble)
+    }.toDF("a", "b", "c")
+    val raw: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _.cast("string")
+    val cols = Seq(("a", raw), ("b", raw), ("c", raw))
+    val got = ProfileDrift.diff(ref, cur, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("a").getBoolean(6) && !got("b").getBoolean(6),
+      "null flood fires on a only")
+    assert(got("b").getBoolean(7) && !got("a").getBoolean(7),
+      "cardinality collapse fires on b only")
+    assert(got("c").getBoolean(8), "bounds shift fires on c")
+    assert(got.values.forall(_.getBoolean(9)),
+      "every planted column reports drifted")
+    val same = ProfileDrift.diff(ref, ref, cols).collect()
+    assert(same.forall(!_.getBoolean(9)),
+      "identical slices must not drift")
+  }
+
   // ---- X117 chi-square independence -------------------------------
 
   test("chi-square: perfectly proportional factors score exactly 0; " +
