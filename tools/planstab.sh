@@ -19,23 +19,37 @@ WORK=$(mktemp -d /tmp/planstab.XXXX)
 mkdir -p "$WORK/r1" "$WORK/r2" "$WORK/flip"
 FLIPQ="q03_join_segment_revenue"
 
-run_bench() { # out_json only extra_conf
+run_bench() { # out_json only extra_conf dump_dir
   SPARK_GRAFT_BENCH_OUT="$1" \
   SPARK_GRAFT_ONLY="${2:-}" \
   SPARK_GRAFT_EXTRA_CONF="${3:-}" \
+  SPARK_GRAFT_PLAN_DUMP="${4:-}" \
   SPARK_GRAFT_REPEAT=1 SPARK_GRAFT_CPUS=32 \
   sbt -batch 'runMain graft.Bench' 2>&1 | tail -2 >/dev/null
 }
 
-hashes() { grep -o '"plan_hashes":{[^}]*}' "$1"; }
+# queries with a legitimately bistable AQE runtime strategy are
+# allowlisted (named residual in Bench.AdaptivePlanAllowlist) and
+# excluded from the strict two-run comparison
+ALLOW='q105_winnow_matches'
+hashes() {
+  grep -o '"plan_hashes":{[^}]*}' "$1" | tr ',' '\n' \
+    | grep -vE "\"($(echo "$ALLOW" | tr ' ' '|'))\""
+}
 
 echo "== phase 1: two identical runs =="
-run_bench "$WORK/r1/BENCH_FULL.json" "$SUBSET"
-run_bench "$WORK/r2/BENCH_FULL.json" "$SUBSET"
+run_bench "$WORK/r1/BENCH_FULL.json" "$SUBSET" "" "$WORK/pd1"
+run_bench "$WORK/r2/BENCH_FULL.json" "$SUBSET" "" "$WORK/pd2"
 H1=$(hashes "$WORK/r1/BENCH_FULL.json"); H2=$(hashes "$WORK/r2/BENCH_FULL.json")
 if [ "$H1" != "$H2" ]; then
   echo "UNSTABLE: plan hashes differ between identical runs" >&2
   diff <(echo "$H1" | tr ',' '\n') <(echo "$H2" | tr ',' '\n') >&2 || true
+  echo "-- normalized-plan diffs of the offenders --" >&2
+  for q in $(diff <(echo "$H1" | tr ',' '\n') <(echo "$H2" | tr ',' '\n') \
+      | grep -o '"q[0-9][a-z0-9_]*"' | tr -d '"' | sort -u); do
+    echo "---- $q ----" >&2
+    diff "$WORK/pd1/$q.txt" "$WORK/pd2/$q.txt" >&2 | head -24 || true
+  done
   exit 1
 fi
 N=$(echo "$H1" | grep -o '"q[0-9]' | wc -l)
