@@ -113,7 +113,9 @@ object ProfileSfxRel {
       graft.operators.DecayedCounts.q161,
       graft.operators.ChiSquareDrift.q162,
       graft.operators.KAnonymity.q163,
-      graft.operators.ProfileDrift.q164)
+      graft.operators.ProfileDrift.q164,
+      graft.operators.Attribution.q165,
+      graft.operators.Attribution.q166)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
@@ -164,7 +166,9 @@ object ProfileSfxRel {
         graft.operators.DecayedCounts.q161,
         graft.operators.ChiSquareDrift.q162,
         graft.operators.KAnonymity.q163,
-        graft.operators.ProfileDrift.q164)
+        graft.operators.ProfileDrift.q164,
+        graft.operators.Attribution.q165,
+        graft.operators.Attribution.q166)
       deep.filter(q => only.forall(names =>
         names.exists(q.name.startsWith))).foreach { q =>
         val t1 = minOf(2)(q.build(spark, dst).count())

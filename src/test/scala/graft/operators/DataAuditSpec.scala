@@ -268,6 +268,65 @@ class DataAuditSpec extends AnyFunSuite with SparkSpec {
       "identical slices must not drift")
   }
 
+  // ---- X121 last-touch attribution --------------------------------
+
+  test("attribution: the LAST preceding touch wins (view then click " +
+      "-> click); out-of-window and touchless purchases are organic; " +
+      "same-timestamp ties break by event_id; later touches never " +
+      "attribute backwards") {
+    val day = 86400000000L
+    val rows = Seq(
+      // user 1: view @0, click @1h, purchase @2h -> click (id 11)
+      (10L, 1L, "view", 0L), (11L, 1L, "click", 3600000000L),
+      (12L, 1L, "purchase", 7200000000L),
+      // user 2: view @0, purchase @8d -> outside 7d lookback: organic
+      (20L, 2L, "view", 0L), (21L, 2L, "purchase", 8L * day),
+      // user 3: purchase with NO prior touch; a view AFTER it must
+      // not attribute backwards
+      (30L, 3L, "purchase", 0L), (31L, 3L, "view", 1000000L),
+      // user 4: two touches at the SAME microsecond -> higher
+      // event_id is "last" under the (us, event_id) order
+      (40L, 4L, "view", 5L), (41L, 4L, "click", 5L),
+      (42L, 4L, "purchase", 10L))
+    val got = Attribution.lastTouch(
+      rows.toDF("event_id", "user_id", "event_type", "us")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got(12L) === (11L, "click"))
+    assert(got(21L) === (-1L, "organic"))
+    assert(got(30L) === (-1L, "organic"))
+    assert(got(42L) === (41L, "click"))
+  }
+
+  // ---- X122 conversion lag ----------------------------------------
+
+  test("conversion lag: planted lags yield exact percentiles, " +
+      "purchase-before-signup does not count as converted, " +
+      "non-signup users are excluded") {
+    val m = 1000000L
+    val rows =
+      // 4 converted users with lags 10s, 20s, 30s, 40s
+      (1 to 4).flatMap(u => Seq(
+        (u.toLong, "signup", 0L), (u.toLong, "purchase", u * 10L * m))) ++
+      Seq(
+        (5L, "signup", 100L * m), // never converted
+        (6L, "purchase", 0L), (6L, "signup", 50L * m), // purchase first
+        (7L, "view", 0L)) // no signup: excluded entirely
+    val df = rows.toDF("user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val path = tmpDir("convlag")
+    df.write.mode("overwrite").parquet(s"$path/events.parquet")
+    val got = Attribution.q166.build(spark, path).collect().head
+    assert(got.getLong(0) === 6L, "signups: users 1-6")
+    assert(got.getLong(1) === 4L, "converted: only forward lags")
+    // lags {10,20,30,40}: p25 = 17.5, p50 = 25, p75 = 32.5, p90 = 37
+    assert(got.getDouble(3) === 17.5)
+    assert(got.getDouble(4) === 25.0)
+    assert(got.getDouble(5) === 32.5)
+    assert(got.getDouble(6) === 37.0)
+  }
+
   // ---- X117 chi-square independence -------------------------------
 
   test("chi-square: perfectly proportional factors score exactly 0; " +
