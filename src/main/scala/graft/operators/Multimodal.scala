@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns (north-star X17): media payloads as opaque binary
@@ -127,4 +127,54 @@ object Multimodal {
   def sampleFrames(frames: DataFrame, every: Int,
       orderCol: String = "event_id"): DataFrame =
     frames.filter(pmod(col(orderCol), lit(every)) === 0)
+
+  // ---- X124: perceptual shot segmentation / keyframe selection ----
+
+  /** 56-bit difference hash (dHash) of an 8×8 thumbnail column: bit
+    * (r·7+c) = thumb[r][c+1] > thumb[r][c] — the classic perceptual
+    * hash, invariant under any MONOTONE intensity transform
+    * (brightness/contrast shifts change pixel values, not gradient
+    * signs). 56 codegen'd comparisons ORed into one long — a Column
+    * fold, not a UDF, so whole-stage codegen covers it.
+    */
+  def dHashCol(thumb: Column): Column =
+    (for { r <- 0 until 8; c <- 0 until 7 } yield {
+      val i = r * 7 + c
+      when(element_at(thumb, r * 8 + c + 2) >
+        element_at(thumb, r * 8 + c + 1), lit(1L << i)).otherwise(0L)
+    }).reduce(_ bitwiseOR _)
+
+  /** Shot segmentation over per-camera frame sequences: a frame opens
+    * a new shot when the Hamming distance between its dHash and its
+    * PREDECESSOR's exceeds `tau` (the frame-to-frame delta
+    * shot-boundary detector; near-identical consecutive frames — the
+    * bulk of any video stream — land in the same shot). Input needs
+    * (camera_id, seq, thumb_8x8); output adds phash, hamming_prev,
+    * is_boundary, shot_id (per-camera 1-based).
+    *
+    * Scale shape: ONE camera-partitioned window (lag + running sum —
+    * per-camera frames are the partition, cameras are the
+    * parallelism); the hash is map-side. The keyframe set
+    * ([[keyframes]]) is what a training pipeline stores — shot-level
+    * dedup cuts a 30 fps stream to a few frames per scene before any
+    * corpus-level near-dup pass (X15/X53) runs.
+    */
+  def shotSegments(features: DataFrame, tau: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("camera_id"))
+      .orderBy(col("seq"))
+    features
+      .withColumn("phash", dHashCol(col("thumb_8x8")))
+      .withColumn("hamming_prev",
+        bit_count(col("phash").bitwiseXOR(lag(col("phash"), 1).over(w))))
+      .withColumn("is_boundary",
+        col("hamming_prev").isNull || col("hamming_prev") > tau)
+      .withColumn("shot_id",
+        sum(when(col("is_boundary"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** The kept frames: the first frame of every shot. */
+  def keyframes(features: DataFrame, tau: Int): DataFrame =
+    shotSegments(features, tau).filter(col("is_boundary"))
 }

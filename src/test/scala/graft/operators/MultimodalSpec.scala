@@ -57,4 +57,63 @@ class MultimodalSpec extends SparkSpec {
     assert(sampleFrames(frames, 10).count() === 10)
     assert(sampleFrames(frames, 1).count() === 100)
   }
+
+
+  test("X124 shot segmentation: repeated payloads form one shot, " +
+      "payload changes open new shots exactly at the transitions; " +
+      "cameras are independent") {
+    import spark.implicits._
+    def p(seed: Int): Array[Byte] = Array.tabulate[Byte](64)(i =>
+      ((i * 31 + seed * 97) & 0xff).toByte)
+    // camera A: AAA BB C ; camera B: XX YY (interleaved arrival)
+    val frames = Seq(
+      ("A", 0L, p(1)), ("B", 0L, p(7)), ("A", 1L, p(1)),
+      ("B", 1L, p(7)), ("A", 2L, p(1)), ("A", 3L, p(2)),
+      ("B", 2L, p(8)), ("A", 4L, p(2)), ("A", 5L, p(3)),
+      ("B", 3L, p(8)))
+    val feats = Multimodal.extractFeatures(
+      frames.zipWithIndex.map { case ((_, _, pl), i) =>
+        Multimodal.MediaRow(i.toLong, pl)
+      }.toDS())
+      .toDF()
+      .join(frames.zipWithIndex.map { case ((c, s0, _), i) =>
+        (i.toLong, c, s0)
+      }.toDF("doc_id", "camera_id", "seq"), "doc_id")
+    val segs = Multimodal.shotSegments(feats, tau = 4).collect()
+      .map(r => (r.getAs[String]("camera_id"), r.getAs[Long]("seq")) ->
+        (r.getAs[Long]("shot_id"), r.getAs[Boolean]("is_boundary")))
+      .toMap
+    // camera A shots: seq 0-2 = shot 1, 3-4 = shot 2, 5 = shot 3
+    assert(segs(("A", 0L)) === (1L, true))
+    assert(segs(("A", 1L)) === (1L, false))
+    assert(segs(("A", 2L)) === (1L, false))
+    assert(segs(("A", 3L)) === (2L, true))
+    assert(segs(("A", 4L)) === (2L, false))
+    assert(segs(("A", 5L)) === (3L, true))
+    // camera B: seq 0-1 = shot 1, 2-3 = shot 2 (independent numbering)
+    assert(segs(("B", 0L)) === (1L, true))
+    assert(segs(("B", 1L)) === (1L, false))
+    assert(segs(("B", 2L)) === (2L, true))
+    assert(segs(("B", 3L)) === (2L, false))
+    val kf = Multimodal.keyframes(feats, tau = 4).count()
+    assert(kf === 5L, "3 A-shots + 2 B-shots keyframes")
+  }
+
+  test("X124 dHash is invariant under monotone intensity transforms " +
+      "and flips on a gradient reversal") {
+    import spark.implicits._
+    val base = (0 until 64).map(i => (i % 8).toDouble) // rising rows
+    val brighter = base.map(v => v * 3.0 + 17.0)       // monotone
+    val reversed = base.map(v => -v)                   // gradient flip
+    val got = Seq(("base", base), ("brighter", brighter),
+      ("reversed", reversed))
+      .toDF("name", "thumb_8x8")
+      .select(col("name"), Multimodal.dHashCol(col("thumb_8x8")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("base") === got("brighter"),
+      "monotone transform must not change the hash")
+    assert(got("base") !== got("reversed"))
+    assert(java.lang.Long.bitCount(got("base") ^ got("reversed")) === 56,
+      "a full gradient reversal flips every comparison bit")
+  }
 }
