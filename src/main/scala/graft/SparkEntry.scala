@@ -29,7 +29,9 @@ object SparkEntry {
       ScdHistory.all ++ IncrementalCc.all ++ KappaAgreement.all ++
       ZOrderClustering.all ++ RankingMetrics.all ++ BenfordAudit.all ++
       CalibrationError.all ++ DecayedCounts.all ++ ChiSquareDrift.all ++
-      KAnonymity.all ++ ProfileDrift.all ++ Attribution.all
+      KAnonymity.all ++ ProfileDrift.all ++ Attribution.all ++
+      MarketBasket.all ++ TriangleCount.all ++ CdcMerge.all ++
+      GapFill.all ++ TargetEncoding.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
