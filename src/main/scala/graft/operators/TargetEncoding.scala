@@ -59,8 +59,17 @@ object TargetEncoding {
               .as("raw_rate"),
             prior.as("prior"),
             enc(col("pos_c"), col("n_c"), prior).as("enc"),
-            enc(col("pos_c") - 1, col("n_c") - 1, prior).as("enc_loo_pos"),
-            enc(col("pos_c"), col("n_c") - 1, prior).as("enc_loo_neg"))
+            // LOO columns only exist for rows that exist: a category
+            // with no positive row has no training row that would ever
+            // read enc_loo_pos (and its (0−1+m·prior) numerator can go
+            // negative) — null it out; symmetrically for enc_loo_neg
+            // when every row is positive.
+            when(col("pos_c") > 0,
+              enc(col("pos_c") - 1, col("n_c") - 1, prior))
+              .as("enc_loo_pos"),
+            when(col("pos_c") < col("n_c"),
+              enc(col("pos_c"), col("n_c") - 1, prior))
+              .as("enc_loo_neg"))
           .orderBy(col("segment"), col("priority"))
       }
     },
@@ -73,7 +82,7 @@ object TargetEncoding {
         SELECT segment, priority, COUNT(*) AS n_c,
                CAST(SUM(y) AS BIGINT) AS pos_c
         FROM rows_ GROUP BY 1, 2),
-      glob AS (
+      gl AS (
         SELECT CAST(SUM(n_c) AS BIGINT) AS n_g,
                CAST(SUM(pos_c) AS BIGINT) AS pos_g
         FROM cats)
@@ -83,13 +92,15 @@ object TargetEncoding {
              (CAST(pos_c AS DOUBLE) + $M.0 *
                 (CAST(pos_g AS DOUBLE) / CAST(n_g AS DOUBLE)))
                / (CAST(n_c AS DOUBLE) + $M.0) AS enc,
-             (CAST(pos_c - 1 AS DOUBLE) + $M.0 *
-                (CAST(pos_g AS DOUBLE) / CAST(n_g AS DOUBLE)))
-               / (CAST(n_c - 1 AS DOUBLE) + $M.0) AS enc_loo_pos,
-             (CAST(pos_c AS DOUBLE) + $M.0 *
-                (CAST(pos_g AS DOUBLE) / CAST(n_g AS DOUBLE)))
-               / (CAST(n_c - 1 AS DOUBLE) + $M.0) AS enc_loo_neg
-      FROM cats CROSS JOIN glob
+             CASE WHEN pos_c > 0 THEN
+               (CAST(pos_c - 1 AS DOUBLE) + $M.0 *
+                  (CAST(pos_g AS DOUBLE) / CAST(n_g AS DOUBLE)))
+                 / (CAST(n_c - 1 AS DOUBLE) + $M.0) END AS enc_loo_pos,
+             CASE WHEN pos_c < n_c THEN
+               (CAST(pos_c AS DOUBLE) + $M.0 *
+                  (CAST(pos_g AS DOUBLE) / CAST(n_g AS DOUBLE)))
+                 / (CAST(n_c - 1 AS DOUBLE) + $M.0) END AS enc_loo_neg
+      FROM cats CROSS JOIN gl
       ORDER BY segment, priority
     """))
 

@@ -32,7 +32,15 @@ object TriangleCount {
   val TopNodes = 20
 
   /** Oriented edges (s → t) of the distinct co-purchase graph built
-    * from (basket, item) rows named (o, p).
+    * from (basket, item) rows named (o, p). Carries `dt` — the degree
+    * of the TARGET endpoint — because the wedge join must order the two
+    * out-neighbors by the SAME (degree, id) total order the orientation
+    * used: ordering them by bare node id would look for the closing
+    * edge in the wrong direction whenever id order disagrees with
+    * degree order, silently dropping those triangles (e.g. triangle
+    * {1,2,3} + pendant edge 2–4: edge 2–3 orients 3→2 because
+    * deg(3)=2 < deg(2)=3, and the wedge at 1 with id-ordered pair
+    * (2,3) would probe for 2→3 and miss it).
     */
   def orientedEdges(baskets: DataFrame): DataFrame = {
     val e = baskets.as("b1")
@@ -48,18 +56,23 @@ object TriangleCount {
         .withColumnRenamed("d", "du"), "u")
       .join(deg.withColumnRenamed("node", "v")
         .withColumnRenamed("d", "dv"), "v")
+    val lo = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
     withDeg.select(
-      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-        col("u")).otherwise(col("v")).as("s"),
-      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-        col("v")).otherwise(col("u")).as("t"))
+      when(lo, col("u")).otherwise(col("v")).as("s"),
+      when(lo, col("v")).otherwise(col("u")).as("t"),
+      when(lo, col("dv")).otherwise(col("du")).as("dt"))
   }
 
-  /** One row per triangle (its three corners), counted once each. */
+  /** One row per triangle (its three corners), counted once each. The
+    * wedge pair is ordered by (dt, t) — the orientation's own total
+    * order — so the closing edge is always stored as o1.t → o2.t.
+    */
   def triangles(o: DataFrame): DataFrame =
     o.as("o1")
       .join(o.as("o2"),
-        col("o1.s") === col("o2.s") && col("o1.t") < col("o2.t"))
+        col("o1.s") === col("o2.s") &&
+          struct(col("o1.dt"), col("o1.t")) <
+            struct(col("o2.dt"), col("o2.t")))
       .join(o.as("o3"),
         col("o3.s") === col("o1.t") && col("o3.t") === col("o2.t"))
       .select(col("o1.s").as("x"), col("o1.t").as("y"),
@@ -75,7 +88,11 @@ object TriangleCount {
         val baskets = t(s, d, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
           .distinct()
-        val o = orientedEdges(baskets)
+        // The oriented edge frame is consumed four ways (o1/o2/o3 in the
+        // wedge join + the degree census): eager-checkpoint it so the
+        // basket self-join → distinct → degree-join derivation runs ONCE
+        // instead of once per consumer.
+        val o = graft.Checkpoints.eager(orientedEdges(baskets))
         val tri = triangles(o)
         val corners = tri.select(col("x").as("node"))
           .union(tri.select(col("y").as("node")))
@@ -117,11 +134,14 @@ object TriangleCount {
       o AS (SELECT CASE WHEN (d1.d, e.u) < (d2.d, e.v)
                         THEN e.u ELSE e.v END AS s,
                    CASE WHEN (d1.d, e.u) < (d2.d, e.v)
-                        THEN e.v ELSE e.u END AS t
+                        THEN e.v ELSE e.u END AS t,
+                   CASE WHEN (d1.d, e.u) < (d2.d, e.v)
+                        THEN d2.d ELSE d1.d END AS dt
             FROM e JOIN deg d1 ON d1.node = e.u
                    JOIN deg d2 ON d2.node = e.v),
       tri AS (SELECT o1.s AS x, o1.t AS y, o2.t AS z
-              FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t
+              FROM o o1 JOIN o o2
+                ON o1.s = o2.s AND (o1.dt, o1.t) < (o2.dt, o2.t)
               JOIN o o3 ON o3.s = o1.t AND o3.t = o2.t),
       corners AS (
         SELECT node, COUNT(*) AS tri_cnt FROM (
