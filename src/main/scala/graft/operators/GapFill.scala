@@ -30,6 +30,37 @@ import Q._
   */
 object GapFill {
 
+  /** The fill kernel over an ALREADY-GRIDDED frame: rows of (user_id,
+    * day_no, obs) where gap days carry obs = null. Split out from q170
+    * so planted grids — leading/trailing gaps an external calendar
+    * would produce, single-observation series — exercise the
+    * `coalesce(…, pv, nv)` fallbacks that q170's per-series
+    * [min, max] grid can never reach (its boundary days are observed
+    * by construction).
+    */
+  def fill(joined: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("day_no"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = ord.rowsBetween(0, Window.unboundedFollowing)
+    val obsd = when(col("obs").isNotNull, col("obs"))
+    joined
+      .withColumn("pd", last(when(col("obs").isNotNull,
+        col("day_no")), ignoreNulls = true).over(back))
+      .withColumn("pv", last(obsd, ignoreNulls = true).over(back))
+      .withColumn("nd", first(when(col("obs").isNotNull,
+        col("day_no")), ignoreNulls = true).over(fwd))
+      .withColumn("nv", first(obsd, ignoreNulls = true).over(fwd))
+      .select(col("user_id"), col("day_no"), col("obs"),
+        col("obs").isNull.as("is_gap"),
+        coalesce(col("obs"), col("pv"), col("nv")).as("fill_locf"),
+        coalesce(col("obs"),
+          col("pv") + (col("nv") - col("pv")) *
+            ((col("day_no") - col("pd")).cast("double") /
+              (col("nd") - col("pd")).cast("double")),
+          col("pv"), col("nv")).as("fill_interp"))
+  }
+
   /** q170 — per-user daily purchase revenue, gap-filled. */
   val q170 = GraftQuery(
     "q170_timeseries_gapfill", {
@@ -43,26 +74,7 @@ object GapFill {
           .agg(min(col("day_no")).as("d0"), max(col("day_no")).as("d1"))
           .select(col("user_id"),
             explode(sequence(col("d0"), col("d1"))).as("day_no"))
-        val joined = grid.join(obs, Seq("user_id", "day_no"), "left")
-        val ord = Window.partitionBy(col("user_id")).orderBy(col("day_no"))
-        val back = ord.rowsBetween(Window.unboundedPreceding, 0)
-        val fwd = ord.rowsBetween(0, Window.unboundedFollowing)
-        val obsd = when(col("obs").isNotNull, col("obs"))
-        joined
-          .withColumn("pd", last(when(col("obs").isNotNull,
-            col("day_no")), ignoreNulls = true).over(back))
-          .withColumn("pv", last(obsd, ignoreNulls = true).over(back))
-          .withColumn("nd", first(when(col("obs").isNotNull,
-            col("day_no")), ignoreNulls = true).over(fwd))
-          .withColumn("nv", first(obsd, ignoreNulls = true).over(fwd))
-          .select(col("user_id"), col("day_no"), col("obs"),
-            col("obs").isNull.as("is_gap"),
-            coalesce(col("obs"), col("pv"), col("nv")).as("fill_locf"),
-            coalesce(col("obs"),
-              col("pv") + (col("nv") - col("pv")) *
-                ((col("day_no") - col("pd")).cast("double") /
-                  (col("nd") - col("pd")).cast("double")),
-              col("pv"), col("nv")).as("fill_interp"))
+        fill(grid.join(obs, Seq("user_id", "day_no"), "left"))
           .orderBy(col("user_id"), col("day_no"))
       }
     },

@@ -30,6 +30,41 @@ object IsotonicCalibration {
   /** Score bins (score ∈ [0, 1e6) → bin = score div 1e4). */
   val Bins = 100
 
+  /** The minimax isotonic fit over an aggregated bin frame (bin, n,
+    * pos): iso_i = max_{j≤i} min_{k≥i} avg(pos/n over bins j..k).
+    * Split out from q172 so planted violator sequences can be checked
+    * against a literal driver-side PAVA run.
+    */
+  def fit(bins: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = bins
+      .withColumn("cp", sum(col("pos")).over(w))
+      .withColumn("cn", sum(col("n")).over(w))
+    val pairs = cum.select(col("bin").as("j"),
+      (col("cp") - col("pos")).as("pbase"),
+      (col("cn") - col("n")).as("nbase"))
+      .join(cum.select(col("bin").as("k"), col("cp"), col("cn")),
+        col("k") >= col("j"))
+      .select(col("j"), col("k"),
+        ((col("cp") - col("pbase")).cast("double") /
+          (col("cn") - col("nbase")).cast("double")).as("seg_avg"))
+    val iso = bins.select(col("bin"))
+      .join(pairs, col("j") <= col("bin") && col("k") >= col("bin"))
+      .groupBy(col("bin"), col("j"))
+      .agg(min(col("seg_avg")).as("mn"))
+      .groupBy(col("bin"))
+      .agg(max(col("mn")).as("iso_rate"))
+    bins.join(iso, "bin")
+      .select(col("bin"), col("n"), col("pos"),
+        (col("pos").cast("double") / col("n").cast("double"))
+          .as("raw_rate"),
+        col("iso_rate"))
+  }
+
   /** q172 — isotonic fit of finished-order rate vs the mock score. */
   val q172 = GraftQuery(
     "q172_isotonic_calibration", {
@@ -41,33 +76,7 @@ object IsotonicCalibration {
             .as("y"))
         val bins = scored.groupBy(expr("score div 10000").as("bin"))
           .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("bin"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, 0)
-        val cum = bins
-          .withColumn("cp", sum(col("pos")).over(w))
-          .withColumn("cn", sum(col("n")).over(w))
-        val pairs = cum.select(col("bin").as("j"),
-          (col("cp") - col("pos")).as("pbase"),
-          (col("cn") - col("n")).as("nbase"))
-          .join(cum.select(col("bin").as("k"), col("cp"), col("cn")),
-            col("k") >= col("j"))
-          .select(col("j"), col("k"),
-            ((col("cp") - col("pbase")).cast("double") /
-              (col("cn") - col("nbase")).cast("double")).as("seg_avg"))
-        val iso = bins.select(col("bin"))
-          .join(pairs, col("j") <= col("bin") && col("k") >= col("bin"))
-          .groupBy(col("bin"), col("j"))
-          .agg(min(col("seg_avg")).as("mn"))
-          .groupBy(col("bin"))
-          .agg(max(col("mn")).as("iso_rate"))
-        bins.join(iso, "bin")
-          .select(col("bin"), col("n"), col("pos"),
-            (col("pos").cast("double") / col("n").cast("double"))
-              .as("raw_rate"),
-            col("iso_rate"))
-          .orderBy(col("bin"))
+        fit(bins).orderBy(col("bin"))
       }
     },
     Some("""

@@ -36,6 +36,39 @@ object TargetEncoding {
     (pos.cast("double") + lit(M.toDouble) * prior) /
       (n.cast("double") + lit(M.toDouble))
 
+  /** The encoding kernel: rows carrying the key columns plus a 0/1
+    * label `y` → one row per category with the smoothed encoding and
+    * both leave-one-out variants. Split out from q171 so planted
+    * category frames (singletons, all-positive / all-negative
+    * categories) can pin the LOO identities directly.
+    */
+  def encode(rows: org.apache.spark.sql.DataFrame, keys: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    val kc = keys.map(col)
+    val cats = rows.groupBy(kc: _*)
+      .agg(count(lit(1)).as("n_c"), sum(col("y")).as("pos_c"))
+    val gl = cats.agg(sum(col("n_c")).as("n_g"),
+      sum(col("pos_c")).as("pos_g"))
+    val prior = col("pos_g").cast("double") / col("n_g").cast("double")
+    cats.join(broadcast(gl))
+      .select(kc ++ Seq(col("n_c"), col("pos_c"),
+        (col("pos_c").cast("double") / col("n_c").cast("double"))
+          .as("raw_rate"),
+        prior.as("prior"),
+        enc(col("pos_c"), col("n_c"), prior).as("enc"),
+        // LOO columns only exist for rows that exist: a category
+        // with no positive row has no training row that would ever
+        // read enc_loo_pos (and its (0−1+m·prior) numerator can go
+        // negative) — null it out; symmetrically for enc_loo_neg
+        // when every row is positive.
+        when(col("pos_c") > 0,
+          enc(col("pos_c") - 1, col("n_c") - 1, prior))
+          .as("enc_loo_pos"),
+        when(col("pos_c") < col("n_c"),
+          enc(col("pos_c"), col("n_c") - 1, prior))
+          .as("enc_loo_neg")): _*)
+  }
+
   /** q171 — encode (segment, priority) by finished-order rate. */
   val q171 = GraftQuery(
     "q171_target_encoding", {
@@ -47,29 +80,7 @@ object TargetEncoding {
             col("o_orderpriority").as("priority"),
             when(col("o_orderstatus") === "F", lit(1L))
               .otherwise(lit(0L)).as("y"))
-        val cats = rows.groupBy(col("segment"), col("priority"))
-          .agg(count(lit(1)).as("n_c"), sum(col("y")).as("pos_c"))
-        val glob = cats.agg(sum(col("n_c")).as("n_g"),
-          sum(col("pos_c")).as("pos_g"))
-        val prior = col("pos_g").cast("double") / col("n_g").cast("double")
-        cats.join(broadcast(glob))
-          .select(col("segment"), col("priority"), col("n_c"),
-            col("pos_c"),
-            (col("pos_c").cast("double") / col("n_c").cast("double"))
-              .as("raw_rate"),
-            prior.as("prior"),
-            enc(col("pos_c"), col("n_c"), prior).as("enc"),
-            // LOO columns only exist for rows that exist: a category
-            // with no positive row has no training row that would ever
-            // read enc_loo_pos (and its (0−1+m·prior) numerator can go
-            // negative) — null it out; symmetrically for enc_loo_neg
-            // when every row is positive.
-            when(col("pos_c") > 0,
-              enc(col("pos_c") - 1, col("n_c") - 1, prior))
-              .as("enc_loo_pos"),
-            when(col("pos_c") < col("n_c"),
-              enc(col("pos_c"), col("n_c") - 1, prior))
-              .as("enc_loo_neg"))
+        encode(rows, Seq("segment", "priority"))
           .orderBy(col("segment"), col("priority"))
       }
     },
