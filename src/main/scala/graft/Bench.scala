@@ -264,6 +264,59 @@ object Bench {
     val ratesCanaryJson = f"""{"before":$ratesCanaryBefore%.3f,"after":""" +
       f"""$ratesCanaryAfter%.3f,"reruns":$ratesReruns,""" +
       f""""degraded":$ratesDegraded}"""
+
+    // RATE drift tier (VERDICT r14 item 6): r14 published
+    // curation_docs_per_sec_packed at 0.43× committed (−57 %), absa
+    // −16 % and vehicle-real −19 % alongside, on a round that touched
+    // none of that code — the r13 drift tier covered per-query wall
+    // times but NOT the rate block, so the halving shipped silently.
+    // Each rate is now compared against the round-start artifact; a
+    // value outside [÷1.5, ×1.5] of committed is re-measured once,
+    // the recorded value is the BEST (max) observation — rates are
+    // throughput, host noise only pushes them DOWN — and the
+    // adjudication travels in `rates_drift` with a noise/persistent
+    // verdict, exactly like the wall-time tier.
+    val committedRate: Map[String, Double] = baselineArtifact.map { s =>
+      Seq("absa_rows_per_sec", "vehicle_fps", "vehicle_fps_real",
+        "curation_docs_per_sec", "curation_docs_per_sec_packed")
+        .flatMap { k =>
+          ("\"" + k + "\":(-?[0-9.]+)").r.findFirstMatchIn(s)
+            .map(m => k -> m.group(1).toDouble)
+        }.toMap
+    }.getOrElse(Map.empty)
+    val ratesDrift = scala.collection.mutable.ListBuffer.empty[String]
+    def rateOutOfBand(key: String, v: Double): Boolean =
+      committedRate.get(key).exists(b => b > 0 && v > 0 &&
+        (v < b / 1.5 || v > b * 1.5))
+    def adjudicateRate(key: String, first: Double, rerun: Double): Double = {
+      val base = committedRate(key)
+      val best = math.max(first, rerun)
+      val verdict = if (rateOutOfBand(key, best)) "persistent" else "noise"
+      System.err.println(f"[bench] rate $key drifted: $first%.1f vs " +
+        f"committed $base%.1f; re-measured $rerun%.1f ($verdict)")
+      ratesDrift += f"""{"rate":"$key","first":$first%.3f,""" +
+        f""""rerun":$rerun%.3f,"committed":$base%.3f,""" +
+        f""""verdict":"$verdict"}"""
+      best
+    }
+    if (Seq("absa_rows_per_sec" -> absaRate, "vehicle_fps" -> vehicleRate,
+        "vehicle_fps_real" -> vehicleRealFps)
+        .exists { case (k, v) => rateOutOfBand(k, v) }) {
+      val (a2, v2, vr2) = streamingRates(spark)
+      if (rateOutOfBand("absa_rows_per_sec", absaRate))
+        absaRate = adjudicateRate("absa_rows_per_sec", absaRate, a2)
+      if (rateOutOfBand("vehicle_fps", vehicleRate))
+        vehicleRate = adjudicateRate("vehicle_fps", vehicleRate, v2)
+      if (rateOutOfBand("vehicle_fps_real", vehicleRealFps))
+        vehicleRealFps = adjudicateRate("vehicle_fps_real", vehicleRealFps, vr2)
+    }
+    if (rateOutOfBand("curation_docs_per_sec", curationRate))
+      curationRate = adjudicateRate("curation_docs_per_sec",
+        curationRate, curationIngestRate(spark))
+    if (rateOutOfBand("curation_docs_per_sec_packed", curationRatePacked))
+      curationRatePacked = adjudicateRate("curation_docs_per_sec_packed",
+        curationRatePacked, curationIngestRate(spark, packed = true))
+    val ratesDriftJson = ratesDrift.mkString("[", ",", "]")
     val annRecallJson = annRecall(spark, sfDir)
     val bbitJson = bbitQuality(spark, sfDir)
     val gkJson = gkHistogram(spark, sfDir)
@@ -290,7 +343,7 @@ object Bench {
     // swings (q42 +25 %, q68 −30 %): the recorded statistic is min-of-N
     // and the note travels in the artifact so a future reader never
     // adjudicates a single-query delta inside that band as a regression.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_$repeat","noise_note":"per-query swings up to +/-30pct on identical code (r5 vs r6 calibration); 1.35x-3x vs committed is rerun and adjudicated in `drift`, beyond 3x in `spikes` -- an unexplained cross-round delta can no longer ship unadjudicated","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"rates_canary":$ratesCanaryJson,"spikes":$spikesJson,"drift":$driftJson,"plan_hash_ver":$PlanHashVersion,"plan_hashes":$planHashJson,"plan_changes":$planChangesJson,"plan_adaptive":${AdaptivePlanAllowlist.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate,"vehicle_fps_real":$vehicleRealFps,"curation_docs_per_sec":$curationRate,"curation_docs_per_sec_packed":$curationRatePacked,"ann_recall":$annRecallJson,"bbit":$bbitJson,"gk_histogram":$gkJson}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_$repeat","noise_note":"per-query swings up to +/-30pct on identical code (r5 vs r6 calibration); 1.35x-3x vs committed is rerun and adjudicated in `drift`, beyond 3x in `spikes` -- an unexplained cross-round delta can no longer ship unadjudicated","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"rates_canary":$ratesCanaryJson,"rates_drift":$ratesDriftJson,"spikes":$spikesJson,"drift":$driftJson,"plan_hash_ver":$PlanHashVersion,"plan_hashes":$planHashJson,"plan_changes":$planChangesJson,"plan_adaptive":${AdaptivePlanAllowlist.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate,"vehicle_fps_real":$vehicleRealFps,"curation_docs_per_sec":$curationRate,"curation_docs_per_sec_packed":$curationRatePacked,"ann_recall":$annRecallJson,"bbit":$bbitJson,"gk_histogram":$gkJson}"""
     println(line)
     // persist the full line INSIDE the repo (the round commits it), so
     // all per-query times stay recoverable even when the driver's

@@ -14,8 +14,10 @@ import Q._
   * late-arriving upsert that is OLDER than the delete still loses
   * (drop the tombstone and that upsert would resurrect the row — the
   * classic distributed-delete bug Cassandra/Dynamo tombstones exist
-  * for). A horizon-based tombstone GC is sound once feeds are known
-  * quiescent past the horizon; not applied here.
+  * for). [[gcTombstones]] is the horizon-based GC: sound once feeds
+  * are known quiescent past the horizon, NOT run by the default loop
+  * (retention is the safe default; GC is an explicit operational
+  * call, like Cassandra's gc_grace_seconds).
   *
   * The maintained form rides X98's swap/marker/recovery machinery via
   * `mergeOnceAs`: state is ONE row per key — (last change struct,
@@ -82,6 +84,26 @@ object CdcMerge {
     MaterializedAgg.recover(spark, path)
     render(spark.read.parquet(path))
   }
+
+  /** Quiescence-horizon tombstone GC (the `gc_grace_seconds` contract):
+    * drop tombstone rows more than `horizonUs` older than the NEWEST
+    * absorbed change — state size falls by exactly those rows. Sound
+    * iff the feed is quiescent past the horizon (no change older than
+    * max(us) − horizonUs will ever arrive; violating that precondition
+    * resurrects the row, which is WHY the default loop keeps every
+    * tombstone). A late upsert OLDER than a retained (within-horizon)
+    * tombstone still loses — the spec pins both that and the size
+    * drop. Rides [[MaterializedAgg.rewrite]], so the swap/marker
+    * crash-safety and the replay decision are unchanged.
+    */
+  def gcTombstones(spark: SparkSession, path: String,
+      horizonUs: Long): Unit =
+    MaterializedAgg.rewrite(spark, path, { st =>
+      val hw = st.agg(max(col("last.us"))).collect()(0)
+      if (hw.isNullAt(0)) st
+      else st.filter(!(col("last.op") === "delete" &&
+        col("last.us") < lit(hw.getLong(0) - horizonUs)))
+    })
 
   /** q169 — the batch form: the whole feed applied in one merge. */
   val q169 = GraftQuery(

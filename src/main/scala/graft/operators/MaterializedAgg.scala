@@ -228,6 +228,22 @@ object MaterializedAgg {
     }
   }
 
+  /** Rewrite the committed state in place through `f` — the
+    * compaction/GC entry point (X127's tombstone GC rides this): runs
+    * [[recover]], applies `f` to the state frame, and commits the
+    * result via the same swap/marker machinery, carrying the batch
+    * marker forward so a replay decision after a kill mid-rewrite is
+    * unaffected. `f` must be a row-subset/reshape of the SAME
+    * mergeable schema — it sees committed state only.
+    */
+  def rewrite(spark: org.apache.spark.sql.SparkSession, path: String,
+      f: DataFrame => DataFrame): Unit = {
+    recover(spark, path)
+    val cur = committedBatch(spark, path)
+    commitSwap(f(spark.read.parquet(path)), path,
+      if (cur >= 0) Some(cur) else None)
+  }
+
   /** Wire a (g, v, u) stream into the maintenance loop — exactly-once
     * state effects over an at-least-once foreachBatch, via the
     * batch-id marker swapped atomically with the data.

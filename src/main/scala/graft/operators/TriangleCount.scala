@@ -32,15 +32,16 @@ object TriangleCount {
   val TopNodes = 20
 
   /** Oriented edges (s → t) of the distinct co-purchase graph built
-    * from (basket, item) rows named (o, p). Carries `dt` — the degree
-    * of the TARGET endpoint — because the wedge join must order the two
-    * out-neighbors by the SAME (degree, id) total order the orientation
-    * used: ordering them by bare node id would look for the closing
-    * edge in the wrong direction whenever id order disagrees with
-    * degree order, silently dropping those triangles (e.g. triangle
-    * {1,2,3} + pendant edge 2–4: edge 2–3 orients 3→2 because
-    * deg(3)=2 < deg(2)=3, and the wedge at 1 with id-ordered pair
-    * (2,3) would probe for 2→3 and miss it).
+    * from (basket, item) rows named (o, p): each undirected edge points
+    * from its (degree, id)-SMALLER endpoint to the larger. The total
+    * order must be (degree, id) everywhere downstream too — an earlier
+    * formulation ordered wedge pairs by bare node id and silently
+    * missed every triangle whose corners' id order disagreed with their
+    * degree order (e.g. triangle {1,2,3} + pendant 2–4: edge 2–3
+    * orients 3→2 because deg(3)=2 < deg(2)=3, and an id-ordered wedge
+    * at 1 probes for 2→3 and finds nothing). The intersection form of
+    * [[triangles]] needs no pair ordering at all — only the DAG
+    * property — so the output is the bare (s, t) edge list.
     */
   def orientedEdges(baskets: DataFrame): DataFrame = {
     val e = baskets.as("b1")
@@ -59,24 +60,32 @@ object TriangleCount {
     val lo = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
     withDeg.select(
       when(lo, col("u")).otherwise(col("v")).as("s"),
-      when(lo, col("v")).otherwise(col("u")).as("t"),
-      when(lo, col("dv")).otherwise(col("du")).as("dt"))
+      when(lo, col("v")).otherwise(col("u")).as("t"))
   }
 
-  /** One row per triangle (its three corners), counted once each. The
-    * wedge pair is ordered by (dt, t) — the orientation's own total
-    * order — so the closing edge is always stored as o1.t → o2.t.
+  /** One row per triangle (its three corners), counted once each.
+    *
+    * Edge-iterator form (compact-forward's merge step): for each
+    * oriented edge a→b, the closing corners are the COMMON
+    * OUT-NEIGHBORS of a and b — every triangle has the DAG shape
+    * a→b, a→c, b→c under the orientation, so it is found exactly once
+    * at its (a, b) edge. Out-neighborhoods are collected into per-node
+    * arrays (each O(√m) by the orientation) and intersected per edge
+    * row in codegen — the O(m^{3/2}) wedge face is CPU work inside a
+    * row, never a 40M-row shuffle: the only exchanges are the
+    * |nodes|-sized adjacency groupBy and two |edges|-sized joins (an
+    * earlier wedge-join formulation shuffled 41M wedge rows at sf0.1
+    * and cost 2.5× as much end-to-end).
     */
-  def triangles(o: DataFrame): DataFrame =
-    o.as("o1")
-      .join(o.as("o2"),
-        col("o1.s") === col("o2.s") &&
-          struct(col("o1.dt"), col("o1.t")) <
-            struct(col("o2.dt"), col("o2.t")))
-      .join(o.as("o3"),
-        col("o3.s") === col("o1.t") && col("o3.t") === col("o2.t"))
-      .select(col("o1.s").as("x"), col("o1.t").as("y"),
-        col("o2.t").as("z"))
+  def triangles(o: DataFrame): DataFrame = {
+    val nbr = o.groupBy(col("s")).agg(collect_list(col("t")).as("ns"))
+    o.join(nbr.select(col("s").as("a"), col("ns").as("na")),
+        col("s") === col("a"))
+      .join(nbr.select(col("s").as("b"), col("ns").as("nb")),
+        col("t") === col("b"))
+      .select(col("s").as("x"), col("t").as("y"),
+        explode(array_intersect(col("na"), col("nb"))).as("z"))
+  }
 
   private def dd1(d: Column): Column =
     d.cast("double") * (d - lit(1)).cast("double")
@@ -93,11 +102,17 @@ object TriangleCount {
         // basket self-join → distinct → degree-join derivation runs ONCE
         // instead of once per consumer.
         val o = graft.Checkpoints.eager(orientedEdges(baskets))
-        val tri = triangles(o)
-        val corners = tri.select(col("x").as("node"))
-          .union(tri.select(col("y").as("node")))
-          .union(tri.select(col("z").as("node")))
-          .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+        // ONE pass over the triangle frame: corners via explode (a
+        // 3-way union would re-execute the intersection join per
+        // branch), checkpointed because both the top-20 and the
+        // global census read it; n_triangles = Σ tri_cnt / 3 (each
+        // triangle contributes exactly 3 corner increments) so the
+        // triangle join never runs a second time.
+        val corners = graft.Checkpoints.eager(
+          triangles(o)
+            .select(explode(array(col("x"), col("y"), col("z")))
+              .as("node"))
+            .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt")))
         val deg = o.select(col("s").as("node"))
           .union(o.select(col("t").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -107,7 +122,9 @@ object TriangleCount {
           // divide as integers so the sums stay order-insensitive
           expr("sum(d) div 2").as("n_edges"),
           expr("sum(d * (d - 1) div 2)").as("n_wedges"))
-          .join(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+          .join(broadcast(corners
+            .agg(coalesce(expr("sum(tri_cnt) div 3"), lit(0L))
+              .as("n_triangles"))))
           .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
             col("n_triangles"),
             ((lit(3).cast("double") * col("n_triangles").cast("double"))

@@ -132,7 +132,9 @@ object ProfileSfx {
       graft.operators.Bm25.q157,
       graft.operators.KappaAgreement.q155,
       graft.operators.GiniConcentration.q152,
-      graft.operators.RankingMetrics.q158)
+      graft.operators.RankingMetrics.q158,
+      // r15: RRF fusion — one doc scan + three |docs|-frame ranks
+      graft.operators.RankFusion.q174)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>

@@ -115,7 +115,24 @@ object ProfileSfxRel {
       graft.operators.KAnonymity.q163,
       graft.operators.ProfileDrift.q164,
       graft.operators.Attribution.q165,
-      graft.operators.Attribution.q166)
+      graft.operators.Attribution.q166,
+      // r15 additions (VERDICT r14 item 8): q167's pair face is
+      // basket-width-bounded (replication holds widths constant →
+      // linear); q168's wedge face is Σ d_out² — under TPC-H-style
+      // replication the graph is n disjoint copies, so the face grows
+      // LINEARLY (the m^1.5 bound is the adversarial-density ceiling,
+      // not the replication path); q169 one keyed shuffle; q170 Σ span;
+      // q171/q172 collapse to dimension frames after one groupBy
+      graft.operators.MarketBasket.q167,
+      graft.operators.TriangleCount.q168,
+      graft.operators.CdcMerge.q169,
+      graft.operators.GapFill.q170,
+      graft.operators.TargetEncoding.q171,
+      graft.operators.IsotonicCalibration.q172,
+      // r15: Theil-Sen (per-series pair face), integer PageRank (3
+      // edge⋈rank rounds over the checkpointed edge frame)
+      graft.operators.TheilSenTrend.q173,
+      graft.operators.PageRank.q175)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
@@ -168,7 +185,15 @@ object ProfileSfxRel {
         graft.operators.KAnonymity.q163,
         graft.operators.ProfileDrift.q164,
         graft.operators.Attribution.q165,
-        graft.operators.Attribution.q166)
+        graft.operators.Attribution.q166,
+        graft.operators.MarketBasket.q167,
+        graft.operators.TriangleCount.q168,
+        graft.operators.CdcMerge.q169,
+        graft.operators.GapFill.q170,
+        graft.operators.TargetEncoding.q171,
+        graft.operators.IsotonicCalibration.q172,
+        graft.operators.TheilSenTrend.q173,
+        graft.operators.PageRank.q175)
       deep.filter(q => only.forall(names =>
         names.exists(q.name.startsWith))).foreach { q =>
         val t1 = minOf(2)(q.build(spark, dst).count())

@@ -100,6 +100,43 @@ class CdcMergeSpec extends AnyFunSuite with SparkSpec {
       "replayed batch double-counted n_changes")
   }
 
+  test("tombstone GC: past-horizon tombstones drop (state size falls), " +
+      "within-horizon tombstones survive and still beat older late " +
+      "upserts; batch marker carried forward") {
+    val path = tmpDir("cdc-gc") + "/state"
+    // key 1: deleted long ago (us=20); key 2: deleted recently (990);
+    // key 3: newest change (1000) — sets the high watermark
+    CdcMerge.applyOnce(feedDf(Seq(
+      (1L, 10L, 1L, "upsert", 1.0, 1),
+      (1L, 20L, 2L, "delete", 0.0, 0),
+      (2L, 30L, 3L, "upsert", 2.0, 1),
+      (2L, 990L, 4L, "delete", 0.0, 0),
+      (3L, 1000L, 5L, "upsert", 3.0, 1))), path, 0L)
+    val before = spark.read.parquet(path).count()
+    assert(before === 3L)
+    val batchBefore = MaterializedAgg.committedBatch(spark, path)
+    // horizon 100 → cutoff = 1000 − 100 = 900: key 1's tombstone
+    // (20) drops, key 2's (990) is retained
+    CdcMerge.gcTombstones(spark, path, horizonUs = 100L)
+    assert(spark.read.parquet(path).count() === 2L,
+      "exactly the past-horizon tombstone row must drop")
+    assert(MaterializedAgg.committedBatch(spark, path) === batchBefore,
+      "GC must not disturb the replay decision")
+    val snap = CdcMerge.readSnapshot(spark, path).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(!snap.contains(1L))
+    assert(!snap(2L).getAs[Boolean]("is_live"))
+    assert(snap(3L).getAs[Boolean]("is_live"))
+    // a late upsert OLDER than the RETAINED tombstone still loses
+    CdcMerge.applyOnce(feedDf(Seq(
+      (2L, 985L, 6L, "upsert", 9.0, 9))), path, 1L)
+    val after = CdcMerge.readSnapshot(spark, path).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(!after(2L).getAs[Boolean]("is_live"),
+      "within-horizon tombstone must still defeat an older late upsert")
+    assert(after(2L).getAs[String]("last_op") === "delete")
+  }
+
   test("maintained CDC survives a REAL kill between state swap and " +
       "checkpoint commit (X71 source): restart replays, mergeOnce " +
       "skips, read-back == one-shot") {
