@@ -32,7 +32,8 @@ object SparkEntry {
       KAnonymity.all ++ ProfileDrift.all ++ Attribution.all ++
       MarketBasket.all ++ TriangleCount.all ++ CdcMerge.all ++
       GapFill.all ++ TargetEncoding.all ++ IsotonicCalibration.all ++
-      TheilSenTrend.all ++ RankFusion.all ++ PageRank.all
+      TheilSenTrend.all ++ RankFusion.all ++ PageRank.all ++
+      ApproxTriangles.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -43,12 +43,22 @@ object TriangleCount {
     * [[triangles]] needs no pair ordering at all — only the DAG
     * property — so the output is the bare (s, t) edge list.
     */
-  def orientedEdges(baskets: DataFrame): DataFrame = {
-    val e = baskets.as("b1")
+  def orientedEdges(baskets: DataFrame): DataFrame =
+    orient(undirectedEdges(baskets))
+
+  /** Distinct undirected (u < v) co-purchase edges from (o, p) rows. */
+  def undirectedEdges(baskets: DataFrame): DataFrame =
+    baskets.as("b1")
       .join(baskets.as("b2"),
         col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
       .select(col("b1.p").as("u"), col("b2.p").as("v"))
       .distinct()
+
+  /** Degree-orient an undirected (u, v) edge list — degrees computed
+    * on the GIVEN graph (X134's sparsified graph orients by its own
+    * degrees, which preserves the O(√m') neighborhood bound there).
+    */
+  def orient(e: DataFrame): DataFrame = {
     val deg = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))

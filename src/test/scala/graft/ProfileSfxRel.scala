@@ -132,7 +132,10 @@ object ProfileSfxRel {
       // r15: Theil-Sen (per-series pair face), integer PageRank (3
       // edge⋈rank rounds over the checkpointed edge frame)
       graft.operators.TheilSenTrend.q173,
-      graft.operators.PageRank.q175)
+      graft.operators.PageRank.q175,
+      // the approximate triangle tier: sampled wedge face ~p² of
+      // q168's — the curve the exact row's ceiling note points at
+      graft.operators.ApproxTriangles.q176)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
@@ -193,7 +196,8 @@ object ProfileSfxRel {
         graft.operators.TargetEncoding.q171,
         graft.operators.IsotonicCalibration.q172,
         graft.operators.TheilSenTrend.q173,
-        graft.operators.PageRank.q175)
+        graft.operators.PageRank.q175,
+        graft.operators.ApproxTriangles.q176)
       deep.filter(q => only.forall(names =>
         names.exists(q.name.startsWith))).foreach { q =>
         val t1 = minOf(2)(q.build(spark, dst).count())

@@ -63,12 +63,13 @@ class TriangleCountSpec extends AnyFunSuite with SparkSpec {
 
   test("seeded random graph: triangle SET and per-node counts match " +
       "the brute force exactly") {
-    // deterministic LCG edge selection over 24 nodes (reduce before
-    // multiply — the r11 overflow rule)
+    // deterministic scattered edge selection over 24 nodes (NOT an
+    // `lcg % 3` form — 1103515245 ≡ 0 mod 3, which silently kept
+    // every edge and made this a complete graph)
     val edges = for {
       u <- 1L to 24L
       v <- (u + 1) to 24L
-      if ((u * 31 + v) % 97 * 1103515245L + 12345L) % 3 == 0
+      if (u * 37 + v) % 101 < 34
     } yield (u, v)
     val expected = bruteTriangles(edges)
     assert(expected.nonEmpty, "planted graph should contain triangles")
