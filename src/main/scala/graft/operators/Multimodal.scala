@@ -177,4 +177,101 @@ object Multimodal {
   /** The kept frames: the first frame of every shot. */
   def keyframes(features: DataFrame, tau: Int): DataFrame =
     shotSegments(features, tau).filter(col("is_boundary"))
+
+  // ---- X135: audio decode + energy VAD segmentation ----
+
+  /** A decoded PCM buffer. */
+  final case class DecodedAudio(sampleRate: Int, samples: Array[Short])
+
+  /** Codec boundary for audio — same contract as [[ImageDecoder]]:
+    * Serializable, init amortized per partition, a real codec (libopus/
+    * libsndfile via JNI) replaces exactly this class.
+    */
+  trait AudioDecoder extends Serializable {
+    def decode(payload: Array[Byte]): DecodedAudio
+  }
+
+  /** STUB PCM decoder — deterministic fake: consecutive payload byte
+    * pairs become little-endian 16-bit samples (odd tail byte dropped),
+    * 16 kHz. Pure function of the payload, so the full framing/energy/
+    * segmentation pipeline runs with realistic shapes.
+    */
+  object StubAudioDecoder extends AudioDecoder {
+    override def decode(payload: Array[Byte]): DecodedAudio = {
+      val n = payload.length / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = (((payload(2 * i + 1) & 0xff) << 8) |
+          (payload(2 * i) & 0xff)).toShort
+        i += 1
+      }
+      DecodedAudio(16000, samples)
+    }
+  }
+
+  final case class AudioRow(doc_id: Long, payload: Array[Byte])
+
+  final case class AudioFrame(doc_id: Long, frame_no: Int,
+      n_samples: Int, energy: Long)
+
+  /** Samples per analysis frame (25 ms at 16 kHz — the standard VAD
+    * frame).
+    */
+  val AudioFrameSamples = 400
+
+  /** Decode + frame + energy, executor-side: one row per 25 ms frame
+    * with its EXACT integer energy Σ s² (a 400-sample frame of ±32767
+    * peaks sums to < 2^39 — no overflow, no floats, so segmentation
+    * downstream is bit-deterministic). The partial trailing frame is
+    * kept with its true sample count.
+    */
+  def frameEnergies(audio: Dataset[AudioRow],
+      decoder: AudioDecoder = StubAudioDecoder): Dataset[AudioFrame] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      val codec = decoder // per-partition init seam
+      rows.flatMap { a =>
+        val pcm = codec.decode(a.payload).samples
+        (0 until pcm.length by AudioFrameSamples).iterator.map { off =>
+          val end = math.min(off + AudioFrameSamples, pcm.length)
+          var e = 0L
+          var i = off
+          while (i < end) {
+            e += pcm(i).toLong * pcm(i).toLong
+            i += 1
+          }
+          AudioFrame(a.doc_id, off / AudioFrameSamples, end - off, e)
+        }
+      }
+    }
+  }
+
+  /** VAD-style speech/silence segmentation over per-doc frame
+    * sequences: a frame is VOICED when its energy clears `threshold`;
+    * consecutive same-state frames pool into one segment
+    * (gaps-and-islands over ONE doc-partitioned window — the X124
+    * plan shape, integer state only). Output: one row per segment
+    * with bounds, frame count, and exact total energy — the unit a
+    * curation pipeline keeps (voiced spans) or drops (silence,
+    * typically most of the tape).
+    */
+  def vadSegments(frames: DataFrame, threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    frames
+      .withColumn("is_voiced", col("energy") > threshold)
+      .withColumn("flip",
+        when(lag(col("is_voiced"), 1).over(w).isNull ||
+          lag(col("is_voiced"), 1).over(w) =!= col("is_voiced"), 1L)
+          .otherwise(0L))
+      .withColumn("seg_id",
+        sum(col("flip")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("seg_id"), col("is_voiced"))
+      .agg(min(col("frame_no")).as("start_frame"),
+        max(col("frame_no")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("total_energy"))
+      .orderBy(col("doc_id"), col("seg_id"))
+  }
 }

@@ -66,9 +66,15 @@ object PageRank {
             col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
           .select(col("b1.p").as("u"), col("b2.p").as("v"))
           .distinct()
+        // repartition on src BEFORE the checkpoint: localCheckpoint
+        // preserves partitioning, so all three iteration joins reuse
+        // the exchange instead of re-shuffling the (2m)-row edge
+        // frame every round — at 240M edges that exchange was the
+        // dominant per-iteration cost
         val edges = graft.Checkpoints.eager(
           und.select(col("u").as("src"), col("v").as("dst"))
-            .union(und.select(col("v").as("src"), col("u").as("dst"))))
+            .union(und.select(col("v").as("src"), col("u").as("dst")))
+            .repartition(col("src")))
         val deg = edges.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("d"))
         val nNodes = deg.count()

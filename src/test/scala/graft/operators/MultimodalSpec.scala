@@ -116,4 +116,74 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(got("base") ^ got("reversed")) === 56,
       "a full gradient reversal flips every comparison bit")
   }
+
+  test("X135 PCM stub + frame energies: little-endian pairs, exact " +
+      "integer Σs², partial trailing frame kept with its true count") {
+    // 2.5 frames of samples: 1000 samples = 2 full frames + 200 tail
+    val samples = (0 until 1000).map(i => ((i % 7) - 3).toShort)
+    val payload = new Array[Byte](2000)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      payload(2 * i) = (s & 0xff).toByte
+      payload(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val frames = frameEnergies(
+      Seq(AudioRow(1L, payload)).toDS()).collect().sortBy(_.frame_no)
+    assert(frames.length === 3)
+    assert(frames.map(_.n_samples).toSeq === Seq(400, 400, 200))
+    def expect(off: Int, n: Int): Long =
+      (off until off + n).map(i => samples(i).toLong * samples(i)).sum
+    assert(frames(0).energy === expect(0, 400))
+    assert(frames(1).energy === expect(400, 400))
+    assert(frames(2).energy === expect(800, 200))
+    // decode round-trip: negative samples survive the LE byte packing
+    val dec = StubAudioDecoder.decode(payload).samples
+    assert(dec.take(10).toSeq === samples.take(10))
+  }
+
+  test("X135 VAD segmentation: silence-speech-silence pools to exactly " +
+      "3 segments with exact bounds/energies; interleaved docs " +
+      "segment independently") {
+    val frames = Seq(
+      // doc 1: 3 quiet, 4 loud, 2 quiet
+      (1L, 0, 10L), (1L, 1, 12L), (1L, 2, 9L),
+      (1L, 3, 900L), (1L, 4, 950L), (1L, 5, 910L), (1L, 6, 905L),
+      (1L, 7, 11L), (1L, 8, 13L),
+      // doc 2: all loud
+      (2L, 0, 800L), (2L, 1, 820L))
+      .toDF("doc_id", "frame_no", "energy")
+    val segs = vadSegments(frames, threshold = 100L).collect()
+    val d1 = segs.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(d1.length === 3)
+    assert(d1.map(r => (r.getAs[Boolean]("is_voiced"),
+      r.getAs[Int]("start_frame"), r.getAs[Int]("end_frame"),
+      r.getAs[Long]("n_frames"), r.getAs[Long]("total_energy"))).toSeq ===
+      Seq((false, 0, 2, 3L, 31L), (true, 3, 6, 4L, 3665L),
+        (false, 7, 8, 2L, 24L)))
+    val d2 = segs.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(d2.length === 1)
+    assert(d2(0).getAs[Boolean]("is_voiced"))
+    assert(d2(0).getAs[Long]("total_energy") === 1620L)
+  }
+
+  test("X135 end-to-end: decode -> frames -> segments is " +
+      "partitioning-invariant") {
+    val audio = spark.range(40).repartition(8)
+      .select(col("id").as("doc_id"),
+        concat(lit("pcm-payload-"), col("id"), lit("-"),
+          repeat(concat(lit("x"), col("id")), 50)).cast("binary")
+          .as("payload"))
+      .as[AudioRow]
+    val a = vadSegments(frameEnergies(audio).toDF(), 1000000L)
+      .collect().map(_.toSeq.toList).toList
+    val audio2 = spark.range(40).repartition(2)
+      .select(col("id").as("doc_id"),
+        concat(lit("pcm-payload-"), col("id"), lit("-"),
+          repeat(concat(lit("x"), col("id")), 50)).cast("binary")
+          .as("payload"))
+      .as[AudioRow]
+    val b = vadSegments(frameEnergies(audio2).toDF(), 1000000L)
+      .collect().map(_.toSeq.toList).toList
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }
