@@ -135,7 +135,9 @@ object ProfileSfxRel {
       graft.operators.PageRank.q175,
       // the approximate triangle tier: sampled wedge face ~p² of
       // q168's — the curve the exact row's ceiling note points at
-      graft.operators.ApproxTriangles.q176)
+      graft.operators.ApproxTriangles.q176,
+      graft.operators.OrcWarehouse.q177,
+      graft.operators.EntityResolution.q178)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
