@@ -33,7 +33,8 @@ object SparkEntry {
       MarketBasket.all ++ TriangleCount.all ++ CdcMerge.all ++
       GapFill.all ++ TargetEncoding.all ++ IsotonicCalibration.all ++
       TheilSenTrend.all ++ RankFusion.all ++ PageRank.all ++
-      ApproxTriangles.all ++ OrcWarehouse.all ++ EntityResolution.all
+      ApproxTriangles.all ++ OrcWarehouse.all ++ EntityResolution.all ++
+      LatenessAudit.all ++ DataContract.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -13,12 +13,11 @@ import Q._
   * multi-source training corpus needs before per-entity aggregation
   * (star schemas count an entity twice if its listings never merge).
   *
-  * Pipeline: BLOCK on (brand, type) — the standard blocking-key cut
-  * that turns the all-pairs face into Σ per-block k², with block sizes
-  * bounded by the attribute domain, never the corpus (a production
-  * deployment adds more key precision as blocks grow — same plan);
-  * MATCH within a block when the names share ≥1 token (array_intersect
-  * on the split names — 2-token names here, so this is name-jaccard ≥
+  * Pipeline: BLOCK on (brand, type, name-token) — token blocking, the
+  * standard recall-lossless cut: a record enters one block per token,
+  * so every candidate pair shares a token by construction and the
+  * pair face is output-bound (see [[matchEdges]]); MATCH = same
+  * (brand, type) + ≥1 shared token (2-token names ⇒ name-jaccard ≥
   * 1/3); CLUSTER the match edges with X24's iterative closure (min-id
   * labels, (id, comp)-longs shuffles only); the oracle replays the
   * closure with the q68 recursive CTE.
@@ -29,19 +28,30 @@ import Q._
   */
 object EntityResolution {
 
-  /** Match edges: same (brand, type) block, ≥1 shared name token,
-    * a < b. One self-join per block key.
+  /** Match edges: same (brand, type), ≥1 shared name token, a < b.
+    *
+    * Blocking key = (brand, type, TOKEN) — each record enters one
+    * block per name token, so every candidate pair already shares a
+    * token by construction and the pair face is OUTPUT-BOUND (Σ block
+    * k² over token blocks ≈ the match count, ≤2× for two-token
+    * names), not the (brand, type)-block k² face where most
+    * candidates fail the token test (that formulation measured
+    * exponent 1.19 on the catalog decade; this one is bounded by the
+    * true duplicate structure — which genuinely grows when a
+    * fixed-vocabulary catalog densifies, the honest floor for record
+    * linkage). `distinct` collapses pairs that share both tokens.
     */
   def matchEdges(parts: DataFrame): DataFrame = {
-    val p = parts.select(col("p_partkey").as("key"),
+    val blocks = parts.select(col("p_partkey").as("key"),
       col("p_brand").as("brand"), col("p_type").as("ptype"),
-      split(col("p_name"), " ").as("toks"))
-    p.as("a").join(p.as("b"),
+      explode(split(col("p_name"), " ")).as("tok"))
+    blocks.as("a").join(blocks.as("b"),
       col("a.brand") === col("b.brand") &&
         col("a.ptype") === col("b.ptype") &&
+        col("a.tok") === col("b.tok") &&
         col("a.key") < col("b.key"))
-      .filter(size(array_intersect(col("a.toks"), col("b.toks"))) >= 1)
       .select(col("a.key").as("doc_a"), col("b.key").as("doc_b"))
+      .distinct()
   }
 
   /** q178 — every part labeled with its entity id + cluster stats. */
@@ -65,15 +75,15 @@ object EntityResolution {
       }
     },
     Some("""
-      WITH RECURSIVE p AS (
+      WITH RECURSIVE blocks AS (
         SELECT p_partkey AS key, p_brand AS brand, p_type AS ptype,
-               string_split(p_name, ' ') AS toks
+               unnest(string_split(p_name, ' ')) AS tok
         FROM part),
       pairs AS (
-        SELECT a.key AS doc_a, b.key AS doc_b
-        FROM p a JOIN p b
-          ON a.brand = b.brand AND a.ptype = b.ptype AND a.key < b.key
-        WHERE len(list_intersect(a.toks, b.toks)) >= 1),
+        SELECT DISTINCT a.key AS doc_a, b.key AS doc_b
+        FROM blocks a JOIN blocks b
+          ON a.brand = b.brand AND a.ptype = b.ptype
+         AND a.tok = b.tok AND a.key < b.key),
       nodes AS (
         SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
       edges AS (

@@ -137,7 +137,9 @@ object ProfileSfxRel {
       // q168's — the curve the exact row's ceiling note points at
       graft.operators.ApproxTriangles.q176,
       graft.operators.OrcWarehouse.q177,
-      graft.operators.EntityResolution.q178)
+      graft.operators.EntityResolution.q178,
+      graft.operators.LatenessAudit.q179,
+      graft.operators.DataContract.q180)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
