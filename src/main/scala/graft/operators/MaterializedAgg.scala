@@ -228,6 +228,28 @@ object MaterializedAgg {
     }
   }
 
+  /** The ORDER-DEPENDENT sibling of [[mergeOnceAs]]: one exactly-once
+    * fold step `state × delta → state` with the same swap/marker/
+    * recovery machinery and replay idempotence. For operators whose
+    * update is a SEQUENTIAL fold (a running high-water mark, X123-style
+    * in-order state) rather than a commutative merge — the contract is
+    * the X123 one: chronological batch slicing reproduces the batch
+    * operator exactly; arbitrary slicing gets the batch form as its
+    * corrector. `step` receives None when no state is committed yet.
+    */
+  def foldOnceAs(delta: DataFrame, path: String, batchId: Long,
+      step: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
+    val spark = delta.sparkSession
+    if (batchId <= committedBatch(spark, path)) ()
+    else {
+      val fs = fsOf(spark, path)
+      val cur =
+        if (fs.exists(hPath(path))) Some(spark.read.parquet(path))
+        else None
+      commitSwap(step(cur, delta), path, Some(batchId))
+    }
+  }
+
   /** Rewrite the committed state in place through `f` — the
     * compaction/GC entry point (X127's tombstone GC rides this): runs
     * [[recover]], applies `f` to the state frame, and commits the
