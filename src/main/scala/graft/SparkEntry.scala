@@ -34,7 +34,8 @@ object SparkEntry {
       GapFill.all ++ TargetEncoding.all ++ IsotonicCalibration.all ++
       TheilSenTrend.all ++ RankFusion.all ++ PageRank.all ++
       ApproxTriangles.all ++ OrcWarehouse.all ++ EntityResolution.all ++
-      LatenessAudit.all ++ DataContract.all
+      LatenessAudit.all ++ DataContract.all ++ GdprPurge.all ++
+      SchemaEvolution.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -139,7 +139,9 @@ object ProfileSfxRel {
       graft.operators.OrcWarehouse.q177,
       graft.operators.EntityResolution.q178,
       graft.operators.LatenessAudit.q179,
-      graft.operators.DataContract.q180)
+      graft.operators.DataContract.q180,
+      graft.operators.GdprPurge.q181,
+      graft.operators.SchemaEvolution.q182)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
