@@ -133,8 +133,10 @@ object ProfileSfx {
       graft.operators.KappaAgreement.q155,
       graft.operators.GiniConcentration.q152,
       graft.operators.RankingMetrics.q158,
-      // r15: RRF fusion — one doc scan + three |docs|-frame ranks
-      graft.operators.RankFusion.q174)
+      // r15: RRF fusion — one doc scan + three |docs|-frame ranks;
+      // schema-evolution merged read (two batch writes + one scan)
+      graft.operators.RankFusion.q174,
+      graft.operators.SchemaEvolution.q182)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>

@@ -140,8 +140,7 @@ object ProfileSfxRel {
       graft.operators.EntityResolution.q178,
       graft.operators.LatenessAudit.q179,
       graft.operators.DataContract.q180,
-      graft.operators.GdprPurge.q181,
-      graft.operators.SchemaEvolution.q182)
+      graft.operators.GdprPurge.q181)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
