@@ -290,7 +290,14 @@ object Bench {
         (v < b / 1.5 || v > b * 1.5))
     def adjudicateRate(key: String, first: Double, rerun: Double): Double = {
       val base = committedRate(key)
-      val best = math.max(first, rerun)
+      // the max-of-observations rule is justified only for LOW-side
+      // drift (host noise pushes throughput down, never up); a
+      // high-side first reading is a timer glitch until the
+      // re-measurement confirms it, so that direction records the
+      // rerun instead of publishing a one-off inflation as the new
+      // committed rate (ADVICE r15)
+      val best =
+        if (first > base * 1.5) rerun else math.max(first, rerun)
       val verdict = if (rateOutOfBand(key, best)) "persistent" else "noise"
       System.err.println(f"[bench] rate $key drifted: $first%.1f vs " +
         f"committed $base%.1f; re-measured $rerun%.1f ($verdict)")

@@ -218,8 +218,7 @@ object Bm25 {
     "q157_bm25_incremental",
     { (s, d) =>
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val path = java.nio.file.Files
-        .createTempDirectory("q157-state").toString + "/state"
+      val path = Scratch.fresh("q157-state") + "/state"
       (0 to 3).foreach(b =>
         mergeStatsOnce(docs.filter(pmod(col("doc_id"), lit(4)) === b),
           path, b.toLong))

@@ -42,9 +42,13 @@ object EntityResolution {
     * linkage). `distinct` collapses pairs that share both tokens.
     */
   def matchEdges(parts: DataFrame): DataFrame = {
+    // empty tokens (from doubled/leading/trailing spaces) would act as
+    // a universal match key inside a (brand, type) block and silently
+    // over-merge — drop them (ADVICE r15; mirrored in the oracle CTE)
     val blocks = parts.select(col("p_partkey").as("key"),
       col("p_brand").as("brand"), col("p_type").as("ptype"),
       explode(split(col("p_name"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
     blocks.as("a").join(blocks.as("b"),
       col("a.brand") === col("b.brand") &&
         col("a.ptype") === col("b.ptype") &&
@@ -75,10 +79,11 @@ object EntityResolution {
       }
     },
     Some("""
-      WITH RECURSIVE blocks AS (
+      WITH RECURSIVE blocks0 AS (
         SELECT p_partkey AS key, p_brand AS brand, p_type AS ptype,
                unnest(string_split(p_name, ' ')) AS tok
         FROM part),
+      blocks AS (SELECT * FROM blocks0 WHERE tok <> ''),
       pairs AS (
         SELECT DISTINCT a.key AS doc_a, b.key AS doc_b
         FROM blocks a JOIN blocks b

@@ -10,16 +10,19 @@ import Q._
   * users' rows and emit the audit row compliance wants — rows before/
   * purged/after, the physically-read-back survivor count, and the
   * PROOF column (surviving rows still belonging to requested users —
-  * must be zero). Deletion is an anti-join rewrite, not a filter
-  * view: the bytes are gone from the new table (the X110 versioned
-  * table is the time-travel-safe variant — old versions age out by
-  * retention there).
+  * must be zero). Deletion runs THROUGH the X110 versioned table
+  * (r16, VERDICT r15 item 4): [[graft.sources.VersionedTable.purge]]
+  * commits a new version that rewrites only the affected data files
+  * and carries the rest, then [[graft.sources.VersionedTable.vacuum]]
+  * is the physical byte-erasure point — so erasure composes with
+  * time travel exactly as the format promises (pinned readers keep
+  * old versions until retention; VersionedTableSpec proves the
+  * pinned-reader-during-purge and post-vacuum read-back cases).
   *
-  * Shape: one anti-join of the fact table against the request set
-  * (broadcast — request sets are person-sized, not corpus-sized) and
-  * one partitioned rewrite; the audit is two scan-bound counts. At
+  * Shape: one pruned scan to find affected files, one filter-rewrite
+  * of those files only; the audit is two scan-bound counts. At
   * 100 TB this is the standard "erasure compaction" pass over
-  * affected partitions only (partition by user-bucket to bound it).
+  * affected files only (partition/z-order by a user key to bound it).
   *
   * Determinism: the request set is a deterministic predicate here
   * (user_id % 13 = 0 — a stand-in for the request table); all outputs
@@ -33,14 +36,16 @@ object GdprPurge {
     "q181_gdpr_purge", {
       (s, d) => {
         val ev = t(s, d, "events")
-        val requests = ev.select(col("user_id"))
-          .filter(col("user_id") % 13 === 0).distinct()
-        val survivors = ev.join(broadcast(requests), Seq("user_id"),
-          "left_anti")
-        val out = java.nio.file.Files
-          .createTempDirectory("q181-purged").toString + "/events_purged"
-        survivors.write.mode("overwrite").parquet(out)
-        val back = s.read.parquet(out)
+        val pred = col("user_id") % 13 === 0
+        val root = Scratch.fresh("q181-table") + "/events_versioned"
+        // v1 = the landed fact table; v2 = the purge commit (affected
+        // files rewritten, untouched files carried); vacuum at v2 =
+        // the byte-erasure point. The read-back goes through the
+        // committed manifest, so a wrong rewrite breaks the hash.
+        graft.sources.VersionedTable.overwrite(ev, root)
+        val v2 = graft.sources.VersionedTable.purge(s, root, pred)
+        graft.sources.VersionedTable.vacuum(s, root, keepFrom = v2)
+        val back = graft.sources.VersionedTable.read(s, root)
         val audit = ev.agg(
           count(lit(1)).as("rows_before"),
           sum(when(col("user_id") % 13 === 0, 1L).otherwise(0L))

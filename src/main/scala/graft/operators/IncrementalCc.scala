@@ -102,8 +102,7 @@ object IncrementalCc {
         val pairs = DedupQueries.jaccardPairs(s, d)
           .select(col("doc_a"), col("doc_b"))
           .eagerCheckpoint()
-        val path = java.nio.file.Files
-          .createTempDirectory("q154-state").toString + "/state"
+        val path = Scratch.fresh("q154-state") + "/state"
         (0 to 3).foreach(b =>
           mergeOnce(pairs.filter(pmod(col("doc_a"), lit(4)) === b),
             path, b.toLong))

@@ -298,8 +298,7 @@ object MaterializedAgg {
         val ev = t(s, d, "events")
           .select(col("event_type").as("g"), col("value").as("v"),
             col("user_id").as("u"), col("event_id"))
-        val path = java.nio.file.Files
-          .createTempDirectory("q147-state").toString + "/state"
+        val path = Scratch.fresh("q147-state") + "/state"
         init(ev.filter(col("event_id") % 4 === 0), path)
         (1 to 3).foreach(b =>
           merge(ev.filter(col("event_id") % 4 === b), path))

@@ -41,8 +41,7 @@ object OrcWarehouse {
   val q177 = GraftQuery(
     "q177_orc_roundtrip", {
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("q177-orc").toString + "/lineitem_orc"
+        val dir = Scratch.fresh("q177-orc") + "/lineitem_orc"
         writeOrc(t(s, d, "lineitem")
           .select(col("l_returnflag"), col("l_linestatus"),
             col("l_quantity"), col("l_extendedprice"),

@@ -49,3 +49,36 @@ object Q {
   def davg(c: Column): Column =
     (sum(c.cast(DecimalType(18, 2))).cast("double") / count(lit(1))).as("avg")
 }
+
+/** Session-scoped scratch root for queries whose CONTRACT includes
+  * materializing a table (q147/q154/q157/q177/q181/q182): one per-JVM
+  * temp root removed recursively on JVM exit, and [[fresh]] wipes the
+  * per-query subdirectory before handing it out — so repeated bench
+  * invocations (3 per round, plus reruns) REUSE disk instead of
+  * accumulating an unbounded trail of `createTempDirectory` orphans
+  * (ADVICE r15).
+  */
+object Scratch {
+  private lazy val root: java.nio.file.Path = {
+    val r = java.nio.file.Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => delete(r)))
+    r
+  }
+
+  private def delete(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.forEach(c => delete(c)) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
+  /** A clean scratch directory for `name`, wiping whatever a previous
+    * invocation of the same query left behind.
+    */
+  def fresh(name: String): String = {
+    val d = root.resolve(name)
+    delete(d)
+    d.toString
+  }
+}

@@ -28,8 +28,7 @@ object SchemaEvolution {
     "q182_schema_evolution", {
       (s, d) => {
         val docs = t(s, d, "documents")
-        val dir = java.nio.file.Files
-          .createTempDirectory("q182-evo").toString + "/docs_feed"
+        val dir = Scratch.fresh("q182-evo") + "/docs_feed"
         // v1 batch (even ids): no `source` column yet
         docs.filter(col("doc_id") % 2 === 0)
           .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -39,10 +38,15 @@ object SchemaEvolution {
           .select(col("doc_id"), col("lang"), col("n_chars"),
             col("source"))
           .write.mode("overwrite").parquet(s"$dir/batch=2")
+        // n_pre_evolution counts the DISCOVERED batch=1 partition (the
+        // actual evolution event), not `source IS NULL` — null-ness is
+        // only equivalent while the generator never emits null sources
+        // on odd ids, an assumption the hash shouldn't ride on
+        // (ADVICE r15)
         s.read.option("mergeSchema", "true").parquet(dir)
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n"),
-            sum(when(col("source").isNull, 1L).otherwise(0L))
+            sum(when(col("batch") === 1, 1L).otherwise(0L))
               .as("n_pre_evolution"),
             countDistinct(col("source")).as("n_sources"),
             sum(col("n_chars")).as("total_chars"))

@@ -72,7 +72,7 @@ class IsotonicCalibrationSpec extends AnyFunSuite with SparkSpec {
 
   test("unequal weights: a heavy violator drags the pool toward " +
       "itself (weighted, not simple, averaging)") {
-    // rates [0.8 (n=1), 0.2 (n=9)] → pooled (0.8+1.8)/10 = 0.26
+    // rates [1/1 (n=1), 2/9 (n=9)] → pooled (1+2)/10 = 0.3
     val bins = Seq((0L, 1L, 1L), (1L, 9L, 2L))
     val got = fitOf(bins)
     assert(got(0L) === got(1L))
