@@ -394,16 +394,16 @@ object Bench {
     *    broadcasts one run, sort-merges the next (both plans walked by
     *    the winnowing specs; at 100 TB the frame outgrows the
     *    threshold and SMJ wins deterministically).
-    *  - q157_bm25_incremental (r15): three identical-code runs hashed
-    *    three ways (9f25bc56 / a55c0516 / 0da2aabc) with wall time
-    *    stable at 1.7–1.9 s — the maintained-index rebuild runs
-    *    several X98 merge batches whose posting-frame joins sit at
-    *    the adaptive threshold, and WHICH batch flips varies per run;
-    *    correctness is pinned by q157 ≡ q133's oracle (hash-exact)
-    *    and the Bm25 specs.
+    *
+    * q157_bm25_incremental was allowlisted in r15 (three hashes across
+    * three identical runs) and DE-allowlisted in r16: the flip was the
+    * unhinted per-doc dl join in the shared scoring tail sitting at
+    * AQE's runtime threshold; it is now pinned to sort-merge (the only
+    * 100 TB-viable strategy for a corpus-sized frame) and three runs
+    * hash one way (2c8b6f54) — see Bm25.scoreAndTop.
     */
   val AdaptivePlanAllowlist: Set[String] =
-    Set("q105_winnow_matches", "q157_bm25_incremental")
+    Set("q105_winnow_matches")
 
   /** Stable 8-hex fingerprint of a query's EXECUTED physical plan
     * (the caller collects through the dataset's own QueryExecution

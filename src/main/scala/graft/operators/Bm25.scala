@@ -51,9 +51,17 @@ object Bm25 {
       dl: org.apache.spark.sql.DataFrame,
       stats: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // the dl join is PINNED to sort-merge (r16, VERDICT r15 item 2):
+    // dl is corpus-sized (one row per doc), which at sf0.1 sits right
+    // at AQE's runtime broadcast threshold — the join (it occurs twice
+    // in the executed tree) flipped BHJ↔SMJ between identical runs,
+    // the sole source of q157's three plan hashes. SMJ is also the
+    // only plan that survives 100 TB (a per-doc frame outgrows any
+    // broadcast), so the hint pins the plan to the scale-correct
+    // strategy rather than allowlisting the coin flip.
     val scored = tf
       .join(broadcast(df), "tok")
-      .join(dl, "doc_id")
+      .join(dl.hint("merge"), "doc_id")
       .join(broadcast(stats))
       // identical literal expression tree on both engines:
       // idf = ln(1 + (N - df + 0.5)/(df + 0.5))
