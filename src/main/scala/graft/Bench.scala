@@ -110,6 +110,11 @@ object Bench {
       val failed = scala.collection.mutable.ListBuffer.empty[String]
       val results = selected.map { case (name, fn) =>
         val times = (1 to repeat).flatMap { _ =>
+          // per-query conf isolation: graph queries scale
+          // spark.sql.shuffle.partitions with their input
+          // (operators.GraphScale); reset to the session default so
+          // that scaling never leaks into the next query's plan
+          spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
           val t0 = System.nanoTime()
           try {
             val df = fn(spark, sfDir)
@@ -190,6 +195,7 @@ object Bench {
     val drift = scala.collection.mutable.ListBuffer.empty[String]
     def rerunMinOf(name: String, fallback: Double): Double = try {
       (1 to repeat).map { _ =>
+        spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
         val t0 = System.nanoTime()
         selected(name)(spark, sfDir).groupBy().count().collect()
         (System.nanoTime() - t0) / 1e9

@@ -35,7 +35,9 @@ object SparkEntry {
       TheilSenTrend.all ++ RankFusion.all ++ PageRank.all ++
       ApproxTriangles.all ++ OrcWarehouse.all ++ EntityResolution.all ++
       LatenessAudit.all ++ DataContract.all ++ GdprPurge.all ++
-      SchemaEvolution.all
+      SchemaEvolution.all ++ ChangePoint.all ++ GraphBfs.all ++
+      PrioritySample.all ++ Skyline.all ++ DpRelease.all ++
+      LDiversity.all ++ OhlcBars.all ++ KCore.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

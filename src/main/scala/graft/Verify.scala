@@ -17,6 +17,9 @@ object Verify {
         only.forall(_.exists(p => name == p || name.startsWith(p + "_")))
       }
       .foreach { case (name, fn) =>
+      // per-query conf isolation (see Bench): graph queries scale
+      // shuffle partitions with their input; reset between queries
+      spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -58,27 +58,40 @@ object EntityResolution {
       .distinct()
   }
 
-  /** q178 — every part labeled with its entity id + cluster stats. */
-  val q178 = GraftQuery(
-    "q178_entity_resolution", {
-      (s: SparkSession, d: String) => {
-        val parts = t(s, d, "part")
-        val edges = matchEdges(parts)
-        val comp = ConnectedComponents.labels(edges)
-        // singletons (no match edge) are their own entity
-        val labeled = parts.select(col("p_partkey"))
-          .join(comp, col("p_partkey") === col("id"), "left")
-          .select(col("p_partkey"),
-            coalesce(col("comp"), col("p_partkey")).as("entity_id"))
-        val sizes = labeled.groupBy(col("entity_id"))
-          .agg(count(lit(1)).as("entity_size"))
-        labeled.join(sizes, "entity_id")
-          .select(col("p_partkey"), col("entity_id"), col("entity_size"),
-            (col("p_partkey") === col("entity_id")).as("is_canonical"))
-          .orderBy(col("p_partkey"))
-      }
-    },
-    Some("""
+  /** Every part labeled (p_partkey, entity_id, entity_size) — the
+    * shared resolution pipeline under q178 and the capped q183.
+    */
+  def resolved(parts: DataFrame): DataFrame = {
+    val edges = matchEdges(parts)
+    val comp = ConnectedComponents.labels(edges)
+    // singletons (no match edge) are their own entity
+    val labeled = parts.select(col("p_partkey"))
+      .join(comp, col("p_partkey") === col("id"), "left")
+      .select(col("p_partkey"),
+        coalesce(col("comp"), col("p_partkey")).as("entity_id"))
+    val sizes = labeled.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("entity_size"))
+    labeled.join(sizes, "entity_id")
+  }
+
+  /** Max listings per resolved entity before the merge is REJECTED
+    * (r16, VERDICT r15 item 5): real record linkage bounds entity
+    * size — a cluster beyond any plausible listing count is almost
+    * always a generic-token artifact (blocking-key collapse), and
+    * merging it poisons every per-entity aggregate downstream. Members
+    * of an over-cap entity revert to singletons and are FLAGGED
+    * (`overflow = true`) so the audit sees exactly what was refused
+    * rather than silently absorbing it. 12 ≈ the observed honest
+    * duplicate structure's upper band at sf0.01 (sizes run 1–24;
+    * the tail past 12 is the densification artifact the r15 decade
+    * probe measured growing ~quadratically).
+    */
+  val MaxEntitySize = 12
+
+  /** Shared oracle CTE chain: blocking → pairs → recursive closure →
+    * labels → sizes (q178 and q183 differ only in the final SELECT).
+    */
+  private val OracleCtes = """
       WITH RECURSIVE blocks0 AS (
         SELECT p_partkey AS key, p_brand AS brand, p_type AS ptype,
                unnest(string_split(p_name, ' ')) AS tok
@@ -106,12 +119,53 @@ object EntityResolution {
         FROM part LEFT JOIN comp ON comp.id = part.p_partkey),
       sized AS (
         SELECT entity_id, COUNT(*) AS entity_size
-        FROM labeled GROUP BY 1)
+        FROM labeled GROUP BY 1)"""
+
+  /** q178 — every part labeled with its entity id + cluster stats. */
+  val q178 = GraftQuery(
+    "q178_entity_resolution", {
+      (s: SparkSession, d: String) =>
+        resolved(t(s, d, "part"))
+          .select(col("p_partkey"), col("entity_id"), col("entity_size"),
+            (col("p_partkey") === col("entity_id")).as("is_canonical"))
+          .orderBy(col("p_partkey"))
+    },
+    Some(s"""$OracleCtes
       SELECT l.p_partkey, l.entity_id, s.entity_size,
              l.p_partkey = l.entity_id AS is_canonical
       FROM labeled l JOIN sized s USING (entity_id)
       ORDER BY l.p_partkey
     """))
 
-  val all: Seq[GraftQuery] = Seq(q178)
+  /** q183 — the size-capped variant: entities over [[MaxEntitySize]]
+    * revert to singletons with `overflow = true`; `capped_size` is the
+    * size of the assignment actually published (1 for reverted
+    * members). The audit-facing columns make the refusal visible.
+    */
+  val q183 = GraftQuery(
+    "q183_entity_resolution_capped", {
+      (s: SparkSession, d: String) => {
+        val over = col("entity_size") > MaxEntitySize
+        resolved(t(s, d, "part"))
+          .select(col("p_partkey"),
+            when(over, col("p_partkey")).otherwise(col("entity_id"))
+              .as("entity_id"),
+            when(over, lit(1L)).otherwise(col("entity_size"))
+              .as("capped_size"),
+            over.as("overflow"))
+          .orderBy(col("p_partkey"))
+      }
+    },
+    Some(s"""$OracleCtes
+      SELECT l.p_partkey,
+             CASE WHEN s.entity_size > $MaxEntitySize
+                  THEN l.p_partkey ELSE l.entity_id END AS entity_id,
+             CAST(CASE WHEN s.entity_size > $MaxEntitySize
+                  THEN 1 ELSE s.entity_size END AS BIGINT) AS capped_size,
+             s.entity_size > $MaxEntitySize AS overflow
+      FROM labeled l JOIN sized s USING (entity_id)
+      ORDER BY l.p_partkey
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q178, q183)
 }

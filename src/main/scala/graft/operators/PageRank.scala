@@ -58,6 +58,7 @@ object PageRank {
   val q175 = GraftQuery(
     "q175_pagerank", {
       (s, d) => {
+        GraphScale(s, d)
         val baskets = t(s, d, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
           .distinct()

@@ -104,6 +104,7 @@ object TriangleCount {
   val q168 = GraftQuery(
     "q168_triangle_count", {
       (s, d) => {
+        GraphScale(s, d)
         val baskets = t(s, d, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
           .distinct()

@@ -147,10 +147,15 @@ object ProfileSfxRel {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }.min
 
+    // per-query conf isolation (see Bench): graph queries scale
+    // shuffle partitions with their input; reset between builds
+    def reset(): Unit =
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+
     probed.filter(q => only.forall(names =>
       names.exists(q.name.startsWith))).foreach { q =>
-      val t01 = minOf(2)(q.build(spark, src).count())
-      val t1 = minOf(2)(q.build(spark, dst).count())
+      val t01 = minOf(2) { reset(); q.build(spark, src).count() }
+      val t1 = minOf(2) { reset(); q.build(spark, dst).count() }
       println(f"[prof] ${q.name}: sf0.1 $t01%.2f s -> sf1 $t1%.2f s " +
         f"(ratio ${t1 / t01}%.1fx, exponent ${math.log10(t1 / t01)}%.2f)")
     }
@@ -205,8 +210,8 @@ object ProfileSfxRel {
         graft.operators.ApproxTriangles.q176)
       deep.filter(q => only.forall(names =>
         names.exists(q.name.startsWith))).foreach { q =>
-        val t1 = minOf(2)(q.build(spark, dst).count())
-        val t10 = minOf(2)(q.build(spark, dst100).count())
+        val t1 = minOf(2) { reset(); q.build(spark, dst).count() }
+        val t10 = minOf(2) { reset(); q.build(spark, dst100).count() }
         println(f"[prof] ${q.name}: sf1 $t1%.2f s -> sf10 $t10%.2f s " +
           f"(ratio ${t10 / t1}%.1fx, exponent ${math.log10(t10 / t1)}%.2f)")
       }

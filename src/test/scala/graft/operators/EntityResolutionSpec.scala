@@ -39,6 +39,48 @@ class EntityResolutionSpec extends AnyFunSuite with SparkSpec {
     assert(out(5L) === ((5L, 1L, true)))
   }
 
+  private def runCapped(rows: Seq[(Long, String, String, String)]) = {
+    val dir = tmpDir("entres-cap")
+    rows.toDF("p_partkey", "p_name", "p_brand", "p_type")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    EntityResolution.q183.build(spark, dir).collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[Long]("entity_id"), r.getAs[Long]("capped_size"),
+          r.getAs[Boolean]("overflow"))).toMap
+  }
+
+  test("entity-size cap (r16, VERDICT r15 item 5): an over-cap " +
+      "generic-token cluster is REFUSED — members revert to " +
+      "singletons flagged overflow=true — while a legit small entity " +
+      "merges unflagged") {
+    val n = EntityResolution.MaxEntitySize + 3 // 15 listings, one token
+    val generic = (1L to n.toLong).map(i =>
+      (i, s"pro$i edition", "B1", "T1")) // 'edition' chains them all
+    val legit = Seq(
+      (100L, "red widget", "B2", "T1"),
+      (101L, "red bolt", "B2", "T1"))
+    val out = runCapped(generic ++ legit)
+    generic.foreach { case (id, _, _, _) =>
+      assert(out(id) === ((id, 1L, true)),
+        s"listing $id of the over-cap cluster must revert to a " +
+          "flagged singleton")
+    }
+    assert(out(100L) === ((100L, 2L, false)))
+    assert(out(101L) === ((100L, 2L, false)))
+  }
+
+  test("empty tokens from doubled spaces are NOT match keys " +
+      "(ADVICE r15)") {
+    val out = run(Seq(
+      (1L, "alpha  beta", "B1", "T1"), // doubled space → empty token
+      (2L, "gamma  delta", "B1", "T1"),
+      (3L, "alpha omega", "B1", "T1")))
+    assert(out(1L)._1 === 1L && out(3L)._1 === 1L,
+      "real shared token still merges")
+    assert(out(2L) === ((2L, 1L, true)),
+      "an empty token must not merge otherwise-disjoint names")
+  }
+
   test("q178 at sf0.001 == driver-side union-find replay") {
     val parts = spark.read.parquet(s"$sf0001/part.parquet")
       .selectExpr("p_partkey", "p_name", "p_brand", "p_type").collect()
