@@ -106,17 +106,41 @@ object AdvancedQueries {
       ORDER BY event_type ASC NULLS FIRST, hod ASC NULLS FIRST
     """))
 
-  /** HLL approximate distinct (D5 scale path). HLL sketches are
-    * engine-specific → rows-only check; ±5%-of-exact tolerance is
-    * asserted in AdvancedSpec.
+  /** HLL approximate distinct (D5 scale path), TOLERANCE-BANDED
+    * oracle (r16, VERDICT r15 stretch 9): the sketch estimates are
+    * engine-specific, so the hashed output carries the EXACT distinct
+    * counts (DuckDB reproduces those) plus booleans asserting the
+    * estimates land within ±5 % of exact — the oracle pins them TRUE,
+    * so a broken HLL path now fails the DRIVER gate, not just
+    * AdvancedSpec. The two exact counts are separate single-distinct
+    * aggregates (two countDistinct in ONE agg is the EXPAND blowup);
+    * at 100 TB the exact arms drop and the estimate IS the product —
+    * this query's banded form is the accuracy certificate.
     */
   val q34 = GraftQuery(
     "q34_approx_distinct",
-    (s, d) =>
-      t(s, d, "lineitem").agg(
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+      val approx = li.agg(
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
-    None)
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      val exactO = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      val exactP = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      approx.join(broadcast(exactO)).join(broadcast(exactP))
+        .select(col("exact_orders"), col("exact_parts"),
+          // integer band: |approx − exact|·20 ≤ exact  ⇔  within 5 %
+          (abs(col("approx_orders") - col("exact_orders")) * 20
+            <= col("exact_orders")).as("orders_within_5pct"),
+          (abs(col("approx_parts") - col("exact_parts")) * 20
+            <= col("exact_parts")).as("parts_within_5pct"))
+    },
+    Some("""
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             TRUE AS orders_within_5pct,
+             TRUE AS parts_within_5pct
+      FROM lineitem
+    """))
 
   /** Top-3 orders per customer through the custom TopKPerGroup physical
     * operator (partial heaps → shuffle ≤ k·groups rows → final heaps) —

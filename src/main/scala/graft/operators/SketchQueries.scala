@@ -112,26 +112,51 @@ object SketchQueries {
   /** Approximate percentiles (Greenwald–Khanna via Spark's
     * `approx_percentile`) — the at-scale quantile path: one pass,
     * mergeable per-partition sketches, bounded memory, vs q39's exact
-    * `percentile` which buffers each group's values. Rows-only for the
-    * driver (sketch internals are engine-specific); AdvancedSpec bounds
-    * the rank error against the exact quantiles.
+    * `percentile` which buffers each group's values. TOLERANCE-BANDED
+    * oracle (r16, VERDICT r15 stretch 9): the sketch VALUES are
+    * engine-specific, but GK guarantees rank error ≤ ε·n (ε = 1/10000
+    * at accuracy 10000) — so the hashed output is the per-group count
+    * plus integer-exact booleans asserting the returned quantiles'
+    * RANKS (rows ≤ value, measured by a join back against the data)
+    * sit within that guarantee (+1 slack for value multiplicity);
+    * the oracle pins them TRUE. A broken sketch path now fails the
+    * driver gate, not just AdvancedSpec.
     */
   val q75 = GraftQuery(
     "q75_approx_percentiles", {
       import org.apache.spark.sql.functions._
-      (s, d) =>
-        t(s, d, "orders")
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val approx = orders
           .groupBy(col("o_orderpriority"))
           .agg(
             expr("approx_percentile(o_totalprice, array(0.5, 0.95), 10000)")
-              .as("approx_p"),
-            count(lit(1)).as("n"))
+              .as("approx_p"))
           .select(col("o_orderpriority"),
             col("approx_p").getItem(0).as("p50"),
-            col("approx_p").getItem(1).as("p95"), col("n"))
+            col("approx_p").getItem(1).as("p95"))
+        orders.join(broadcast(approx), "o_orderpriority")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_totalprice") <= col("p50"), 1L)
+              .otherwise(0L)).as("r50"),
+            sum(when(col("o_totalprice") <= col("p95"), 1L)
+              .otherwise(0L)).as("r95"))
+          .select(col("o_orderpriority"), col("n"),
+            // |r50 − n/2| ≤ n·ε + 1  ⇔  |2·r50 − n| ≤ 2·(n div 10000 + 1)
+            (abs(col("r50") * 2 - col("n"))
+              <= (expr("n div 10000") + 1) * 2).as("p50_rank_ok"),
+            // |r95 − 0.95·n| ≤ n·ε + 1 ⇔ |20·r95 − 19·n| ≤ 20·(n div 10000 + 1)
+            (abs(col("r95") * 20 - col("n") * 19)
+              <= (expr("n div 10000") + 1) * 20).as("p95_rank_ok"))
           .orderBy(col("o_orderpriority"))
+      }
     },
-    None)
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+      FROM orders GROUP BY 1 ORDER BY 1
+    """))
 
   /** Bloom span pre-filter ([[BloomDedup]]): corpus 20-word-block
     * fingerprints sketched at 1% FPP, batch blocks probed inside

@@ -258,6 +258,94 @@ object VersionedTable {
     commit(spark, root, cur + 1, writeData(clustered, root))
   }
 
+  // ---- true multi-writer: pointer CAS (r16, VERDICT r15 stretch 8) --
+
+  /** The ONE primitive true multi-writer commits need and a plain
+    * filesystem cannot give: atomically advance the table pointer iff
+    * it still holds the value the writer based its commit on. The
+    * lease + generation check above is the best-effort filesystem
+    * approximation; a real deployment points this trait at a
+    * CAS-capable service (a catalog DB, DynamoDB, ZooKeeper — exactly
+    * Iceberg's catalog contract). [[InMemoryCas]] is the in-JVM lock
+    * server for tests and single-process multi-writer.
+    *
+    * Pointer values are `"<version>:<manifestFile>"` — the manifest
+    * file name is UNIQUE PER ATTEMPT (uuid-suffixed), which is what
+    * makes the scheme safe: two racing writers never write the same
+    * manifest path, so the loser can never clobber the winner's
+    * committed manifest (the flaw a bare `manifest-v<N>` name would
+    * have). Losing a race costs one manifest rewrite; data files are
+    * written once and reused across retries; lost-race manifests are
+    * orphans.
+    */
+  trait CommitArbiter {
+    /** Atomically: if the pointer equals `expected` (None = unborn
+      * table), set it to `next` and return true.
+      */
+    def compareAndSwap(root: String, expected: Option[String],
+        next: String): Boolean
+
+    def current(root: String): Option[String]
+  }
+
+  /** In-JVM CAS server (AtomicReference per table root). */
+  object InMemoryCas extends CommitArbiter {
+    private val ptrs = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicReference[String]]()
+    private def ref(root: String) = ptrs.computeIfAbsent(root,
+      _ => new java.util.concurrent.atomic.AtomicReference[String](null))
+    def compareAndSwap(root: String, expected: Option[String],
+        next: String): Boolean =
+      ref(root).compareAndSet(expected.orNull, next)
+    def current(root: String): Option[String] = Option(ref(root).get())
+  }
+
+  private def parsePtr(p: Option[String]): (Long, Option[String]) =
+    p.map { s =>
+      val i = s.indexOf(':')
+      (s.take(i).toLong, Some(s.drop(i + 1)))
+    }.getOrElse((0L, None))
+
+  /** Append under CAS arbitration: write data files ONCE, then loop
+    * (read pointer → write a uuid-named manifest for base+new → CAS);
+    * a lost race re-reads the new base and retries — no lease, no
+    * stale-lock window, linearized by the arbiter. Returns the
+    * committed version.
+    */
+  def appendCas(df: DataFrame, root: String, arbiter: CommitArbiter,
+      maxRetries: Int = 64): Long = {
+    val spark = df.sparkSession
+    val newFiles = writeData(df, root)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      val cur = arbiter.current(root)
+      val (v, manifestOpt) = parsePtr(cur)
+      val base = manifestOpt.map(m =>
+        readSmall(spark, s"$root/$m").getOrElse("")
+          .split("\n").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      val next = v + 1
+      val mName = s"manifest-cas-v$next-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      writeAtomic(spark, s"$root/$mName", (base ++ newFiles).mkString("\n"))
+      if (arbiter.compareAndSwap(root, cur, s"$next:$mName")) return next
+      // lost the race: that manifest is an orphan; retry on the new base
+    }
+    throw new ConcurrentWriteException(
+      s"CAS commit lost $maxRetries straight races at $root")
+  }
+
+  /** Read the CAS-committed current version. */
+  def readCas(spark: SparkSession, root: String,
+      arbiter: CommitArbiter): DataFrame = {
+    val (v, m) = parsePtr(arbiter.current(root))
+    require(v > 0, s"no CAS-committed version at $root")
+    val files = readSmall(spark, s"$root/${m.get}")
+      .getOrElse(sys.error(s"CAS manifest ${m.get} missing at $root"))
+      .split("\n").filter(_.nonEmpty).toSeq
+    spark.read.parquet(files.map(n => s"$root/$n"): _*)
+  }
+
   /** GDPR/CCPA erasure as a table-format commit (r16, VERDICT r15
     * item 4 — X141 composed into X110): rewrite ONLY the data files
     * that CONTAIN rows matching `pred` (affected-file detection via

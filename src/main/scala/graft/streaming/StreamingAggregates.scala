@@ -45,6 +45,32 @@ object StreamingAggregates {
         col("session_window.end").as("session_end"),
         col("camera_id"), col("total"), col("n_frames"))
 
+  /** Streaming sessionization of the events stream — q35's streaming
+    * form (r16, VERDICT r15 item 6): 30-minute-gap session windows per
+    * user via Spark's native `session_window`, append mode — a session
+    * emits once the watermark passes its end + gap, with state evicted
+    * then (the property that bounds state at 100 TB). Parity contract
+    * (SessionStreamSpec, the X123/X140 pattern): fed CHRONOLOGICALLY,
+    * the emitted sessions equal batch q35 bit-for-bit with
+    * `window.end = batch session_end + gap` (Spark defines a session
+    * window's end as last-event-time + gap); the value sum is the same
+    * DECIMAL(18,2) tree as q35's, so floats can't drift between the
+    * two forms.
+    */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+
   /** Stream-stream event-time interval join (the streaming form of X11's
     * enrichment): each frame picks up alerts its camera raised in the
     * preceding `lookback`. BOTH sides are watermarked and the join
