@@ -37,7 +37,10 @@ object SparkEntry {
       LatenessAudit.all ++ DataContract.all ++ GdprPurge.all ++
       SchemaEvolution.all ++ ChangePoint.all ++ GraphBfs.all ++
       PrioritySample.all ++ Skyline.all ++ DpRelease.all ++
-      LDiversity.all ++ OhlcBars.all ++ KCore.all
+      LDiversity.all ++ OhlcBars.all ++ KCore.all ++
+      LabelPropagation.all ++ MaxDrawdown.all ++ CompactionPlanner.all ++
+      ItemSimilarity.all ++ FuzzyMatch.all ++ ShardRebalance.all ++
+      PeakConcurrency.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -126,7 +126,11 @@ object AdvancedQueries {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       val exactO = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"))
       val exactP = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
-      approx.join(broadcast(exactO)).join(broadcast(exactP))
+      // no broadcast hint: grouping-key-free aggregates are maxRows=1
+      // frames and broadcast unhinted (the q101 precedent — an explicit
+      // hint over the lineitem subtree trips PlanSpec's scaling-table
+      // broadcast gate)
+      approx.join(exactO).join(exactP)
         .select(col("exact_orders"), col("exact_parts"),
           // integer band: |approx − exact|·20 ≤ exact  ⇔  within 5 %
           (abs(col("approx_orders") - col("exact_orders")) * 20

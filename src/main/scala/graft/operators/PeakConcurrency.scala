@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** X157 — peak concurrency over sessions (the interval sweep-line:
+  * Preparata & Shamos, Computational Geometry §8.8's measure/stabbing
+  * census; operationally the Little's-law gauge "how many sessions
+  * were open at once, and when"): capacity planning for anything
+  * session-scoped — concurrent users, open connections, simultaneous
+  * camera streams (BASELINE's vehicle feed), inference slots. A
+  * count-per-hour histogram misses it: 1000 sessions in an hour might
+  * be 1000 sequential or 1000 simultaneous.
+  *
+  * Formulation: sessions are EXACTLY q35's (30-min gap cut, same
+  * window spec — the parity the spec asserts); each session emits
+  * (+1 at start, −1 at end) deltas; concurrency = running sum over the
+  * TOTAL order (ts, delta DESC, user, session) — starts sort before
+  * ends at the same instant, making overlap inclusive at boundaries —
+  * and the peak row is the earliest instant attaining the maximum.
+  * All integers; the only frames past the session cut are 2·|sessions|
+  * delta rows of longs.
+  *
+  * Scale shape: the session cut is q35's per-user window (user-hash
+  * partitioned); the sweep's global running sum over the delta frame
+  * is the operator's irreducible total order — at 100 TB it takes the
+  * q149 two-level swap (time-bucket partials, |buckets| prefix), the
+  * same discipline as every prefix operator here.
+  */
+object PeakConcurrency {
+
+  /** q198 — global peak concurrent sessions + when it happened. */
+  val q198 = GraftQuery(
+    "q198_peak_concurrency", {
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val newSession = when(
+          col("ts").cast("double") -
+            lag(col("ts"), 1).over(byUser).cast("double") > 1800d ||
+            lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0)
+        val sessions = t(s, d, "events")
+          .withColumn("is_new", newSession)
+          .withColumn("session_id", sum(col("is_new")).over(byUser
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("ts")).as("s0"), max(col("ts")).as("s1"))
+        val deltas = sessions
+          .select(col("user_id"), col("session_id"),
+            col("s0").as("at"), lit(1L).as("delta"))
+          .unionByName(sessions.select(col("user_id"), col("session_id"),
+            col("s1").as("at"), lit(-1L).as("delta")))
+        val sweep = Window.orderBy(col("at"), col("delta").desc,
+            col("user_id"), col("session_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pick = Window.orderBy(col("conc").desc, col("at"),
+          col("user_id"), col("session_id"))
+        deltas
+          .withColumn("conc", sum(col("delta")).over(sweep))
+          .withColumn("n_deltas",
+            count(lit(1)).over(Window.partitionBy()))
+          .withColumn("n_sessions", expr("n_deltas div 2"))
+          .withColumn("rn", row_number().over(pick))
+          .filter(col("rn") === 1)
+          .select(col("n_sessions"),
+            col("conc").as("peak_concurrency"),
+            col("at").as("peak_ts"))
+      }
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts) - epoch(LAG(ts, 1) OVER w) > 1800
+                      OR LAG(ts, 1) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id
+        FROM flagged),
+      sessions AS (
+        SELECT user_id, session_id, MIN(ts) AS s0, MAX(ts) AS s1
+        FROM sess GROUP BY 1, 2),
+      deltas AS (
+        SELECT user_id, session_id, s0 AS at, CAST(1 AS BIGINT) AS delta
+        FROM sessions
+        UNION ALL
+        SELECT user_id, session_id, s1, -1 FROM sessions),
+      swept AS (
+        SELECT at, user_id, session_id,
+               CAST(SUM(delta) OVER (ORDER BY at, delta DESC, user_id,
+                 session_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) AS BIGINT) AS conc,
+               COUNT(*) OVER () // 2 AS n_sessions
+        FROM deltas)
+      SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+             conc AS peak_concurrency, at AS peak_ts
+      FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY conc DESC, at,
+              user_id, session_id) AS rn
+            FROM swept)
+      WHERE rn = 1
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q198)
+}
