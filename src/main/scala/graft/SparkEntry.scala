@@ -40,7 +40,8 @@ object SparkEntry {
       LDiversity.all ++ OhlcBars.all ++ KCore.all ++
       LabelPropagation.all ++ MaxDrawdown.all ++ CompactionPlanner.all ++
       ItemSimilarity.all ++ FuzzyMatch.all ++ ShardRebalance.all ++
-      PeakConcurrency.all
+      PeakConcurrency.all ++ Hits.all ++ Twap.all ++ MutualKnn.all ++
+      SeriesStability.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

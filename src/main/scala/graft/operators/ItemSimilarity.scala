@@ -33,33 +33,41 @@ object ItemSimilarity {
   /** Neighbors kept per item. */
   val TopK = 3
 
+  /** The directed scored-neighbor frame (item, nbr, c, n_item, n_nbr,
+    * cos2_micro) — shared by q195's top-k and X161's mutual-NN cut.
+    */
+  def scored(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val baskets = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val items = baskets.groupBy(col("p"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = baskets.as("b1")
+      .join(baskets.as("b2"),
+        col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
+      .groupBy(col("b1.p").as("a"), col("b2.p").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val directed = pairs.select(col("a").as("item"),
+        col("b").as("nbr"), col("c"))
+      .union(pairs.select(col("b").as("item"),
+        col("a").as("nbr"), col("c")))
+    directed
+      .join(items.withColumnRenamed("p", "item")
+        .withColumnRenamed("n", "n_item"), "item")
+      .join(items.withColumnRenamed("p", "nbr")
+        .withColumnRenamed("n", "n_nbr"), "nbr")
+      .withColumn("cos2_micro",
+        expr("c * c * 1000000 div (n_item * n_nbr)"))
+  }
+
   /** q195 — per-item top-k co-occurrence cosine neighbors. */
   val q195 = GraftQuery(
     "q195_item_similarity", {
       (s, d) => {
-        val baskets = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val items = baskets.groupBy(col("p"))
-          .agg(count(lit(1)).as("n"))
-        val pairs = baskets.as("b1")
-          .join(baskets.as("b2"),
-            col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
-          .groupBy(col("b1.p").as("a"), col("b2.p").as("b"))
-          .agg(count(lit(1)).as("c"))
-        val directed = pairs.select(col("a").as("item"),
-            col("b").as("nbr"), col("c"))
-          .union(pairs.select(col("b").as("item"),
-            col("a").as("nbr"), col("c")))
         val w = Window.partitionBy(col("item"))
           .orderBy(col("cos2_micro").desc, col("nbr"))
-        directed
-          .join(items.withColumnRenamed("p", "item")
-            .withColumnRenamed("n", "n_item"), "item")
-          .join(items.withColumnRenamed("p", "nbr")
-            .withColumnRenamed("n", "n_nbr"), "nbr")
-          .withColumn("cos2_micro",
-            expr("c * c * 1000000 div (n_item * n_nbr)"))
+        scored(s, d)
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= TopK)
           .select(col("item"), col("rank"), col("nbr"), col("c"),

@@ -136,7 +136,14 @@ object ProfileSfx {
       // r15: RRF fusion — one doc scan + three |docs|-frame ranks;
       // schema-evolution merged read (two batch writes + one scan)
       graft.operators.RankFusion.q174,
-      graft.operators.SchemaEvolution.q182)
+      graft.operators.SchemaEvolution.q182,
+      // r16: priority sampling (scan-local priorities + partial top-k
+      // heaps — the honest expectation is scan-bound), compaction
+      // planning (one manifest prefix window + bin groupBy), shard
+      // rebalance (pure map-side CASE tree + two 1-row aggregates)
+      graft.operators.PrioritySample.q186,
+      graft.operators.CompactionPlanner.q194,
+      graft.operators.ShardRebalance.q197)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>

@@ -140,7 +140,36 @@ object ProfileSfxRel {
       graft.operators.EntityResolution.q178,
       graft.operators.LatenessAudit.q179,
       graft.operators.DataContract.q180,
-      graft.operators.GdprPurge.q181)
+      graft.operators.GdprPurge.q181,
+      // r16 backlog (q183–q191) + this session's relational additions:
+      // q183 capped ER (part-blocked pair face), q184 CUSUM (hours
+      // frame), q185 BFS / q191 k-core / q192 LPA (graph probes —
+      // replication gives n disjoint copies, so faces grow linearly;
+      // GraphScale scales their shuffle partitions with input),
+      // q187 skyline (global-order windows on the |part| frame),
+      // q188/q189 governance aggs, q190 OHLC / q193 drawdown /
+      // q198 concurrency (series-partitioned windows), q195 item CF
+      // (basket-width pair face), q196 fuzzy match (blocked DP face)
+      graft.operators.EntityResolution.q183,
+      graft.operators.ChangePoint.q184,
+      graft.operators.GraphBfs.q185,
+      graft.operators.Skyline.q187,
+      graft.operators.DpRelease.q188,
+      graft.operators.LDiversity.q189,
+      graft.operators.OhlcBars.q190,
+      graft.operators.KCore.q191,
+      graft.operators.LabelPropagation.q192,
+      graft.operators.MaxDrawdown.q193,
+      graft.operators.ItemSimilarity.q195,
+      graft.operators.FuzzyMatch.q196,
+      graft.operators.PeakConcurrency.q198,
+      // r16 second batch: HITS (bipartite edge⋈score rounds), TWAP
+      // (X149's window shape + decimal integral), mutual-NN (X154's
+      // face + one |items| self-join), series stability (hours frame)
+      graft.operators.Hits.q199,
+      graft.operators.Twap.q200,
+      graft.operators.MutualKnn.q201,
+      graft.operators.SeriesStability.q202)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
