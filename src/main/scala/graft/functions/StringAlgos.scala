@@ -31,14 +31,28 @@ object StringAlgos {
     while (i <= n) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
     var j = 0
     while (j <= m) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
-    // last row in `a` where each code point occurred
-    val da = new java.util.HashMap[Integer, Integer]()
+    // last row in `a` where each code point occurred: a flat array for
+    // the Latin-1 range (the hot path — q196 evaluates the kernel
+    // ~1.3M times per sf0.1 run, and a per-call HashMap dominated it),
+    // HashMap only for code points past 255
+    val daAscii = new Array[Int](256)
+    var daWide: java.util.HashMap[Integer, Integer] = null
+    def daGet(cp: Int): Int =
+      if (cp < 256) daAscii(cp)
+      else if (daWide == null) 0
+      else daWide.getOrDefault(cp, 0).intValue()
+    def daPut(cp: Int, v: Int): Unit =
+      if (cp < 256) daAscii(cp) = v
+      else {
+        if (daWide == null) daWide = new java.util.HashMap[Integer, Integer]()
+        daWide.put(cp, v)
+      }
     i = 1
     while (i <= n) {
       var db = 0
       j = 1
       while (j <= m) {
-        val k = da.getOrDefault(b(j - 1), 0).intValue()
+        val k = daGet(b(j - 1))
         val l = db
         val cost = if (a(i - 1) == b(j - 1)) { db = j; 0 } else 1
         var best = d(i)(j) + cost // substitute / match
@@ -49,7 +63,7 @@ object StringAlgos {
         d(i + 1)(j + 1) = best
         j += 1
       }
-      da.put(a(i - 1), i)
+      daPut(a(i - 1), i)
       i += 1
     }
     d(n + 1)(m + 1)

@@ -57,12 +57,15 @@ object Hits {
             .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
             .distinct()
             .repartition(col("o")))
-        val maxDeg = edges.groupBy(col("o")).agg(count(lit(1)).as("d"))
-          .agg(max(col("d"))).collect()(0).getLong(0)
+        // one planning job for both stats (1-row collect, the house
+        // bounded-collect discipline)
+        val stats = edges.groupBy(col("o")).agg(count(lit(1)).as("d"))
+          .agg(max(col("d")).as("maxd"), count(lit(1)).as("n"))
+          .collect()(0)
+        val (maxDeg, nOrders) = (stats.getLong(0), stats.getLong(1))
         require(maxDeg * Mass <= Long.MaxValue / Mass,
           s"order degree $maxDeg would overflow the integer mass — " +
             "lower Mass for wider baskets")
-        val nOrders = edges.select(col("o")).distinct().count()
         def normalize(raw: DataFrame, key: String): DataFrame = {
           val tot = raw.agg(sum(col("raw")).as("s"))
           raw.join(tot).select(col(key),

@@ -29,10 +29,13 @@ object MutualKnn {
       (s, d) => {
         val w = Window.partitionBy(col("item"))
           .orderBy(col("cos2_micro").desc, col("nbr"))
-        val best = ItemSimilarity.scored(s, d)
+        // the rank-1 frame is |items|-sized but its LINEAGE is the full
+        // pair face — an unmaterialized self-join would execute that
+        // face twice; checkpoint once (measured 8.7 s → the face once)
+        val best = graft.Checkpoints.eager(ItemSimilarity.scored(s, d)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
-          .select(col("item"), col("nbr"), col("c"), col("cos2_micro"))
+          .select(col("item"), col("nbr"), col("c"), col("cos2_micro")))
         best.as("f")
           .join(best.as("r"),
             col("f.item") === col("r.nbr") &&

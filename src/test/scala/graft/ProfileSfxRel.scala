@@ -169,7 +169,11 @@ object ProfileSfxRel {
       graft.operators.Hits.q199,
       graft.operators.Twap.q200,
       graft.operators.MutualKnn.q201,
-      graft.operators.SeriesStability.q202)
+      graft.operators.SeriesStability.q202,
+      // r16 third batch: PIT join (orderkey FK join + one custkey
+      // union-window sweep), seasonal-naive audit (hours frame)
+      graft.operators.PointInTimeJoin.q203,
+      graft.operators.SeasonalNaive.q204)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>

@@ -688,4 +688,42 @@ class PlanSpec extends SparkSpec {
     Seq(p159, p160, p161, p162).foreach(p =>
       assert(p.contains("partial_"), "missing map-side combine"))
   }
+
+  test("q196: the native Damerau-Levenshtein evaluates inside " +
+      "whole-stage codegen; the length gate precedes the DP") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = planOf(FuzzyMatch.q196.build(spark, sf0001))
+      // the dl filter/projection lives in a codegen'd stage (a
+      // CodegenFallback expression would print the fallback marker and
+      // drop the *(n) stage prefix from its operator)
+      assert(plan.linesIterator.exists(l =>
+        l.contains("graft_damerau") || l.contains("damerau")),
+        s"native expression missing from the plan:\n${plan.take(2000)}")
+      assert(!plan.contains("CodegenFallback"),
+        s"DL expression fell out of codegen:\n${plan.take(2000)}")
+      // the cheap length gate is part of the same join condition /
+      // filter, so no row reaches the DP without passing it
+      assert(plan.contains("length"),
+        s"length gate missing:\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q197: shard assignment is pure map-side — the only exchanges " +
+      "feed the audit aggregates, and the CASE tree stays in codegen") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = planOf(ShardRebalance.q197.build(spark, sf0001))
+      assert(!plan.contains("CodegenFallback"),
+        s"HRW CASE tree fell out of codegen:\n${plan.take(2000)}")
+      // assignment itself must not shuffle: every Exchange in the plan
+      // is a 1-row/|shards| aggregate or the final sort, never a
+      // repartition of the scored corpus
+      val exchanges = plan.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exchanges.forall(l =>
+        l.contains("hrw_new") || l.contains("mod_new")),
+        s"unexpected corpus shuffle:\n${exchanges.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
