@@ -416,8 +416,13 @@ object Bench {
     * pre-r13 v1 hashed a never-executed re-plan, so v1 and v2 hashes
     * are incomparable and the diff is suppressed across the version
     * boundary rather than crying wolf on all 159 queries at once.
+    * v3 (r16) additionally normalizes NamedLambdaVariable's
+    * session-global fresh-name ordinal (`lambda x_8` → `lambda x_N`):
+    * under v2 a query's hash depended on which OTHER queries ran
+    * earlier in the session, so growing the suite flipped 13 hashes
+    * with bit-identical plans.
     */
-  val PlanHashVersion = 2
+  val PlanHashVersion = 3
 
   /** Queries whose EXECUTED plan is legitimately bistable on identical
     * code: AQE's runtime broadcast↔SMJ choice lands on a
@@ -496,6 +501,15 @@ object Bench {
       // MapPartitions/UDAF node), pure run identity, zero shape
       .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$\\$Lambda")
       .replaceAll("@[0-9a-fA-F]{6,}", "@obj")
+      // higher-order-function lambda variables print with a
+      // SESSION-GLOBAL ordinal (`lambda x_8#x` — NamedLambdaVariable's
+      // fresh-name counter), so WHICH queries ran earlier in the same
+      // session changes the token: the r16 full-suite runs flipped 13
+      // hashes (the transform/filter/aggregate users — kmeans family,
+      // BM25, q148) purely because the suite GREW and shifted every
+      // later query's counter; proven by identical plan dumps whose
+      // only diff was x_8 vs x_25 (plan_hash_ver 2 → 3)
+      .replaceAll("lambda ([A-Za-z]+)_\\d+", "lambda $1_N")
     // the hash is over the SORTED SET of normalized node lines, not
     // the tree text: two identical runs legitimately differ in (a)
     // AQE's broadcast BUILD-SIDE choice on symmetric inputs (BuildLeft

@@ -41,7 +41,8 @@ object SparkEntry {
       LabelPropagation.all ++ MaxDrawdown.all ++ CompactionPlanner.all ++
       ItemSimilarity.all ++ FuzzyMatch.all ++ ShardRebalance.all ++
       PeakConcurrency.all ++ Hits.all ++ Twap.all ++ MutualKnn.all ++
-      SeriesStability.all ++ PointInTimeJoin.all ++ SeasonalNaive.all
+      SeriesStability.all ++ PointInTimeJoin.all ++ SeasonalNaive.all ++
+      KsDrift.all ++ WeightedMedian.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -143,7 +143,10 @@ object ProfileSfx {
       // rebalance (pure map-side CASE tree + two 1-row aggregates)
       graft.operators.PrioritySample.q186,
       graft.operators.CompactionPlanner.q194,
-      graft.operators.ShardRebalance.q197)
+      graft.operators.ShardRebalance.q197,
+      // r16 fourth batch: exact KS over the (source, length) dimension
+      // frame — one corpus scan, per-pair range windows on that frame
+      graft.operators.KsDrift.q205)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>

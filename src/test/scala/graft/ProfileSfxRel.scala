@@ -173,7 +173,10 @@ object ProfileSfxRel {
       // r16 third batch: PIT join (orderkey FK join + one custkey
       // union-window sweep), seasonal-naive audit (hours frame)
       graft.operators.PointInTimeJoin.q203,
-      graft.operators.SeasonalNaive.q204)
+      graft.operators.SeasonalNaive.q204,
+      // r16 fourth batch: weighted quartiles (per-group ordered
+      // running-weight window — the per-group sort is the cost)
+      graft.operators.WeightedMedian.q206)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
