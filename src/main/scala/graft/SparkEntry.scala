@@ -42,7 +42,9 @@ object SparkEntry {
       ItemSimilarity.all ++ FuzzyMatch.all ++ ShardRebalance.all ++
       PeakConcurrency.all ++ Hits.all ++ Twap.all ++ MutualKnn.all ++
       SeriesStability.all ++ PointInTimeJoin.all ++ SeasonalNaive.all ++
-      KsDrift.all ++ WeightedMedian.all
+      KsDrift.all ++ WeightedMedian.all ++ LinkPrediction.all ++
+      FdAudit.all ++ SequentialPatterns.all ++ VocabSaturation.all ++
+      CountMinSketch.all ++ StratifiedSample.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -146,7 +146,10 @@ object ProfileSfx {
       graft.operators.ShardRebalance.q197,
       // r16 fourth batch: exact KS over the (source, length) dimension
       // frame — one corpus scan, per-pair range windows on that frame
-      graft.operators.KsDrift.q205)
+      graft.operators.KsDrift.q205,
+      // r16 fifth batch: vocab saturation (token census → |vocab|
+      // frame + k-row curve — the X44/X68 exchange shape)
+      graft.operators.VocabSaturation.q210)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>

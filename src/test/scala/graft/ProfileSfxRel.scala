@@ -176,7 +176,19 @@ object ProfileSfxRel {
       graft.operators.SeasonalNaive.q204,
       // r16 fourth batch: weighted quartiles (per-group ordered
       // running-weight window — the per-group sort is the cost)
-      graft.operators.WeightedMedian.q206)
+      graft.operators.WeightedMedian.q206,
+      // r16 fifth batch: link prediction (query-bounded wedge face —
+      // replication keeps degrees constant so the face is flat; only
+      // the adjacency groupBy scales), FD audit (two-level map-side
+      // groupBys per candidate), sequential patterns (q35 session cut
+      // + the ≤|types|² per-session pair face), CMS (×4 explode into
+      // one map-side groupBy to the fixed d·w frame), stratified
+      // sample (|strata| alloc frame + per-stratum quota windows)
+      graft.operators.LinkPrediction.q207,
+      graft.operators.FdAudit.q208,
+      graft.operators.SequentialPatterns.q209,
+      graft.operators.CountMinSketch.q211,
+      graft.operators.StratifiedSample.q212)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
