@@ -44,7 +44,8 @@ object SparkEntry {
       SeriesStability.all ++ PointInTimeJoin.all ++ SeasonalNaive.all ++
       KsDrift.all ++ WeightedMedian.all ++ LinkPrediction.all ++
       FdAudit.all ++ SequentialPatterns.all ++ VocabSaturation.all ++
-      CountMinSketch.all ++ StratifiedSample.all
+      CountMinSketch.all ++ StratifiedSample.all ++ FrequentPaths.all ++
+      RfmSegmentation.all ++ StumpScreening.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

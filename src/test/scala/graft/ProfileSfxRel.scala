@@ -188,7 +188,13 @@ object ProfileSfxRel {
       graft.operators.FdAudit.q208,
       graft.operators.SequentialPatterns.q209,
       graft.operators.CountMinSketch.q211,
-      graft.operators.StratifiedSample.q212)
+      graft.operators.StratifiedSample.q212,
+      // batch 2: paths (q35 cut + session groupBy + path census), RFM
+      // (|customers| dimension windows), stump screening (one scan →
+      // |features|·B·2 census + windows on that frame)
+      graft.operators.FrequentPaths.q213,
+      graft.operators.RfmSegmentation.q214,
+      graft.operators.StumpScreening.q215)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
