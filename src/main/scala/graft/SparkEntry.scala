@@ -45,7 +45,9 @@ object SparkEntry {
       KsDrift.all ++ WeightedMedian.all ++ LinkPrediction.all ++
       FdAudit.all ++ SequentialPatterns.all ++ VocabSaturation.all ++
       CountMinSketch.all ++ StratifiedSample.all ++ FrequentPaths.all ++
-      RfmSegmentation.all ++ StumpScreening.all
+      RfmSegmentation.all ++ StumpScreening.all ++
+      AbcClassification.all ++ DebounceAudit.all ++ LeadLag.all ++
+      DecileLift.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -148,8 +148,10 @@ object ProfileSfx {
       // frame — one corpus scan, per-pair range windows on that frame
       graft.operators.KsDrift.q205,
       // r16 fifth batch: vocab saturation (token census → |vocab|
-      // frame + k-row curve — the X44/X68 exchange shape)
-      graft.operators.VocabSaturation.q210)
+      // frame + k-row curve — the X44/X68 exchange shape), decile
+      // lift (q111's token exchange + |docs| NTILE window)
+      graft.operators.VocabSaturation.q210,
+      graft.operators.DecileLift.q219)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>

@@ -194,7 +194,13 @@ object ProfileSfxRel {
       // |features|·B·2 census + windows on that frame)
       graft.operators.FrequentPaths.q213,
       graft.operators.RfmSegmentation.q214,
-      graft.operators.StumpScreening.q215)
+      graft.operators.StumpScreening.q215,
+      // batch 3: ABC (|parts| frame windows), debounce (one lag
+      // window + |types| census), lead-lag (|types×hours| self-join),
+      // decile lift (q111 exchange + |docs| NTILE window)
+      graft.operators.AbcClassification.q216,
+      graft.operators.DebounceAudit.q217,
+      graft.operators.LeadLag.q218)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
