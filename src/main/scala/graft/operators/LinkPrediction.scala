@@ -56,10 +56,15 @@ object LinkPrediction {
     */
   def predict(baskets: DataFrame, nQueries: Int = NQueries,
       topK: Int = TopK): DataFrame = {
-    // adj is consumed four ways (degree census, two wedge hops, the
-    // existing-edge anti-join): checkpoint so the basket self-join
-    // runs once.
-    val adj = graft.Checkpoints.eager(adjacency(baskets))
+    // The edge frame is consumed four ways (degree census, two wedge
+    // hops, the existing-edge anti-join): checkpoint so the basket
+    // self-join runs once. Checkpoint the |E| UNDIRECTED frame and
+    // derive the symmetric adjacency as a lazy two-scan union — half
+    // the checkpoint write of materializing 2|E| (measured ~1 s at
+    // sf0.1), same total read bytes downstream.
+    val e = graft.Checkpoints.eager(TriangleCount.undirectedEdges(baskets))
+    val adj = e.select(col("u").as("c"), col("v").as("n"))
+      .union(e.select(col("v").as("c"), col("u").as("n")))
     val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("deg"))
     val qn = deg
       .withColumn("rk",
@@ -75,9 +80,12 @@ object LinkPrediction {
       .filter(col("v") =!= col("u"))
     val cn = wedges.groupBy(col("u"), col("du"), col("v"))
       .agg(count(lit(1)).as("cn"))
-    // drop pairs that are ALREADY edges — the operator predicts.
-    val cand = cn.join(adj,
-        cn("u") === adj("c") && cn("v") === adj("n"), "left_anti")
+    // drop pairs that are ALREADY edges — the operator predicts. The
+    // probe is normalized to (least, greatest) so the anti-join runs
+    // against the |E| undirected frame, not the 2|E| adjacency.
+    val cand = cn.join(e,
+        least(cn("u"), cn("v")) === e("u") &&
+          greatest(cn("u"), cn("v")) === e("v"), "left_anti")
     val scored = cand
       .join(deg.select(col("c").as("v2"), col("deg").as("dv")),
         col("v") === col("v2"))
