@@ -47,7 +47,8 @@ object SparkEntry {
       CountMinSketch.all ++ StratifiedSample.all ++ FrequentPaths.all ++
       RfmSegmentation.all ++ StumpScreening.all ++
       AbcClassification.all ++ DebounceAudit.all ++ LeadLag.all ++
-      DecileLift.all
+      DecileLift.all ++ RepetitionAudit.all ++ RollingAnomaly.all ++
+      PositionAttribution.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

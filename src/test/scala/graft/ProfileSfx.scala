@@ -151,7 +151,9 @@ object ProfileSfx {
       // frame + k-row curve — the X44/X68 exchange shape), decile
       // lift (q111's token exchange + |docs| NTILE window)
       graft.operators.VocabSaturation.q210,
-      graft.operators.DecileLift.q219)
+      graft.operators.DecileLift.q219,
+      // repetition audit: per-doc gram arrays + one (doc, gram) census
+      graft.operators.RepetitionAudit.q220)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>

@@ -200,7 +200,12 @@ object ProfileSfxRel {
       // decile lift (q111 exchange + |docs| NTILE window)
       graft.operators.AbcClassification.q216,
       graft.operators.DebounceAudit.q217,
-      graft.operators.LeadLag.q218)
+      graft.operators.LeadLag.q218,
+      // batch 4: rolling z-score (|types×hours| frame window),
+      // U-shaped attribution (user-keyed interval join, lookback-
+      // bounded face)
+      graft.operators.RollingAnomaly.q221,
+      graft.operators.PositionAttribution.q222)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
