@@ -48,7 +48,9 @@ object SparkEntry {
       RfmSegmentation.all ++ StumpScreening.all ++
       AbcClassification.all ++ DebounceAudit.all ++ LeadLag.all ++
       DecileLift.all ++ RepetitionAudit.all ++ RollingAnomaly.all ++
-      PositionAttribution.all
+      PositionAttribution.all ++ CohortLtv.all ++ FulfillmentLag.all ++
+      FanoutProfiler.all ++ DiscountLift.all ++ ActiveUsers.all ++
+      GrowthAccounting.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -205,7 +205,16 @@ object ProfileSfxRel {
       // U-shaped attribution (user-keyed interval join, lookback-
       // bounded face)
       graft.operators.RollingAnomaly.q221,
-      graft.operators.PositionAttribution.q222)
+      graft.operators.PositionAttribution.q222,
+      // batches 5/6: all reduce to contracted dimension frames —
+      // customer-months, order keys, user-days — after one map-side
+      // pass; the fan-out profiler is 4 key-frame full-outer joins
+      graft.operators.CohortLtv.q223,
+      graft.operators.FulfillmentLag.q224,
+      graft.operators.FanoutProfiler.q225,
+      graft.operators.DiscountLift.q226,
+      graft.operators.ActiveUsers.q227,
+      graft.operators.GrowthAccounting.q228)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
