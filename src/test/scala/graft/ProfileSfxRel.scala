@@ -214,7 +214,9 @@ object ProfileSfxRel {
       graft.operators.FanoutProfiler.q225,
       graft.operators.DiscountLift.q226,
       graft.operators.ActiveUsers.q227,
-      graft.operators.GrowthAccounting.q228)
+      graft.operators.GrowthAccounting.q228,
+      // batch 7: Shapley over the q35 session cut + a 4-row census
+      graft.operators.ShapleyAttribution.q229)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
