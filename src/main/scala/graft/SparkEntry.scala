@@ -50,7 +50,8 @@ object SparkEntry {
       DecileLift.all ++ RepetitionAudit.all ++ RollingAnomaly.all ++
       PositionAttribution.all ++ CohortLtv.all ++ FulfillmentLag.all ++
       FanoutProfiler.all ++ DiscountLift.all ++ ActiveUsers.all ++
-      GrowthAccounting.all ++ ShapleyAttribution.all
+      GrowthAccounting.all ++ ShapleyAttribution.all ++
+      SpearmanCorrelation.all ++ SessionEntryExit.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

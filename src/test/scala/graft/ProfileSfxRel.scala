@@ -216,7 +216,11 @@ object ProfileSfxRel {
       graft.operators.ActiveUsers.q227,
       graft.operators.GrowthAccounting.q228,
       // batch 7: Shapley over the q35 session cut + a 4-row census
-      graft.operators.ShapleyAttribution.q229)
+      graft.operators.ShapleyAttribution.q229,
+      // batch 8: Spearman (two per-group rank windows), entry/exit
+      // matrix (q35 cut + one session groupBy)
+      graft.operators.SpearmanCorrelation.q230,
+      graft.operators.SessionEntryExit.q231)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
