@@ -51,7 +51,7 @@ object SparkEntry {
       PositionAttribution.all ++ CohortLtv.all ++ FulfillmentLag.all ++
       FanoutProfiler.all ++ DiscountLift.all ++ ActiveUsers.all ++
       GrowthAccounting.all ++ ShapleyAttribution.all ++
-      SpearmanCorrelation.all ++ SessionEntryExit.all
+      SpearmanCorrelation.all ++ SessionEntryExit.all ++ EmdDrift.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -152,6 +152,7 @@ object ProfileSfx {
       // lift (q111's token exchange + |docs| NTILE window)
       graft.operators.VocabSaturation.q210,
       graft.operators.DecileLift.q219,
+      graft.operators.EmdDrift.q232,
       // repetition audit: per-doc gram arrays + one (doc, gram) census
       graft.operators.RepetitionAudit.q220)
 
