@@ -44,9 +44,11 @@ object CountMinSketch {
   /** Audited keys: the top-k by exact frequency. */
   val TopKeys = 50
 
+  // Built from Column operations (not expr-string splicing) so any
+  // derived-column argument composes correctly into the plan.
   private def h60(k: Column, salt: String): Column =
-    expr(s"cast(conv(substring(md5(concat(cast(${k.toString()} as string), " +
-      s"':', '$salt')), 1, 15), 16, 10) as bigint)")
+    conv(substring(md5(concat(k.cast("string"), lit(":" + salt))), 1, 15),
+      16, 10).cast("long")
 
   private def h60Sql(k: String, salt: String): String =
     s"CAST('0x' || substr(md5(concat(CAST($k AS VARCHAR), ':', '$salt'))" +

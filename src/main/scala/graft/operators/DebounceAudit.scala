@@ -36,11 +36,14 @@ object DebounceAudit {
   def audit(events: DataFrame): DataFrame = {
     val byKey = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))
+    // Integer-microsecond gap test — the SAME predicate DebounceStream
+    // applies per batch, so the batch≡stream slicing contract cannot
+    // drift on float rounding (one shared binade-free comparison).
     val flagged = events
+      .withColumn("us", unix_micros(col("ts")))
       .withColumn("bounce",
-        when(col("ts").cast("double") -
-          lag(col("ts"), 1).over(byKey).cast("double")
-          <= WindowSec.toDouble, 1L).otherwise(0L))
+        when(col("us") - lag(col("us"), 1).over(byKey)
+          <= WindowSec * 1000000L, 1L).otherwise(0L))
     val perUser = flagged
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("n"), sum(col("bounce")).as("b"))
@@ -67,8 +70,8 @@ object DebounceAudit {
     Some(s"""
       WITH flagged AS (
         SELECT event_type, user_id,
-               CASE WHEN epoch(ts) - epoch(LAG(ts, 1) OVER w)
-                      <= $WindowSec
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts, 1) OVER w)
+                      <= ${WindowSec * 1000000L}
                     THEN 1 ELSE 0 END AS bounce
         FROM events
         WINDOW w AS (PARTITION BY user_id, event_type

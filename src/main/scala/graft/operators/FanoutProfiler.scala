@@ -55,8 +55,11 @@ object FanoutProfiler {
       .select(lit(edge).as("edge"), col("n_parents"), col("n_children"),
         col("orphan_children"), col("childless_parents"),
         col("min_children"), col("max_children"),
-        ((col("n_children") - col("orphan_children")).cast("double") /
-          col("n_parents").cast("double")).as("mean_children"))
+        // ANSI guard: an empty parent table must yield NULL, not a
+        // divide-by-zero failure of the whole q225 union.
+        when(col("n_parents") > 0,
+          (col("n_children") - col("orphan_children")).cast("double") /
+            col("n_parents").cast("double")).as("mean_children"))
   }
 
   /** q225 — the fan-out census over the declared FK edges. */
@@ -82,11 +85,13 @@ object FanoutProfiler {
                AS BIGINT) AS min_children,
              CAST(MAX(CASE WHEN p IS NOT NULL THEN COALESCE(c, 0) END)
                AS BIGINT) AS max_children,
-             CAST(SUM(COALESCE(c, 0)) -
-                  SUM(CASE WHEN p IS NULL THEN c ELSE 0 END)
-               AS DOUBLE) /
-               CAST(SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END)
-                 AS DOUBLE) AS mean_children
+             CASE WHEN SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) > 0
+               THEN CAST(SUM(COALESCE(c, 0)) -
+                      SUM(CASE WHEN p IS NULL THEN c ELSE 0 END)
+                    AS DOUBLE) /
+                    CAST(SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+             END AS mean_children
       FROM (
         SELECT p, c FROM
           (SELECT DISTINCT $pk AS p FROM $pt) par

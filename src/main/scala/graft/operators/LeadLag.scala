@@ -9,9 +9,11 @@ import Q._
   * cross-correlogram argmax; Box & Jenkins 1970's CCF read at
   * integer lags): for every ordered pair of event types (a, b),
   * which shift l ∈ [−MaxLag, +MaxLag] hours best aligns their hourly
-  * count series under score_l = Σ_t a_t·b_{t−l} — sign convention
-  * stated: a LEADING b by 2 hours (b repeats a's spikes 2 hours
-  * later) surfaces as l = −2, b leading a as l = +2. The
+  * count series under score_l = Σ_t a_t·b_{t−l} — output columns are
+  * g_a/g_b, assigned purely by alphabetical order of the two types
+  * (NOT by which one leads); only the lag SIGN carries direction:
+  * g_a LEADING g_b by 2 hours (g_b repeats g_a's spikes 2 hours
+  * later) surfaces as lag = −2, g_b leading g_a as lag = +2. The
   * causality-HINT gauge completing the monitoring tier: X162 says a
   * feed is bursty, X164 says it is daily-periodic, this says which
   * feed LEADS which.
@@ -50,19 +52,19 @@ object LeadLag {
           .join(shifted.as("b"),
             col("a.h") === col("b.h") + col("b.l") &&
               col("a.g") < col("b.g"))
-          .groupBy(col("a.g").as("g_lead"), col("b.g").as("g_follow"),
+          .groupBy(col("a.g").as("g_a"), col("b.g").as("g_b"),
             col("b.l").as("lag"))
           .agg(sum(col("a.x") * col("b.x")).as("score"),
             count(lit(1)).as("overlap_hours"))
         joined
           .withColumn("rk", row_number().over(
-            Window.partitionBy(col("g_lead"), col("g_follow"))
+            Window.partitionBy(col("g_a"), col("g_b"))
               .orderBy(col("score").desc, col("lag"),
                 col("overlap_hours"))))
           .filter(col("rk") === 1)
-          .select(col("g_lead"), col("g_follow"), col("lag"),
+          .select(col("g_a"), col("g_b"), col("lag"),
             col("score"), col("overlap_hours"))
-          .orderBy(col("g_lead"), col("g_follow"))
+          .orderBy(col("g_a"), col("g_b"))
       }
     },
     Some(s"""
@@ -75,21 +77,21 @@ object LeadLag {
         SELECT g, h, x, l
         FROM hours, (SELECT unnest(range(-$MaxLag, ${MaxLag + 1})) AS l)),
       joined AS (
-        SELECT a.g AS g_lead, b.g AS g_follow, b.l AS lag,
+        SELECT a.g AS g_a, b.g AS g_b, b.l AS lag,
                CAST(SUM(a.x * b.x) AS BIGINT) AS score,
                COUNT(*) AS overlap_hours
         FROM hours a JOIN shifted b
           ON a.h = b.h + b.l AND a.g < b.g
         GROUP BY 1, 2, 3)
-      SELECT g_lead, g_follow, CAST(lag AS INTEGER) AS lag, score,
+      SELECT g_a, g_b, CAST(lag AS INTEGER) AS lag, score,
              overlap_hours
       FROM (
-        SELECT g_lead, g_follow, lag, score, overlap_hours,
-               ROW_NUMBER() OVER (PARTITION BY g_lead, g_follow
+        SELECT g_a, g_b, lag, score, overlap_hours,
+               ROW_NUMBER() OVER (PARTITION BY g_a, g_b
                  ORDER BY score DESC, lag, overlap_hours) AS rk
         FROM joined)
       WHERE rk = 1
-      ORDER BY g_lead, g_follow
+      ORDER BY g_a, g_b
     """))
 
   val all: Seq[GraftQuery] = Seq(q218)
