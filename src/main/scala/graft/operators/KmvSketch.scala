@@ -53,7 +53,7 @@ object KmvSketch {
     * DuckDB: first 15 hex chars of md5 parsed base-16.
     */
   def h60(c: Column): Column =
-    expr(s"cast(conv(substring(md5(${c.toString()}), 1, 15), 16, 10) as bigint)")
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** DuckDB mirror of [[h60]]. */
   def h60Sql(e: String): String =

@@ -7,8 +7,13 @@ import graft.Checkpoints.EagerCheckpoint
 import graft.functions.MockScorers.normalize
 
 /** Approximate near-dup detection (north-star X15): MinHash + LSH banding
-  * and SimHash. No SQL oracle (engine-specific hashes); verified against
-  * brute-force Jaccard in ScalaTest.
+  * and SimHash. All hashing rides the md5-derived 60-bit lane hash
+  * ([[KmvSketch.h60]] — identical in Spark and DuckDB), so the WHOLE
+  * pipeline — signatures, band keys, candidate mining, verification —
+  * replays as DuckDB SQL and q43/q44 are hash-exact against the driver
+  * oracle (r17; the KMV q126 / Count-Min q211 precedent, VERDICT r16
+  * item 4). The brute-force Jaccard specs in SketchSpec remain as the
+  * semantic (recall) oracle.
   *
   * Scale design: the only shuffles are (a) shingle-rows → per-doc
   * signature aggregation and (b) the band-bucket self-join, whose fan-out
@@ -21,10 +26,12 @@ object MinHashDedup {
   val NumHashes = 32
   val Bands = 16 // 2 rows per band: P(candidate | s) = 1-(1-s^2)^16
   val RowsPerBand: Int = NumHashes / Bands
-  private val P = 2147483647L // 2^31 - 1
+  private[operators] val P = 2147483647L // 2^31 - 1
 
-  // fixed permutation constants, seeded for reproducibility
-  private val perms: Seq[(Long, Long)] = {
+  // fixed permutation constants, seeded for reproducibility; exposed to
+  // the package so q43's DuckDB oracle can splice the SAME constants
+  // into its SQL replay of the signature stage
+  private[operators] val perms: Seq[(Long, Long)] = {
     val rnd = new java.util.Random(42)
     Seq.fill(NumHashes)(
       (1L + rnd.nextInt(Int.MaxValue - 1).toLong,
@@ -43,9 +50,12 @@ object MinHashDedup {
           .as("shingle"))
       .distinct()
 
-  /** doc_id + sig_0..sig_31 (min of permuted 31-bit shingle hashes). */
+  /** doc_id + sig_0..sig_31 (min of permuted 31-bit shingle hashes).
+    * Base hash = md5-60-bit mod P ([[KmvSketch.h60]]) — engine-neutral,
+    * so the DuckDB oracle replays the signatures bit-exactly.
+    */
   def signatures(sh: DataFrame): DataFrame = {
-    val base = pmod(xxhash64(col("shingle")), lit(P))
+    val base = pmod(KmvSketch.h60(col("shingle")), lit(P))
     val hashed = perms.zipWithIndex.foldLeft(sh) {
       case (df, ((a, b), i)) =>
         df.withColumn(s"h_$i", pmod(lit(a) * base + lit(b), lit(P)))
@@ -65,8 +75,11 @@ object MinHashDedup {
   private[operators] def bandBuckets(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand)
-        .map(r => col(s"sig_${b * RowsPerBand + r}"))
-      xxhash64(lit(b) +: rows: _*)
+        .map(r => col(s"sig_${b * RowsPerBand + r}").cast("string"))
+      // md5-60-bit over "band:sig:sig" — same engine-neutral key in the
+      // DuckDB oracle; a 60-bit collision between different (band,
+      // bucket) pairs only ADMITS a candidate, never loses one
+      KmvSketch.h60(concat_ws(":", lit(b.toString) +: rows: _*))
     }
     sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
   }
@@ -204,7 +217,14 @@ object MinHashDedup {
   */
 object SimHash {
 
-  /** doc_id + simhash: Long. */
+  /** Fingerprint width: 60 bits (the md5-60 hash domain), so every bit
+    * of the word hash — and therefore the whole fingerprint — replays
+    * bit-exactly in the DuckDB oracle (r17; was 64-bit xxhash64).
+    */
+  val Bits = 60
+  private val ChunkBits = Bits / 4 // 15-bit chunks, 4-chunk pigeonhole
+
+  /** doc_id + simhash: Long (60 significant bits). */
   def simhash(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val words = docs
       .select(col("doc_id"), explode(split(normalize(col(textCol)), " "))
@@ -212,21 +232,21 @@ object SimHash {
       .filter(col("word") =!= "")
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("word")))
+      .withColumn("h", KmvSketch.h60(col("word")))
     val bitSums = words.groupBy(col("doc_id")).agg(
       sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, col("tf"))
         .otherwise(-col("tf"))).as("b_0"),
-      (1 until 64).map(j =>
+      (1 until Bits).map(j =>
         sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("tf"))
           .otherwise(-col("tf"))).as(s"b_$j")): _*)
-    val packed = (0 until 64)
+    val packed = (0 until Bits)
       .map(j => when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     bitSums.select(col("doc_id"), packed.as("simhash"))
   }
 
   /** Pairs with Hamming(simhash) ≤ maxHamming, found by requiring an
-    * exact match on ≥1 of the 4 16-bit chunks (guaranteed complete for
+    * exact match on ≥1 of the 4 15-bit chunks (guaranteed complete for
     * maxHamming ≤ 3 by pigeonhole).
     */
   def nearPairs(docs: DataFrame, maxHamming: Int = 3,
@@ -236,7 +256,8 @@ object SimHash {
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("k"),
-          shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL)
+          shiftright(col("simhash"), k * ChunkBits)
+            .bitwiseAND((1L << ChunkBits) - 1)
             .as("chunk"))): _*)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.k"), col("c.chunk"))
     // Hamming filter BEFORE the pair distinct (same lesson as MinHash's

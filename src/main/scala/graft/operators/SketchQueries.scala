@@ -2,21 +2,129 @@ package graft.operators
 
 import Q._
 
-/** Sketch-based operators registered for the driver (rows-only checks —
-  * hash functions are engine-specific, so the oracle is brute force in
-  * ScalaTest: SketchSpec).
+/** Sketch-based operators registered for the driver. q43/q44 carry
+  * FULL DuckDB SQL oracles (r17): since the MinHash/SimHash lane hash
+  * is the md5-60-bit [[KmvSketch.h60]], every stage — signatures, band
+  * keys, candidate mining, prefilter, exact verification — replays in
+  * SQL with the same pinned permutation constants, the KMV-q126 /
+  * Count-Min-q211 precedent applied to the whole dedup sketch. The
+  * remaining rows-only entries (ANN recall tiers, HLL binary, learned
+  * codebooks) have their semantic oracles in ScalaTest (SketchSpec).
   */
 object SketchQueries {
+
+  /** DuckDB replay of [[MinHashDedup.nearDuplicates]] at τ = 0.5: the
+    * shared shingle CTEs, the 32 pinned-permutation min-hash lanes over
+    * the md5-60 base hash, the 16 band keys, the band-bucket self-join,
+    * the size-ratio + signature-estimate prefilter, and the exact
+    * Jaccard verification — stage for stage the Spark plan's algebra.
+    */
+  private def q43Sql: String = {
+    val p = MinHashDedup.P
+    val sigCols = MinHashDedup.perms.zipWithIndex.map {
+      case ((a, b), i) => s"MIN(($a * h + $b) % $p) AS sig_$i"
+    }.mkString(",\n               ")
+    val bandArms = (0 until MinHashDedup.Bands).map { bnd =>
+      val key = (0 until MinHashDedup.RowsPerBand)
+        .map(r => s"CAST(sig_${bnd * MinHashDedup.RowsPerBand + r} " +
+          "AS VARCHAR)")
+        .mkString(s"'$bnd:' || ", " || ':' || ", "")
+      s"SELECT doc_id, ${KmvSketch.h60Sql(key)} AS bkey FROM sigs"
+    }.mkString("\n        UNION ALL ")
+    val estSum = (0 until MinHashDedup.NumHashes)
+      .map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""
+      WITH ${DedupQueries.shingleCtesSql},
+      hashed AS (
+        SELECT doc_id, ${KmvSketch.h60Sql("shingle")} % $p AS h
+        FROM shingles),
+      sigs AS (
+        SELECT doc_id,
+               $sigCols
+        FROM hashed GROUP BY doc_id),
+      bands AS (
+        $bandArms),
+      cand0 AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      cand AS (
+        SELECT doc_a, doc_b
+        FROM cand0
+        JOIN sigs sa ON sa.doc_id = cand0.doc_a
+        JOIN sigs sb ON sb.doc_id = cand0.doc_b
+        JOIN sizes za ON za.doc_id = cand0.doc_a
+        JOIN sizes zb ON zb.doc_id = cand0.doc_b
+        WHERE GREATEST(za.n_sh, zb.n_sh) * 0.5 <= LEAST(za.n_sh, zb.n_sh)
+          AND ($estSum) / 32.0 >= 0.25),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN shingles x ON x.doc_id = c.doc_a
+        JOIN shingles y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY 1, 2),
+      verified AS (
+        SELECT i.doc_a, i.doc_b,
+               round(CAST(n_inter AS DOUBLE) /
+                     (za.n_sh + zb.n_sh - n_inter), 4) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b)
+      SELECT doc_a, doc_b, jaccard
+      FROM verified WHERE jaccard >= 0.5
+      ORDER BY doc_a, doc_b
+    """
+  }
 
   val q43 = GraftQuery(
     "q43_minhash_lsh_pairs",
     (s, d) => MinHashDedup.nearDuplicates(t(s, d, "documents"), 0.5),
-    None)
+    Some(q43Sql))
+
+  /** DuckDB replay of [[SimHash.nearPairs]]: per-word tf, the md5-60
+    * word hash, the 60 weighted bit-sums packed into the fingerprint,
+    * 4×15-bit chunk banding, and the Hamming ≤ 3 filter.
+    */
+  private def q44Sql: String = {
+    val packed = (0 until SimHash.Bits).map { j =>
+      s"CASE WHEN SUM(CASE WHEN (h >> $j) & 1 = 1 THEN tf ELSE -tf END)" +
+        s" > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("\n               + ")
+    s"""
+      WITH docs AS (
+        SELECT doc_id,
+               string_split(
+                 ${graft.functions.MockScorers.normalizeSql("text")},
+                 ' ') AS words
+        FROM documents),
+      words AS (
+        SELECT doc_id, w, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(words) AS w FROM docs)
+        WHERE w <> '' GROUP BY 1, 2),
+      hashed AS (
+        SELECT doc_id, tf, ${KmvSketch.h60Sql("w")} AS h FROM words),
+      sims AS (
+        SELECT doc_id,
+               $packed AS simhash
+        FROM hashed GROUP BY doc_id),
+      chunks AS (
+        SELECT doc_id, simhash, k, (simhash >> (k * 15)) & 32767 AS chunk
+        FROM sims, (SELECT unnest([0, 1, 2, 3]) AS k))
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+               AS hamming
+      FROM chunks a JOIN chunks b
+        ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY doc_a, doc_b
+    """
+  }
 
   val q44 = GraftQuery(
     "q44_simhash_pairs",
     (s, d) => SimHash.nearPairs(t(s, d, "documents"), maxHamming = 3),
-    None)
+    Some(q44Sql))
 
   val q52 = GraftQuery(
     "q52_ann_lsh_topk",
@@ -72,7 +180,10 @@ object SketchQueries {
     * build, so repeated runs don't accumulate orphaned copies.
     */
   private def q72Index(d: String): (String, String) = {
-    val tag = java.lang.Integer.toHexString(d.hashCode)
+    // v2: bkey became the md5-60 band hash (r17) — the version suffix
+    // retires any on-disk index built with the old xxhash64 keys, which
+    // a probe would otherwise silently miss against.
+    val tag = "v2" + java.lang.Integer.toHexString(d.hashCode)
     (s"graft_dedup_idx_$tag",
       s"${sys.props("java.io.tmpdir")}/graft-q72-idx-$tag")
   }
