@@ -95,4 +95,53 @@ class ActiveUsersStreamSpec extends AnyFunSuite with SparkSpec {
       rows(ActiveUsersStream.read(spark, refPath)))
     EmbeddedLog.dropTopic("auks")
   }
+
+  test("HLL tier: round-robin slicing == one-shot sketch state " +
+      "(register max commutes/absorbs); estimates within the " +
+      "documented eps of exact q227") {
+    val sliced = tmpDir("austream-hll") + "/state"
+    val oneShot = tmpDir("austream-hll1") + "/state"
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    (0 until 3).foreach { i =>
+      ActiveUsersStream.Hll.applyOnce(
+        ev.filter(pmod(col("event_id"), lit(3)) === i), sliced, i.toLong)
+    }
+    ActiveUsersStream.Hll.applyOnce(ev, oneShot, 0L)
+    val got = rows(ActiveUsersStream.Hll.read(spark, sliced))
+    assert(got === rows(ActiveUsersStream.Hll.read(spark, oneShot)),
+      "slicing must not change the merged registers' estimates")
+    // accuracy vs the exact tier: RSE ~1.6% at lgK=12; 4 sigma bound
+    val exact = graft.operators.ActiveUsers.q227.build(spark, sf0001)
+      .collect().map(r => (r.getTimestamp(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (dau, wau, mau) = exact(r.head.asInstanceOf[java.sql.Timestamp])
+      def ok(est: Any, ex: Long) =
+        math.abs(est.asInstanceOf[Long] - ex) <= math.max(1.0, 0.065 * ex)
+      assert(ok(r(1), dau) && ok(r(2), wau) && ok(r(3), mau),
+        s"estimates $r drifted beyond 6.5% of exact ($dau,$wau,$mau)")
+    }
+  }
+
+  test("HLL tier: a user-day in TWO batches is absorbed; replay is " +
+      "a no-op") {
+    val path = tmpDir("austream-hllx") + "/state"
+    def mk(rs: Seq[(Long, Int)]) = rs.zipWithIndex
+      .map { case ((u, d), i) =>
+        (u, new java.sql.Timestamp(1704067200000L +
+          d.toLong * 86400000L + i * 1000L))
+      }.toDF("user_id", "ts")
+    ActiveUsersStream.Hll.applyOnce(mk(Seq((1L, 0), (2L, 0))), path, 0L)
+    ActiveUsersStream.Hll.applyOnce(mk(Seq((1L, 0), (1L, 1))), path, 1L)
+    val out = ActiveUsersStream.Hll.read(spark, path).collect()
+    assert(out(0).getAs[Long]("dau") === 2L,
+      "day 0: users {1,2}, the re-sent user 1 absorbed by register max")
+    assert(out(1).getAs[Long]("dau") === 1L)
+    assert(out(1).getAs[Long]("wau") === 2L)
+    ActiveUsersStream.Hll.applyOnce(mk(Seq((9L, 5))), path, 1L)
+    assert(ActiveUsersStream.Hll.read(spark, path).collect().length === 2,
+      "replay added a day")
+  }
 }
