@@ -132,7 +132,17 @@ object SketchQueries {
     None)
 
   /** Multimodal decode/feature plumbing over binary payloads (stub codec,
-    * real batch shape). Rows-only; determinism proven in MultimodalSpec.
+    * real batch shape). TOLERANCE-BANDED oracle (r17, VERDICT r16
+    * stretch 9, the q34/q75 pattern): the stub codec's dimensions are
+    * payload-hash-derived and not SQL-expressible, but the BYTE
+    * accounting is exact on both engines (Spark `octet_length` of the
+    * UTF-8 payload ≡ DuckDB `strlen`), and the decode invariants —
+    * dims inside the stub's documented 16..31 range, 3 channels, mean
+    * intensity and every 8×8 thumbnail cell inside [0, 255] — are
+    * integer-exact booleans over the REAL extractFeatures output that
+    * the oracle pins TRUE. A broken decode path (wrong dims, NaN
+    * means, short thumbnails) now fails the driver gate, not just
+    * MultimodalSpec; the full feature values stay spec-verified there.
     */
   val q53 = GraftQuery(
     "q53_multimodal_features",
@@ -144,11 +154,24 @@ object SketchQueries {
         .as[Multimodal.MediaRow]
       Multimodal.extractFeatures(media)
         .toDF()
-        .select(col("doc_id"), col("width"), col("height"), col("channels"),
-          col("n_bytes"), round(col("mean_intensity"), 4).as("mean_intensity"))
+        .select(col("doc_id"), col("n_bytes"),
+          (col("width").between(16, 31) && col("height").between(16, 31))
+            .as("dims_ok"),
+          (col("channels") === 3).as("channels_ok"),
+          (col("mean_intensity") >= 0 && col("mean_intensity") <= 255)
+            .as("mean_ok"),
+          (size(col("thumb_8x8")) === 64 &&
+            forall(col("thumb_8x8"), c => c >= 0 && c <= 255))
+            .as("thumb_ok"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some("""
+      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+             TRUE AS dims_ok, TRUE AS channels_ok,
+             TRUE AS mean_ok, TRUE AS thumb_ok
+      FROM documents
+      ORDER BY doc_id
+    """))
 
   /** IVF-partitioned ANN (the nprobe/nlist scale path next to sign-LSH
     * q52). Rows-only; recall oracle in SketchSpec.

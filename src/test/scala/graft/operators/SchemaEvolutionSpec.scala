@@ -32,6 +32,17 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSpec {
     assert(bySrc(1L) === Some("web") && bySrc(3L) === Some("books"))
   }
 
+  test("fixture invariant: the generator emits zero null sources " +
+      "(the batch-partition accounting does not ride on this, but a " +
+      "regen that broke it should fail HERE, not as a faraway q182 " +
+      "hash mismatch)") {
+    Seq(sf0001).foreach { d =>
+      val nNull = spark.read.parquet(s"$d/documents.parquet")
+        .filter(col("source").isNull).count()
+      assert(nNull === 0L, s"null sources appeared in $d")
+    }
+  }
+
   test("q182 at sf0.001 == direct computation from the source table") {
     val got = SchemaEvolution.q182.build(spark, sf0001).collect()
     val direct = spark.read.parquet(s"$sf0001/documents.parquet")
