@@ -21,6 +21,13 @@ import Q._
   * (REDUCED before multiplied — the r11 overflow rule; max value
   * ~3.5e16 « 2^63), identical in both engines; the sampled-graph count
   * is exact integer; the estimate is one exact long multiply.
+  *
+  * Deliberately NOT under [[GraphScale]] (r17, VERDICT r16 item 7):
+  * the p = 1/5 sampling happens BEFORE the oriented faces, so the
+  * wedge working set is ~p² = 1/25 of the exact tier's at the same
+  * input — the rule's premise (per-partition sort volume of the FULL
+  * edge frame) does not apply, and the measured 0.61 decade exponent
+  * predates any partition pressure.
   */
 object ApproxTriangles {
 

@@ -30,6 +30,13 @@ import Q._
   * the MERGED graph's diameter, and star forests have diameter 2, so
   * merges converge in 2-3 label rounds no matter how the batches
   * sliced the original graph.
+  *
+  * Deliberately NOT under [[GraphScale]] (r17, VERDICT r16 item 7):
+  * no corpus-scale edge frame ever materializes in one shot — each
+  * batch's pair mining is index-probed and the merge frame is
+  * certificate-bounded (≤ batch pair count), so per-batch shuffle
+  * volume is delta-sized by construction and the rule's full-edge-
+  * frame premise does not apply.
   */
 object IncrementalCc {
 
