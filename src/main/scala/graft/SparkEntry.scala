@@ -51,7 +51,9 @@ object SparkEntry {
       PositionAttribution.all ++ CohortLtv.all ++ FulfillmentLag.all ++
       FanoutProfiler.all ++ DiscountLift.all ++ ActiveUsers.all ++
       GrowthAccounting.all ++ ShapleyAttribution.all ++
-      SpearmanCorrelation.all ++ SessionEntryExit.all ++ EmdDrift.all
+      SpearmanCorrelation.all ++ SessionEntryExit.all ++ EmdDrift.all ++
+      LjungBox.all ++ HaarEnergy.all ++ PhoneticBlocking.all ++
+      HazardTable.all ++ MannKendall.all ++ DowAnova.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
