@@ -53,7 +53,8 @@ object SparkEntry {
       GrowthAccounting.all ++ ShapleyAttribution.all ++
       SpearmanCorrelation.all ++ SessionEntryExit.all ++ EmdDrift.all ++
       LjungBox.all ++ HaarEnergy.all ++ PhoneticBlocking.all ++
-      HazardTable.all ++ MannKendall.all ++ DowAnova.all
+      HazardTable.all ++ MannKendall.all ++ DowAnova.all ++
+      TokenBurstiness.all ++ AspectComention.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

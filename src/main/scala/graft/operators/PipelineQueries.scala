@@ -18,8 +18,9 @@ object PipelineQueries {
   private val predCols: Seq[String] =
     aspects.map(a => a.toLowerCase + "_pred")
 
-  /** documents → normalize → 8 per-aspect predictions. Spark side. */
-  private def scores(s: SparkSession, d: String): DataFrame = {
+  /** documents → normalize → 8 per-aspect predictions. Spark side.
+    * Shared with [[AspectComention]] (X206). */
+  private[operators] def scores(s: SparkSession, d: String): DataFrame = {
     val withNorm = t(s, d, "documents")
       .select(col("doc_id"), normalize(col("text")).as("norm"))
     aspects.zipWithIndex.foldLeft(withNorm) { case (df, (a, i)) =>
@@ -27,7 +28,7 @@ object PipelineQueries {
     }
   }
 
-  private val scoresCte: String = {
+  private[operators] val scoresCte: String = {
     val preds = aspects.zipWithIndex
       .map { case (a, i) =>
         s"${aspectPredSql("norm", i)} AS ${a.toLowerCase}_pred"

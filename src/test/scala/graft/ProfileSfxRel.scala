@@ -220,7 +220,19 @@ object ProfileSfxRel {
       // batch 8: Spearman (two per-group rank windows), entry/exit
       // matrix (q35 cut + one session groupBy)
       graft.operators.SpearmanCorrelation.q230,
-      graft.operators.SessionEntryExit.q231)
+      graft.operators.SessionEntryExit.q231,
+      // r17 batch: Ljung-Box / Haar / Mann-Kendall / dow-ANOVA all
+      // reduce to the |types × hours| (or × days) dimension frame
+      // after one map-side pass (q237's pair face runs on |days|²,
+      // which grows with wall time, not volume); the hazard table is
+      // one customer-partitioned lead window + a |weeks| frame; the
+      // phonetic census is per-row string ops + two map-side groupBys
+      graft.operators.LjungBox.q233,
+      graft.operators.HaarEnergy.q234,
+      graft.operators.PhoneticBlocking.q235,
+      graft.operators.HazardTable.q236,
+      graft.operators.MannKendall.q237,
+      graft.operators.DowAnova.q238)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
