@@ -154,7 +154,11 @@ object ProfileSfx {
       graft.operators.DecileLift.q219,
       graft.operators.EmdDrift.q232,
       // repetition audit: per-doc gram arrays + one (doc, gram) census
-      graft.operators.RepetitionAudit.q220)
+      graft.operators.RepetitionAudit.q220,
+      // r17: burstiness (one (token, doc) map-side pass + TakeOrdered
+      // head), aspect co-mention (q22's melt + a ≤28-pairs-per-doc join)
+      graft.operators.TokenBurstiness.q239,
+      graft.operators.AspectComention.q240)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
