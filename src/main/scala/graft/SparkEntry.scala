@@ -54,7 +54,8 @@ object SparkEntry {
       SpearmanCorrelation.all ++ SessionEntryExit.all ++ EmdDrift.all ++
       LjungBox.all ++ HaarEnergy.all ++ PhoneticBlocking.all ++
       HazardTable.all ++ MannKendall.all ++ DowAnova.all ++
-      TokenBurstiness.all ++ AspectComention.all
+      TokenBurstiness.all ++ AspectComention.all ++ TrimmedMean.all ++
+      MarkovBacktest.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

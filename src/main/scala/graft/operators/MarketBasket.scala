@@ -29,30 +29,63 @@ object MarketBasket {
   /** Rules to keep (by pair count, ties by key). */
   val TopRules = 100
 
+  /** The shared top-pair frame: (a, b, pair_cnt, cnt_a, cnt_b,
+    * n_orders) for the top-[[TopRules]] pairs — q167 reads it into
+    * the support/confidence/lift panel, q242 into the null-invariant
+    * interestingness panel. Extracting the method leaves both plans
+    * identical to inlining it (same operator tree).
+    */
+  private def topPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val baskets = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val n = baskets.agg(countDistinct(col("o")).as("n_orders"))
+    val items = baskets.groupBy(col("p"))
+      .agg(count(lit(1)).as("cnt_i"))
+    val pairs = baskets.as("b1")
+      .join(baskets.as("b2"),
+        col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
+      .groupBy(col("b1.p").as("a"), col("b2.p").as("b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .orderBy(col("pair_cnt").desc, col("a"), col("b"))
+      .limit(TopRules)
+    pairs
+      .join(items.withColumnRenamed("p", "a")
+        .withColumnRenamed("cnt_i", "cnt_a"), "a")
+      .join(items.withColumnRenamed("p", "b")
+        .withColumnRenamed("cnt_i", "cnt_b"), "b")
+      .join(broadcast(n))
+  }
+
+  /** The shared top-pair CTE block (DuckDB mirror of [[topPairs]]),
+    * ending in a `tp(a, b, pair_cnt, cnt_a, cnt_b, n_orders)`
+    * relation.
+    */
+  private val topPairsSql: String = s"""
+      b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                 FROM lineitem),
+      n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM b),
+      items AS (SELECT p, COUNT(*) AS cnt_i FROM b GROUP BY 1),
+      pairs AS (
+        SELECT b1.p AS a, b2.p AS b, COUNT(*) AS pair_cnt
+        FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
+        GROUP BY 1, 2
+        ORDER BY pair_cnt DESC, a, b
+        LIMIT $TopRules),
+      tp AS (
+        SELECT p.a, p.b, p.pair_cnt, ia.cnt_i AS cnt_a,
+               ib.cnt_i AS cnt_b, n.n_orders
+        FROM pairs p
+        JOIN items ia ON ia.p = p.a
+        JOIN items ib ON ib.p = p.b
+        CROSS JOIN n)"""
+
   /** q167 — top co-purchase pairs with support / confidence / lift. */
   val q167 = GraftQuery(
     "q167_basket_rules", {
       (s, d) => {
-        val baskets = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val n = baskets.agg(
-          countDistinct(col("o")).as("n_orders"))
-        val items = baskets.groupBy(col("p"))
-          .agg(count(lit(1)).as("cnt_i"))
-        val pairs = baskets.as("b1")
-          .join(baskets.as("b2"),
-            col("b1.o") === col("b2.o") && col("b1.p") < col("b2.p"))
-          .groupBy(col("b1.p").as("a"), col("b2.p").as("b"))
-          .agg(count(lit(1)).as("pair_cnt"))
-          .orderBy(col("pair_cnt").desc, col("a"), col("b"))
-          .limit(TopRules)
-        pairs
-          .join(items.withColumnRenamed("p", "a")
-            .withColumnRenamed("cnt_i", "cnt_a"), "a")
-          .join(items.withColumnRenamed("p", "b")
-            .withColumnRenamed("cnt_i", "cnt_b"), "b")
-          .join(broadcast(n))
+        topPairs(s, d)
           .select(col("a"), col("b"), col("pair_cnt"),
             col("cnt_a"), col("cnt_b"),
             (col("pair_cnt").cast("double") /
@@ -96,5 +129,51 @@ object MarketBasket {
       ORDER BY p.pair_cnt DESC, p.a, p.b
     """))
 
-  val all: Seq[GraftQuery] = Seq(q167)
+  /** X209 / q242 — NULL-INVARIANT interestingness panel for the same
+    * top rules (Wu, Chen & Han 2010's re-examination; Han & Kamber
+    * ch. 6): lift inflates when co-ABSENCE is common (its
+    * denominator sees the whole basket universe), so large sparse
+    * catalogs rank rules by measures that ignore null transactions —
+    *   Kulczynski = (conf_ab + conf_ba)/2,
+    *   cosine     = pair/√(cnt_a·cnt_b)   (IEEE sqrt, one tree),
+    *   imbalance  = |cnt_a − cnt_b| / (cnt_a + cnt_b − pair)
+    * — Kulc ≈ 0.5 with high IR is the "interesting but one-sided"
+    * signature lift cannot see. Same shared frame as q167 (one
+    * extraction, two panels); all leaves exact longs, each measure
+    * one fixed double tree.
+    */
+  val q242 = GraftQuery(
+    "q242_rule_interestingness", {
+      (s, d) => {
+        topPairs(s, d)
+          .select(col("a"), col("b"), col("pair_cnt"),
+            col("cnt_a"), col("cnt_b"),
+            ((col("pair_cnt").cast("double") /
+              col("cnt_a").cast("double") +
+              col("pair_cnt").cast("double") /
+                col("cnt_b").cast("double")) / 2.0).as("kulc"),
+            (col("pair_cnt").cast("double") /
+              sqrt((col("cnt_a") * col("cnt_b")).cast("double")))
+              .as("cosine"),
+            (abs(col("cnt_a") - col("cnt_b")).cast("double") /
+              (col("cnt_a") + col("cnt_b") - col("pair_cnt"))
+                .cast("double")).as("imbalance"))
+          .orderBy(col("pair_cnt").desc, col("a"), col("b"))
+      }
+    },
+    Some(s"""
+      WITH $topPairsSql
+      SELECT a, b, pair_cnt, cnt_a, cnt_b,
+             (CAST(pair_cnt AS DOUBLE) / CAST(cnt_a AS DOUBLE)
+              + CAST(pair_cnt AS DOUBLE) / CAST(cnt_b AS DOUBLE)) / 2.0
+               AS kulc,
+             CAST(pair_cnt AS DOUBLE)
+               / sqrt(CAST(cnt_a * cnt_b AS DOUBLE)) AS cosine,
+             CAST(ABS(cnt_a - cnt_b) AS DOUBLE)
+               / CAST(cnt_a + cnt_b - pair_cnt AS DOUBLE) AS imbalance
+      FROM tp
+      ORDER BY pair_cnt DESC, a, b
+    """))
+
+  val all: Seq[GraftQuery] = Seq(q167, q242)
 }
