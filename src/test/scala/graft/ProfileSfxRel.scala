@@ -232,7 +232,13 @@ object ProfileSfxRel {
       graft.operators.PhoneticBlocking.q235,
       graft.operators.HazardTable.q236,
       graft.operators.MannKendall.q237,
-      graft.operators.DowAnova.q238)
+      graft.operators.DowAnova.q238,
+      // r17 second batch: trimmed means (one per-group rank window —
+      // the q39 exchange), rule interestingness (q167's shared frame),
+      // Markov backtest (q35's user exchange + |states|² frames)
+      graft.operators.TrimmedMean.q241,
+      graft.operators.MarketBasket.q242,
+      graft.operators.MarkovBacktest.q243)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
