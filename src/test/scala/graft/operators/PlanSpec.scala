@@ -726,4 +726,37 @@ class PlanSpec extends SparkSpec {
         s"unexpected corpus shuffle:\n${exchanges.mkString("\n")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  /** r17 batch shape guardrails, pinned from the ProfileR17Plans
+    * census (measured counts, then asserted as BOUNDS so AQE stage
+    * fusion can only improve them).
+    */
+  test("r17 monitoring tier (q233/q234/q238): at most three " +
+      "exchanges — the hourly/daily census, the per-type window, the " +
+      "per-type census — and zero broadcasts of corpus frames") {
+    Seq(LjungBox.q233, HaarEnergy.q234, DowAnova.q238).foreach { q =>
+      val df = q.build(spark, sf0001)
+      df.collect()
+      val names = executedNodes(df).map(_.getClass.getSimpleName)
+      assert(names.count(_.contains("ShuffleExchange")) <= 3,
+        s"${q.name} grew a fourth exchange")
+      assert(!names.exists(_.toLowerCase.contains("python")))
+    }
+  }
+
+  test("q241: the priority groupBy REUSES the rank window's " +
+      "exchange — two shuffles total, no broadcast") {
+    val df = TrimmedMean.q241.build(spark, sf0001)
+    df.collect()
+    val names = executedNodes(df).map(_.getClass.getSimpleName)
+    assert(names.count(_.contains("ShuffleExchange")) <= 2,
+      "the census must ride the window's hash partitioning")
+  }
+
+  test("q239: the head selection is a distributed TakeOrdered, " +
+      "never a single-partition window over |vocab|") {
+    val plan = planOf(TokenBurstiness.q239.build(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort/window:\n${plan.take(1500)}")
+  }
 }
