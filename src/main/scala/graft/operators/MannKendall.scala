@@ -34,15 +34,13 @@ object MannKendall {
   /** N(0,1) quantile at 0.975. */
   val Z975: Double = 1.959963984540054
 
-  /** q237 — per-type Mann–Kendall S, tie-corrected variance, z. */
-  val q237 = GraftQuery(
-    "q237_mann_kendall", {
-      (s, d) => {
-        val daily = t(s, d, "events")
-          .groupBy(col("event_type").as("g"),
-            (unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
-              .cast("long").as("day"))
-          .agg(count(lit(1)).as("x"))
+  /** The full statistic over an arbitrary (g, day, x) series frame —
+    * factored so X211's aspect-drift query (q244) reuses the exact
+    * tree; output columns (g, n_days, s_stat, var18, z,
+    * trend_detected), caller renames as fits its axis.
+    */
+  private[operators] def testOn(daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
         val sStat = daily.as("a")
           .join(daily.as("b"),
             col("a.g") === col("b.g") && col("a.day") < col("b.day"))
@@ -71,28 +69,25 @@ object MannKendall {
           .select(col("g"), col("n").as("n_days"), col("s_stat"),
             col("var18"), col("z"), col("trend_detected"))
           .orderBy(col("g"))
-      }
-    },
-    Some(s"""
-      WITH daily AS (
-        SELECT event_type AS g,
-               CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
-                 AS day,
-               COUNT(*) AS x
-        FROM events GROUP BY 1, 2),
+  }
+
+  /** The statistic's DuckDB block over a `(g, day, x)` relation
+    * named `rel` (mirror of [[testOn]]); ends in the final SELECT.
+    */
+  private[operators] def statSql(rel: String): String = s"""
       s_stat AS (
         SELECT a.g AS g,
                CAST(SUM(CASE WHEN b.x > a.x THEN 1
                              WHEN b.x < a.x THEN -1 ELSE 0 END)
                  AS BIGINT) AS s_stat
-        FROM daily a JOIN daily b
+        FROM $rel a JOIN $rel b
           ON a.g = b.g AND a.day < b.day
         GROUP BY 1),
-      nf AS (SELECT g, COUNT(*) AS n FROM daily GROUP BY 1),
+      nf AS (SELECT g, COUNT(*) AS n FROM $rel GROUP BY 1),
       ties AS (
         SELECT g, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
                  AS tie_term
-        FROM (SELECT g, x, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+        FROM (SELECT g, x, COUNT(*) AS t FROM $rel GROUP BY 1, 2)
         GROUP BY 1),
       joined AS (
         SELECT nf.g, n, s_stat,
@@ -108,11 +103,35 @@ object MannKendall {
                  WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
                      / sqrt(CAST(var18 AS DOUBLE) / 18.0)
                  ELSE 0.0 END END AS z
-        FROM joined)
+        FROM joined)"""
+
+  /** The statistic's final projection over the `zs` relation
+    * [[statSql]] ends in (split out so q244 can re-alias the axis).
+    */
+  private[operators] def statFinalSql: String = s"""
       SELECT g, n_days, s_stat, var18, z,
              CASE WHEN var18 > 0 THEN ABS(z) > $Z975 END
                AS trend_detected
-      FROM zs
+      FROM zs"""
+
+  /** q237 — per-type Mann–Kendall S, tie-corrected variance, z. */
+  val q237 = GraftQuery(
+    "q237_mann_kendall",
+    (s, d) => testOn(
+      t(s, d, "events")
+        .groupBy(col("event_type").as("g"),
+          (unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("x"))),
+    Some(s"""
+      WITH daily AS (
+        SELECT event_type AS g,
+               CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+                 AS day,
+               COUNT(*) AS x
+        FROM events GROUP BY 1, 2),
+      ${statSql("daily")}
+      $statFinalSql
       ORDER BY g
     """))
 
