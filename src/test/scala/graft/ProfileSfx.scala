@@ -158,7 +158,9 @@ object ProfileSfx {
       // r17: burstiness (one (token, doc) map-side pass + TakeOrdered
       // head), aspect co-mention (q22's melt + a ≤28-pairs-per-doc join)
       graft.operators.TokenBurstiness.q239,
-      graft.operators.AspectComention.q240)
+      graft.operators.AspectComention.q240,
+      // X211: the q21 melt + |aspects × buckets| MK frames
+      graft.operators.AspectDrift.q244)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
