@@ -422,7 +422,7 @@ object Bench {
     * earlier in the session, so growing the suite flipped 13 hashes
     * with bit-identical plans.
     */
-  val PlanHashVersion = 3
+  val PlanHashVersion = 4
 
   /** Queries whose EXECUTED plan is legitimately bistable on identical
     * code: AQE's runtime broadcast↔SMJ choice lands on a
@@ -510,6 +510,18 @@ object Bench {
       // later query's counter; proven by identical plan dumps whose
       // only diff was x_8 vs x_25 (plan_hash_ver 2 → 3)
       .replaceAll("lambda ([A-Za-z]+)_\\d+", "lambda $1_N")
+      // FileScan metadata fields are ABBREVIATED to a 100-char budget
+      // BEFORE exprId normalization, so the truncation point depends
+      // on how many digits the session's exprIds had grown to — the
+      // same plan prints `...) > 0....` in one session and `...) > ...`
+      // in another (r17: q112/q85 flipped between two full runs on
+      // identical code; plan dumps differed ONLY at the DataFilters
+      // cut). A truncated echo carries no shape information the full
+      // Filter node lines don't already hash, so collapse any
+      // truncated metadata value to a marker (plan_hash_ver 3 → 4).
+      .replaceAll(
+        "(DataFilters|PushedFilters): \\[[^\\]]*?\\.\\.\\.+[^,]*",
+        "$1: [TRUNCATED")
     // the hash is over the SORTED SET of normalized node lines, not
     // the tree text: two identical runs legitimately differ in (a)
     // AQE's broadcast BUILD-SIDE choice on symmetric inputs (BuildLeft
