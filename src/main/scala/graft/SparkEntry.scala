@@ -55,7 +55,7 @@ object SparkEntry {
       LjungBox.all ++ HaarEnergy.all ++ PhoneticBlocking.all ++
       HazardTable.all ++ MannKendall.all ++ DowAnova.all ++
       TokenBurstiness.all ++ AspectComention.all ++ TrimmedMean.all ++
-      MarkovBacktest.all ++ AspectDrift.all
+      MarkovBacktest.all ++ AspectDrift.all ++ TailIndex.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -238,7 +238,9 @@ object ProfileSfxRel {
       // Markov backtest (q35's user exchange + |states|² frames)
       graft.operators.TrimmedMean.q241,
       graft.operators.MarketBasket.q242,
-      graft.operators.MarkovBacktest.q243)
+      graft.operators.MarkovBacktest.q243,
+      // X212: q241's rank-window exchange + a k+1-row-per-group tail
+      graft.operators.TailIndex.q245)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
