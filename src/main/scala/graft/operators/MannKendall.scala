@@ -19,8 +19,13 @@ import Q._
   * as its EXACT integer numerator over 18 —
   *   18·Var = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)
   * — and z is one fixed double tree over those integer leaves (sqrt
-  * is IEEE correctly-rounded on both engines). Degenerate variance
-  * (all values tied, or n < 2) → guarded NULLs. Rejection bar =
+  * is IEEE correctly-rounded on both engines). Groups with n < 2
+  * days are EXCLUDED from the output entirely (the s_stat pair
+  * self-join produces no row for a single-day series and the
+  * downstream joins are inner — both engines agree; MannKendallStream
+  * mirrors the drop with an explicit n ≥ 2 filter); only the
+  * all-values-tied case survives to the output and yields NULL z
+  * (guarded division). Rejection bar =
   * N(0,1) 0.975 quantile embedded as a literal (the X147/X197
   * discipline).
   *
