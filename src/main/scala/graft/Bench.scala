@@ -330,6 +330,39 @@ object Bench {
       curationRatePacked = adjudicateRate("curation_docs_per_sec_packed",
         curationRatePacked, curationIngestRate(spark, packed = true))
     val ratesDriftJson = ratesDrift.mkString("[", ",", "]")
+
+    // RATE epoch control (VERDICT r17 item 5): the ±1.5× band above
+    // only fires per-rate, so a fleet-wide host-epoch shift that moves
+    // every rate by, say, 1.3× ships silently — exactly the failure
+    // mode the r17 query-time protocol closed with its uniform control
+    // column. Publish every rate's ratio-vs-committed PLUS the
+    // geometric-mean ratio and its dispersion (max/min of the ratios):
+    // a geomean well off 1.0 with LOW dispersion is the host epoch
+    // moving (adjudicate once, fleet-wide); a single rate moving with
+    // the others flat is code. The rates canary (wall-time control row)
+    // travels alongside in `rates_canary`.
+    val ratesEpochJson: String = {
+      val cur = Seq(
+        "absa_rows_per_sec" -> absaRate,
+        "vehicle_fps" -> vehicleRate,
+        "vehicle_fps_real" -> vehicleRealFps,
+        "curation_docs_per_sec" -> curationRate,
+        "curation_docs_per_sec_packed" -> curationRatePacked)
+      val entries = cur.flatMap { case (k, v) =>
+        committedRate.get(k).filter(b => b > 0 && v > 0).map { b =>
+          (f""""$k":{"value":$v%.3f,"committed":$b%.3f,""" +
+            f""""ratio":${v / b}%.4f}""", v / b)
+        }
+      }
+      val ratios = entries.map(_._2)
+      val geo =
+        if (ratios.isEmpty) 1.0
+        else math.exp(ratios.map(math.log).sum / ratios.size)
+      val disp = if (ratios.isEmpty) 1.0 else ratios.max / ratios.min
+      (entries.map(_._1) :+
+        f""""geomean_ratio":$geo%.4f""" :+
+        f""""dispersion":$disp%.4f""").mkString("{", ",", "}")
+    }
     val annRecallJson = annRecall(spark, sfDir)
     val bbitJson = bbitQuality(spark, sfDir)
     val gkJson = gkHistogram(spark, sfDir)
@@ -356,7 +389,7 @@ object Bench {
     // swings (q42 +25 %, q68 −30 %): the recorded statistic is min-of-N
     // and the note travels in the artifact so a future reader never
     // adjudicates a single-query delta inside that band as a regression.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_$repeat","noise_note":"per-query swings up to +/-30pct on identical code (r5 vs r6 calibration); 1.35x-3x vs committed is rerun and adjudicated in `drift`, beyond 3x in `spikes` -- an unexplained cross-round delta can no longer ship unadjudicated","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"rates_canary":$ratesCanaryJson,"rates_drift":$ratesDriftJson,"spikes":$spikesJson,"drift":$driftJson,"plan_hash_ver":$PlanHashVersion,"plan_hashes":$planHashJson,"plan_changes":$planChangesJson,"plan_adaptive":${AdaptivePlanAllowlist.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate,"vehicle_fps_real":$vehicleRealFps,"curation_docs_per_sec":$curationRate,"curation_docs_per_sec_packed":$curationRatePacked,"ann_recall":$annRecallJson,"bbit":$bbitJson,"gk_histogram":$gkJson}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min_of_$repeat","noise_note":"per-query swings up to +/-30pct on identical code (r5 vs r6 calibration); 1.35x-3x vs committed is rerun and adjudicated in `drift`, beyond 3x in `spikes` -- an unexplained cross-round delta can no longer ship unadjudicated","queries":$qs,"failed":$failedJson,"canary":$canaryJson,"rates_canary":$ratesCanaryJson,"rates_drift":$ratesDriftJson,"rates_epoch":$ratesEpochJson,"spikes":$spikesJson,"drift":$driftJson,"plan_hash_ver":$PlanHashVersion,"plan_hashes":$planHashJson,"plan_changes":$planChangesJson,"plan_adaptive":${AdaptivePlanAllowlist.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","absa_rows_per_sec":$absaRate,"vehicle_fps":$vehicleRate,"vehicle_fps_real":$vehicleRealFps,"curation_docs_per_sec":$curationRate,"curation_docs_per_sec_packed":$curationRatePacked,"ann_recall":$annRecallJson,"bbit":$bbitJson,"gk_histogram":$gkJson}"""
     println(line)
     // persist the full line INSIDE the repo (the round commits it), so
     // all per-query times stay recoverable even when the driver's
@@ -421,8 +454,13 @@ object Bench {
     * under v2 a query's hash depended on which OTHER queries ran
     * earlier in the session, so growing the suite flipped 13 hashes
     * with bit-identical plans.
+    * v4 (r17) collapsed TRUNCATED (`...`) DataFilters/PushedFilters
+    * metadata echoes; v5 (r18) elides those echoes unconditionally
+    * (keeping the empty-vs-nonempty bit) because a value near the
+    * 100-char abbreviation budget could still flip between truncated
+    * and full across sessions as exprId digits grew.
     */
-  val PlanHashVersion = 4
+  val PlanHashVersion = 5
 
   /** Queries whose EXECUTED plan is legitimately bistable on identical
     * code: AQE's runtime broadcast↔SMJ choice lands on a
@@ -516,12 +554,19 @@ object Bench {
       // same plan prints `...) > 0....` in one session and `...) > ...`
       // in another (r17: q112/q85 flipped between two full runs on
       // identical code; plan dumps differed ONLY at the DataFilters
-      // cut). A truncated echo carries no shape information the full
-      // Filter node lines don't already hash, so collapse any
-      // truncated metadata value to a marker (plan_hash_ver 3 → 4).
+      // cut). v4 collapsed only values carrying the `...` marker, but
+      // a value sitting NEAR the 100-char budget can be truncated in
+      // one session and printed in full in another (exprId digit
+      // growth changes its length), so v5 (r18, ADVICE) elides the
+      // DataFilters/PushedFilters echo UNCONDITIONALLY, keeping only
+      // the empty-vs-nonempty bit: the full Filter node lines already
+      // carry the predicate shape, and [SOME] still trips the hash if
+      // a pushdown is lost entirely ([SOME] → [NONE]).
+      .replaceAll("(DataFilters|PushedFilters): \\[\\]", "$1: [NONE]")
       .replaceAll(
-        "(DataFilters|PushedFilters): \\[[^\\]]*?\\.\\.\\.+[^,]*",
-        "$1: [TRUNCATED")
+        "(?m)(DataFilters|PushedFilters): \\[(?!NONE\\])" +
+          ".*?(?=, [A-Z][A-Za-z]*: |$)",
+        "$1: [SOME]")
     // the hash is over the SORTED SET of normalized node lines, not
     // the tree text: two identical runs legitimately differ in (a)
     // AQE's broadcast BUILD-SIDE choice on symmetric inputs (BuildLeft
