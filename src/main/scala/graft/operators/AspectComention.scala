@@ -19,15 +19,22 @@ import graft.functions.MockScorers.aspects
   * predictions → melt → pair join — replays exactly in the oracle.
   *
   * Determinism: counts are exact longs; lift is one fixed double
-  * tree over them (guarded: a pair never co-mentioned emits 0-count
-  * rows with NULL lift only if an aspect is globally absent —
-  * n_a·n_b = 0). Pair identity = the PINNED aspect order index
-  * (aspect_a before aspect_b in the reference's aspect_cols order).
+  * tree over them. A pair never co-mentioned produces no pair-groupBy
+  * row and is therefore ABSENT from the output (both engines agree);
+  * the inner join to the singles census guarantees n_a, n_b ≥ 1, so
+  * the division never degenerates. Pair identity = the PINNED aspect
+  * order index (aspect_a before aspect_b in the reference's
+  * aspect_cols order).
   *
   * Scale shape: the melt explodes ×8 on the document scan (the q22
   * shape), the pair self-join runs PER DOCUMENT with ≤ 8 rows per
   * side (≤ 28 output pairs per doc — bounded, never corpus²), and
-  * two map-side groupBys land on the 28-row pair frame. Scan-bound.
+  * two map-side groupBys land on the 28-row pair frame. Scan-bound —
+  * and scanned ONCE: the melted `mentions` frame (doc_id, ai, pred —
+  * ~8·N longs) is eagerly materialized before the self-join so the
+  * 8-wide scorer subtree is not rebuilt under both join sides plus
+  * the singles census (the q207/q201 checkpoint precedent; r17 showed
+  * the duplicated subtree costing ~26× the single-pass q22 sibling).
   */
 object AspectComention {
 
@@ -38,9 +45,10 @@ object AspectComention {
         val stackExpr = "stack(8, " + aspects.zipWithIndex
           .map { case (a, i) => s"$i, ${a.toLowerCase}_pred" }
           .mkString(", ") + ") AS (ai, pred)"
-        val mentions = PipelineQueries.scores(s, d)
-          .select(col("doc_id"), expr(stackExpr))
-          .filter(col("pred") =!= 0)
+        val mentions = graft.Checkpoints.eager(
+          PipelineQueries.scores(s, d)
+            .select(col("doc_id"), expr(stackExpr))
+            .filter(col("pred") =!= 0))
         val n = mentions.groupBy(col("ai"))
           .agg(count(lit(1)).as("n_single"))
         val pairs = mentions.as("a")
@@ -63,9 +71,8 @@ object AspectComention {
             element_at(names, col("ai") + 1).as("aspect_a"),
             element_at(names, col("bi") + 1).as("aspect_b"),
             col("n_a"), col("n_b"), col("n_both"), col("n_both_neg"),
-            when(col("n_a") * col("n_b") > 0,
-              (col("n_both") * col("n_docs")).cast("double") /
-                (col("n_a") * col("n_b")).cast("double")).as("lift"))
+            ((col("n_both") * col("n_docs")).cast("double") /
+              (col("n_a") * col("n_b")).cast("double")).as("lift"))
           .orderBy(col("aspect_a"), col("aspect_b"))
       }
     },
@@ -96,9 +103,8 @@ object AspectComention {
              ${nameCase("pairs.bi")} AS aspect_b,
              sa.n_single AS n_a, sb.n_single AS n_b,
              n_both, n_both_neg,
-             CASE WHEN sa.n_single * sb.n_single > 0 THEN
-               CAST(n_both * n_docs AS DOUBLE)
-                 / CAST(sa.n_single * sb.n_single AS DOUBLE) END AS lift
+             CAST(n_both * n_docs AS DOUBLE)
+               / CAST(sa.n_single * sb.n_single AS DOUBLE) AS lift
       FROM pairs
       JOIN singles sa ON sa.ai = pairs.ai
       JOIN singles sb ON sb.ai = pairs.bi

@@ -36,7 +36,16 @@ object AspectDrift {
           .map(a => s"'$a', ${a.toLowerCase}_pred")
           .mkString(", ") + ") AS (g, pred)"
         val scored = PipelineQueries.scores(s, d)
-        val nFull = scored.agg(
+        // bucket census from the raw table: scores is 1:1 with
+        // documents, so the scorer pass isn't needed to count docs.
+        // No eager barrier here, deliberately (the q240/X206 contrast):
+        // `series` ends in a groupBy, so testOn's self-join sides sit
+        // behind an identical Exchange that ReuseExchange collapses —
+        // the scorer runs once already, and an r18 A/B (with vs
+        // without localCheckpoint, min-of-3 at sf0.1) showed no gain
+        // beyond the session noise band, so the barrier would be cost
+        // without a recompute to prevent.
+        val nFull = t(s, d, "documents").agg(
           expr(s"count(1) div $BucketDocs").as("n_full"))
         val series = scored
           .select(col("doc_id"), expr(stackExpr))
@@ -62,7 +71,7 @@ object AspectDrift {
       melted AS (
         $melted),
       n_full AS (
-        SELECT COUNT(*) // $BucketDocs AS n_full FROM scores),
+        SELECT COUNT(*) // $BucketDocs AS n_full FROM documents),
       daily AS (
         SELECT g, doc_id // $BucketDocs AS day,
                CAST(SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END)
