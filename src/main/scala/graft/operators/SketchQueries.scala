@@ -126,6 +126,12 @@ object SketchQueries {
     (s, d) => SimHash.nearPairs(t(s, d, "documents"), maxHamming = 3),
     Some(q44Sql))
 
+  /** No-oracle: recall-tier ANN — the output is a nearest-neighbor
+    * SHORTLIST whose contract is recall@k against brute force (an
+    * inequality, not an equation); the driver gate's hash-compare has
+    * no way to express "≥ 0.9 of the true top-5", so the oracle is
+    * SketchSpec's measured recall plus the BENCH `ann_recall` tier.
+    */
   val q52 = GraftQuery(
     "q52_ann_lsh_topk",
     (s, d) => AnnLsh.topK(t(s, d, "embeddings"), 0L to 9L, k = 5),
@@ -175,6 +181,10 @@ object SketchQueries {
 
   /** IVF-partitioned ANN (the nprobe/nlist scale path next to sign-LSH
     * q52). Rows-only; recall oracle in SketchSpec.
+    * No-oracle: recall-tier ANN — k-means cell assignment depends on
+    * float-sum reduction order (legitimately non-deterministic across
+    * engines), and the contract is recall@k, an inequality the
+    * hash-compare gate cannot express (see q52).
     */
   val q55 = GraftQuery(
     "q55_ann_ivf_topk",
@@ -211,6 +221,38 @@ object SketchQueries {
       s"${sys.props("java.io.tmpdir")}/graft-q72-idx-$tag")
   }
 
+  /** Shared CTE block replaying the MinHash signature + band pipeline
+    * (the q43 algebra, same pinned constants) over `rel`, ending in
+    * `bands(doc_id, bkey)` — the SQL twin of
+    * [[MinHashDedup.bandBuckets]]∘[[MinHashDedup.signatures]], spliced
+    * into the q72a/q72b oracles (r18, VERDICT r17 item 3: the index
+    * build/probe outputs are deterministic frames a DuckDB CTE replays
+    * the same way q71/q43 do).
+    */
+  private def bandCtesSqlFrom(rel: String): String = {
+    val p = MinHashDedup.P
+    val sigCols = MinHashDedup.perms.zipWithIndex.map {
+      case ((a, b), i) => s"MIN(($a * h + $b) % $p) AS sig_$i"
+    }.mkString(",\n               ")
+    val bandArms = (0 until MinHashDedup.Bands).map { bnd =>
+      val key = (0 until MinHashDedup.RowsPerBand)
+        .map(r => s"CAST(sig_${bnd * MinHashDedup.RowsPerBand + r} " +
+          "AS VARCHAR)")
+        .mkString(s"'$bnd:' || ", " || ':' || ", "")
+      s"SELECT doc_id, ${KmvSketch.h60Sql(key)} AS bkey FROM sigs"
+    }.mkString("\n        UNION ALL ")
+    s"""${DedupQueries.shingleCtesSqlFrom(rel)},
+      hashed AS (
+        SELECT doc_id, ${KmvSketch.h60Sql("shingle")} % $p AS h
+        FROM shingles),
+      sigs AS (
+        SELECT doc_id,
+               $sigCols
+        FROM hashed GROUP BY doc_id),
+      bands AS (
+        $bandArms)"""
+  }
+
   val q72a = GraftQuery(
     "q72a_index_build", {
       import org.apache.spark.sql.functions._
@@ -218,13 +260,72 @@ object SketchQueries {
         val (_, corpus) = q72Corpus(s, d)
         val (table, path) = q72Index(d)
         IncrementalDedup.writeIndex(corpus, table, path)
-        // deterministic build summary (rows>0 for the driver's check)
+        // deterministic build summary (hash-exact vs the oracle's CTE
+        // replay of the same signature/band pipeline)
         s.table(s"${table}_buckets")
           .agg(count(lit(1)).as("index_entries"),
             countDistinct(col("bkey")).as("distinct_buckets"))
       }
     },
-    None)
+    Some(s"""
+      WITH ${bandCtesSqlFrom(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0) corp")}
+      SELECT COUNT(*) AS index_entries,
+             COUNT(DISTINCT bkey) AS distinct_buckets
+      FROM bands
+    """))
+
+  /** DuckDB replay of [[IncrementalDedup.probe]] at τ = 0.3: signatures
+    * and bands over ALL documents, the band join restricted to
+    * batch-side (doc_id % 10 = 0) vs corpus-side rows, the size-ratio +
+    * signature-estimate prefilter, and the exact Jaccard verify —
+    * stage for stage the probe's algebra (the index tables hold exactly
+    * the corpus rows of these frames, so reading them vs recomputing is
+    * observationally identical). Double-typed literals are CAST so
+    * DuckDB multiplies in IEEE doubles like Spark, not in decimals
+    * (10 · 0.3 is 3.0000000000000004 in binary — a decimal 3.0 would
+    * flip the boundary).
+    */
+  private def q72bSql: String = {
+    val estSum = (0 until MinHashDedup.NumHashes)
+      .map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""
+      WITH ${bandCtesSqlFrom("documents")},
+      cand0 AS (
+        SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc
+        FROM bands a JOIN bands b ON a.bkey = b.bkey
+        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+      cand AS (
+        SELECT batch_doc, corpus_doc
+        FROM cand0
+        JOIN sigs sa ON sa.doc_id = cand0.batch_doc
+        JOIN sigs sb ON sb.doc_id = cand0.corpus_doc
+        JOIN sizes za ON za.doc_id = cand0.batch_doc
+        JOIN sizes zb ON zb.doc_id = cand0.corpus_doc
+        WHERE GREATEST(za.n_sh, zb.n_sh) * CAST(0.3 AS DOUBLE)
+                <= LEAST(za.n_sh, zb.n_sh)
+          AND ($estSum) / 32.0
+                >= (CAST(0.3 AS DOUBLE) - CAST(0.25 AS DOUBLE))),
+      inter AS (
+        SELECT c.batch_doc, c.corpus_doc, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN shingles x ON x.doc_id = c.batch_doc
+        JOIN shingles y ON y.doc_id = c.corpus_doc
+          AND y.shingle = x.shingle
+        GROUP BY 1, 2),
+      verified AS (
+        SELECT i.batch_doc, i.corpus_doc,
+               round(CAST(n_inter AS DOUBLE) /
+                     (za.n_sh + zb.n_sh - n_inter), 4) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.batch_doc
+        JOIN sizes zb ON zb.doc_id = i.corpus_doc)
+      SELECT batch_doc, corpus_doc, jaccard
+      FROM verified WHERE jaccard >= CAST(0.3 AS DOUBLE)
+      ORDER BY batch_doc, corpus_doc
+    """
+  }
 
   val q72b = GraftQuery(
     "q72b_probe", {
@@ -241,7 +342,7 @@ object SketchQueries {
         IncrementalDedup.probe(batch, corpus, table, 0.3)
       }
     },
-    None)
+    Some(q72bSql))
 
   /** Approximate percentiles (Greenwald–Khanna via Spark's
     * `approx_percentile`) — the at-scale quantile path: one pass,
@@ -293,11 +394,60 @@ object SketchQueries {
     """))
 
   /** Bloom span pre-filter ([[BloomDedup]]): corpus 20-word-block
-    * fingerprints sketched at 1% FPP, batch blocks probed inside
+    * fingerprints sketched at ~1% FPP, batch blocks probed inside
     * codegen, per-doc maybe-dup counts. The "definitely new" fast path
-    * in front of q72's exact probe. Rows-only; no-false-negative and
-    * FPR bounds in BloomDedupSpec.
+    * in front of q72's exact probe. HASH-EXACT oracle (r18, VERDICT
+    * r17 item 3): the md5-60 double-hashing bloom's bit pattern —
+    * false positives included — is fully determined by the pinned lane
+    * arithmetic, so the oracle rebuilds the SAME filter as a distinct
+    * bit-position set and replays every probe lane in SQL. The
+    * no-false-negative and FPR-band properties stay spec'd in
+    * BloomDedupSpec.
     */
+  private def q85Sql: String = {
+    import graft.functions.MockScorers.normalizeSql
+    val laneList = (0 until BloomDedup.K).mkString("[", ", ", "]")
+    s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(${normalizeSql("text")}, ' ') AS words
+        FROM documents),
+      expanded AS (
+        SELECT doc_id, words,
+               unnest(generate_series(0,
+                 CAST(len(words) // 20 AS INTEGER) - 1)) AS bi
+        FROM docs WHERE len(words) >= 20),
+      inst AS (
+        SELECT doc_id, bi,
+               ${KmvSketch.h60Sql(
+                 "array_to_string(words[bi*20+1 : bi*20+20], ' ')")} AS fp
+        FROM expanded),
+      nm AS (
+        SELECT ((((COUNT(*) * 96) // 10 + 1) + 63) // 64) * 64 AS m
+        FROM inst WHERE doc_id % 10 <> 0),
+      lanes AS (SELECT unnest($laneList) AS lane),
+      cpos AS (
+        SELECT DISTINCT ${BloomDedup.posSql("i.fp", "lane", "m")} AS pos
+        FROM inst i CROSS JOIN nm CROSS JOIN lanes
+        WHERE i.doc_id % 10 <> 0),
+      probe AS (
+        SELECT i.doc_id, i.bi,
+               ${BloomDedup.posSql("i.fp", "lane", "m")} AS pos
+        FROM inst i CROSS JOIN nm CROSS JOIN lanes
+        WHERE i.doc_id % 10 = 0),
+      blockhit AS (
+        SELECT p.doc_id, p.bi,
+               COUNT(c.pos) = ${BloomDedup.K} AS hit
+        FROM probe p LEFT JOIN cpos c ON c.pos = p.pos
+        GROUP BY 1, 2)
+      SELECT doc_id, COUNT(*) AS n_blocks,
+             CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_maybe_dup
+      FROM blockhit
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """
+  }
+
   val q85 = GraftQuery(
     "q85_bloom_prefilter", {
       import org.apache.spark.sql.functions._
@@ -305,20 +455,20 @@ object SketchQueries {
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
         val corpus = SpanDedup.blocks(
           docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), blockWords = 20)
-          .select(xxhash64(col("block")).as("fp"))
+          .select(KmvSketch.h60(col("block")).as("fp"))
         val bloom = BloomDedup.build(corpus, "fp",
-          expectedItems = corpus.count(), fpp = 0.01)
+          expectedItems = corpus.count())
         SpanDedup.blocks(
           docs.filter(pmod(col("doc_id"), lit(10)) === 0), blockWords = 20)
           .withColumn("hit",
-            BloomDedup.mightContain(bloom, xxhash64(col("block"))))
+            BloomDedup.mightContain(bloom, KmvSketch.h60(col("block"))))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_blocks"),
             sum(when(col("hit"), 1L).otherwise(0L)).as("n_maybe_dup"))
           .orderBy(col("doc_id"))
       }
     },
-    None)
+    Some(q85Sql))
 
   /** Heavy hitters, sketch-gated but EXACT — and therefore fully
     * SQL-oracled, unlike the rest of this file: tokens occurring ≥
@@ -376,6 +526,10 @@ object SketchQueries {
     * shape at 100 TB (one corpus pass ever, re-aggregation is
     * sketch-sized). Rows-only; relative-error and union-consistency
     * bounds are asserted in CmsHeavySpec's sibling tests.
+    * No-oracle: the output estimates come out of DataSketches' HLL
+    * binary representation (engine-private hashing + register layout);
+    * DuckDB's approx_count_distinct is a different sketch with
+    * different estimates, so no SQL reproduces these values.
     */
   val q92 = GraftQuery(
     "q92_hll_mergeable", {
@@ -400,19 +554,56 @@ object SketchQueries {
 
   /** b-bit MinHash near-dup probe ([[BbitMinHash]], X67): the q43 band
     * mining with the verify step reading ONE packed 64-bit word per doc
-    * instead of 32 signature longs. Rows-only (hash-based); the
-    * estimator-accuracy/bias oracle is BbitMinHashSpec.
+    * instead of 32 signature longs. HASH-EXACT oracle (r18, VERDICT r17
+    * item 3): a matching 2-bit lane is exactly `sig_i % 4` equality on
+    * the md5-60 signatures, and the Li–König estimate
+    * (c − 0.25) / 0.75 is one fixed double tree over dyadic-exact
+    * leaves (k/32, 0.25, 0.75 are all powers-of-two rationals), so the
+    * SQL replays the packed-word arithmetic without packing. The
+    * estimator-bias oracle stays in BbitMinHashSpec.
     */
+  private def q118Sql: String = {
+    val laneSum = (0 until MinHashDedup.NumHashes)
+      .map(i => s"CASE WHEN sa.sig_$i % 4 = sb.sig_$i % 4 " +
+        "THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""
+      WITH ${bandCtesSqlFrom("documents")},
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      lanes AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST($laneSum AS INTEGER) AS lanes_match
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.doc_a
+        JOIN sigs sb ON sb.doc_id = c.doc_b),
+      est AS (
+        SELECT doc_a, doc_b, lanes_match,
+               round(((CAST(lanes_match AS DOUBLE) / 32.0) - 0.25)
+                 / 0.75, 6) AS j_est
+        FROM lanes)
+      SELECT doc_a, doc_b, lanes_match, j_est
+      FROM est WHERE j_est >= CAST(0.4 AS DOUBLE)
+      ORDER BY doc_a, doc_b
+    """
+  }
+
   val q118 = GraftQuery(
     "q118_bbit_minhash",
     (s, d) => BbitMinHash.nearDuplicates(t(s, d, "documents"), 0.4),
-    None)
+    Some(q118Sql))
 
   /** PQ-coded ANN ([[PqAnn]], X76): 64-dim float vector → ONE packed
     * 32-bit code (64× compression), queries answered by ADC lookup
     * tables over the code column — the exhaustive-rescan-viable member
     * of the ANN ladder. Rows-only (learned codebooks); recall oracle in
     * PqAnnSpec, tracked as `pq_at5` in the bench artifact.
+    * No-oracle: recall-tier ANN with LEARNED k-means codebooks —
+    * float-sum reduction order makes the codebook engine-specific, and
+    * the contract is recall@k, an inequality the hash gate cannot
+    * express (see q52).
     */
   val q127 = GraftQuery(
     "q127_ann_pq_topk",
@@ -422,6 +613,9 @@ object SketchQueries {
   /** IVFADC — the composed IVF∘PQ production index ([[IvfPq]], X80):
     * cell pruning × code compression, residual-encoded. Rows-only;
     * recall oracle in IvfPqSpec, tracked as `ivfpq_at5` in BENCH.
+    * No-oracle: recall-tier ANN with learned coarse + residual
+    * codebooks (see q127/q52 — engine-specific float training, and a
+    * recall@k contract the hash gate cannot express).
     */
   val q131 = GraftQuery(
     "q131_ann_ivfpq_topk",

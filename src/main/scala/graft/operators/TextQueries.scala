@@ -310,6 +310,9 @@ object TextQueries {
   /** Compressibility signal ([[Compressibility]]): per-doc deflate ratio
     * stats per language. No SQL oracle (DuckDB has no zlib); rows-only
     * check here, invariants in CompressibilitySpec.
+    * No-oracle: the statistic IS the deflate codec's output length —
+    * DuckDB ships no zlib surface, so no SQL can reproduce the byte
+    * counts; CompressibilitySpec pins planted ratios instead.
     */
   val q79 = GraftQuery(
     "q79_compressibility",
@@ -417,6 +420,11 @@ object TextQueries {
     * with the oracled q86 kernel. Train is eager at build time (one
     * vocab agg + driver loop); the returned frame's encode pass is a
     * shuffle-free projection.
+    * No-oracle: the 30-step merge LOOP is inherently iterative — each
+    * merge's pair counts depend on the previous rewrite, which plain
+    * SQL (no recursive CTE over re-tokenization) cannot express; the
+    * first iteration is exactly the oracled q86, and BpeSpec carries
+    * the hand-verified multi-step oracle.
     */
   val q88 = GraftQuery(
     "q88_bpe_tokenize",
