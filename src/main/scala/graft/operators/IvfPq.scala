@@ -142,11 +142,14 @@ object IvfPq {
     // once it binds (the N=100k residual-ADC decay 0.70 → 0.92)
     val mm = if (m > 0) m else PqAnn.autoM(n)
     val nl = nListFor(n)
-    // the composed tier probes a HIGHER cell fraction than plain IVF
-    // (0.55 vs 0.45): the residual-ADC ranking is lossy on top of the
-    // cell cut, and the r12 sweep measured 0.45 dipping to 0.78 at
-    // sf0.1 while 0.55 holds 0.84/0.82 across the decade — the extra
-    // probes cost code-column reads (4 B/vector), not float reads
+    // the composed tier pins its cell fraction at 0.55: the
+    // residual-ADC ranking is lossy on top of the cell cut, and the
+    // r12 sweep measured 0.45 dipping to 0.78 at sf0.1 while 0.55
+    // holds 0.84+/0.82 across the decade — the extra probes cost
+    // code-column reads (4 B/vector), not float reads. (Since r18
+    // plain IVF's default fraction is also 0.55 — the ProfileAnnKnee
+    // sweep; this tier's recall lift there came from the N/4
+    // shortlist, 0.84 → 0.88.)
     val np = if (nprobe > 0) nprobe else AnnIvf.autoNprobe(nl, 0.55)
     val idx = buildIndex(vecs, dim, nl, mm)
     val cand = adcCandidates(idx, vecs, queryIds, np, sl)

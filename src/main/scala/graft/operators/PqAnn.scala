@@ -184,8 +184,16 @@ object PqAnn {
     * (N=2000 → shortlist 250): pq recall@5 0.86 — the IVF tier's
     * plateau.
     */
+  /** r18 (ProfileAnnKnee, VERDICT r17 item 6): N/8 → N/4. At sf0.1
+    * the shipped N/8 shortlist read 0.84 recall@5 while N/4 read 0.98
+    * and N/2 = 1.00 — below the 1024 cap the re-rank is the cheap
+    * stage, so the ratio was the binding constraint, not code
+    * resolution. Past N = 4096 the cap binds exactly as before (the
+    * 100 TB behavior is unchanged; m = 16 via [[autoM]] remains the
+    * past-the-cap recall knob, ProfileAnnCap's N=100k measurements).
+    */
   private[operators] def autoShortlist(n: Long): Int =
-    math.max(128L, math.min(1024L, n / 8)).toInt
+    math.max(128L, math.min(1024L, n / 4)).toInt
 
   /** Auto code budget (VERDICT r12 item 3 — the same gap
     * [[AnnIvf.autoNlist]] closed for the cell count): while the corpus

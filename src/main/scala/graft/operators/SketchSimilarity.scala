@@ -165,10 +165,17 @@ object AnnIvf {
     * at √N cells that fraction buys strictly more recall than the same
     * fraction of 16 flat cells (finer cells waste less of the read on
     * far geometry), so holding recall ≥ 0.8 needs no upward schedule.
-    * The fraction is chosen from the measured sweep in SCALE.md: it
-    * must clear recall@5 ≥ 0.8 at both decade scales.
+    * The fraction is chosen from the measured sweeps in SCALE.md: it
+    * must clear recall@5 ≥ 0.8 at both decade scales. r18
+    * (ProfileAnnKnee, VERDICT r17 item 6): at sf0.1 the fraction curve
+    * reads 0.45 → 0.84, 0.55 → 0.90, 0.75 → 0.96, 1.0 → 1.00 recall@5
+    * — the 0.84 plateau was the FRACTION binding, not the tier's
+    * ceiling. Default moved 0.45 → 0.55 (+10 pts recall for +22 %
+    * probed read); recall is monotone in the fraction, so the decade
+    * guarantee can only tighten. 0.55 is the chosen knee — past it the
+    * next +6 pts cost another +36 % of the corpus per query.
     */
-  def autoNprobe(nlist: Int, fraction: Double = 0.45): Int =
+  def autoNprobe(nlist: Int, fraction: Double = 0.55): Int =
     math.max(8, math.min(nlist, math.ceil(nlist * fraction).toInt))
 
   /** Deterministic coarse-quantizer training: multi-restart maximin
