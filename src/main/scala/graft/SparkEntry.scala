@@ -55,7 +55,11 @@ object SparkEntry {
       LjungBox.all ++ HaarEnergy.all ++ PhoneticBlocking.all ++
       HazardTable.all ++ MannKendall.all ++ DowAnova.all ++
       TokenBurstiness.all ++ AspectComention.all ++ TrimmedMean.all ++
-      MarkovBacktest.all ++ AspectDrift.all ++ TailIndex.all
+      MarkovBacktest.all ++ AspectDrift.all ++ TailIndex.all ++
+      KendallTau.all ++ KruskalWallis.all ++ RunsTest.all ++
+      McNemar.all ++ CliffsDelta.all ++ JsDivergence.all ++
+      CramersV.all ++ Chao1Richness.all ++ DiversityIndex.all ++
+      TheilsU.all ++ TopkTurnover.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

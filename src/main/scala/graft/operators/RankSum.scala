@@ -35,6 +35,39 @@ object RankSum {
   /** Prefix-sum buckets. */
   val Buckets = 1024
 
+  /** The two-level bucketed prefix sum, factored (r18) so X214's
+    * Kruskal–Wallis shares it verbatim: adds `cum` — the total of `t`
+    * over all strictly-smaller `v` — to a per-distinct-value frame
+    * `(v double, t long, …)` with NO global single-partition window
+    * (per-bucket totals are a ≤[[Buckets]]+1-row planning frame; the
+    * within-bucket window is partitioned by bucket).
+    */
+  private[operators] def bucketedCum(
+      byVal: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val span = byVal.agg(min(col("v")).as("lo"),
+      (max(col("v")) - min(col("v"))).as("w"))
+    val bucketed = byVal.join(broadcast(span))
+      // degenerate span (all values equal) → single bucket; the
+      // ANSI cast would otherwise choke on floor(x/0) = Inf
+      .withColumn("bkt", when(col("w") > 0d, least(lit(Buckets - 1),
+        floor((col("v") - col("lo")) / (col("w") / Buckets))
+          .cast("int"))).otherwise(lit(0)))
+      .drop("lo", "w")
+    val wb = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bkt"))
+      .agg(sum(col("t")).as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(wb), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val wv = Window.partitionBy(col("bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(broadcast(offsets), "bkt")
+      .withColumn("cum",
+        col("off") + coalesce(sum(col("t")).over(wv), lit(0L)))
+  }
+
   /** q149 — U test of events.value between arms user_id%2 = 0 (A) and
     * 1 (B): doubled U for arm A, tie count, and the tie-corrected
     * normal-approximation z.
@@ -49,28 +82,8 @@ object RankSum {
         val byVal = ev.groupBy(col("v"))
           .agg(count(lit(1)).as("t"),
             sum(when(col("grp") === 0, 1L).otherwise(0L)).as("na_v"))
-        // two-level prefix sum over value order
-        val span = byVal.agg(min(col("v")).as("lo"),
-          (max(col("v")) - min(col("v"))).as("w"))
-        val bucketed = byVal.join(broadcast(span))
-          // degenerate span (all values equal) → single bucket; the
-          // ANSI cast would otherwise choke on floor(x/0) = Inf
-          .withColumn("bkt", when(col("w") > 0d, least(lit(Buckets - 1),
-            floor((col("v") - col("lo")) / (col("w") / Buckets))
-              .cast("int"))).otherwise(lit(0)))
-          .drop("lo", "w")
-        val wb = Window.orderBy(col("bkt"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = bucketed.groupBy(col("bkt"))
-          .agg(sum(col("t")).as("bt"))
-          .withColumn("off", coalesce(sum(col("bt")).over(wb), lit(0L)))
-          .select(col("bkt"), col("off"))
-        val wv = Window.partitionBy(col("bkt")).orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val ranked = bucketed
-          .join(broadcast(offsets), "bkt")
-          .withColumn("cum",
-            col("off") + coalesce(sum(col("t")).over(wv), lit(0L)))
+        // two-level prefix sum over value order (shared with X214)
+        val ranked = bucketedCum(byVal)
           // doubled average rank of this value's tie block — integer
           .withColumn("r2", lit(2L) * col("cum") + col("t") + 1L)
         val agg = ranked.agg(
