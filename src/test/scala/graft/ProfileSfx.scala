@@ -160,7 +160,15 @@ object ProfileSfx {
       graft.operators.TokenBurstiness.q239,
       graft.operators.AspectComention.q240,
       // X211: the q21 melt + |aspects × buckets| MK frames
-      graft.operators.AspectDrift.q244)
+      graft.operators.AspectDrift.q244,
+      // r18 batch: all four reduce to dimension frames after one
+      // map-side pass — McNemar to a 1-row cell census, JSD to
+      // |sources × langs|, Chao1/diversity to per-group
+      // count-of-counts (the |group × vocab| groupBy is the cost)
+      graft.operators.McNemar.q249,
+      graft.operators.JsDivergence.q251,
+      graft.operators.Chao1Richness.q253,
+      graft.operators.DiversityIndex.q254)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>

@@ -240,7 +240,21 @@ object ProfileSfxRel {
       graft.operators.MarketBasket.q242,
       graft.operators.MarkovBacktest.q243,
       // X212: q241's rank-window exchange + a k+1-row-per-group tail
-      graft.operators.TailIndex.q245)
+      graft.operators.TailIndex.q245,
+      // r18 batch: Kendall/runs/Theil's U reduce to the |types × days|
+      // (or × 7) dimension frame after one map-side pass (q246's
+      // day-pair face grows with wall time, not volume); KW and
+      // Cliff's δ ride the q149 two-level prefix over the
+      // |distinct values| frame; Cramér's V is two |A|·|B| grids;
+      // turnover is one month-partitioned rank window + |months × K|
+      // set algebra
+      graft.operators.KendallTau.q246,
+      graft.operators.KruskalWallis.q247,
+      graft.operators.RunsTest.q248,
+      graft.operators.CliffsDelta.q250,
+      graft.operators.CramersV.q252,
+      graft.operators.TheilsU.q255,
+      graft.operators.TopkTurnover.q256)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
