@@ -27,31 +27,42 @@ import graft.functions.MockScorers.{normalize, normalizeSql}
   */
 object Chao1Richness {
 
+  /** (source, w) → per-(source, token) counts — the mergeable frame
+    * [[graft.streaming.RichnessStream]] maintains as its state.
+    */
+  def tokenCounts(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("source"),
+        explode(split(normalize(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+
+  /** The census + estimates over a (source, w, c) count frame — ONE
+    * tree shared by q253 and the streaming read so the two cannot
+    * drift.
+    */
+  def census(counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    counts.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("d_observed"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1",
+        round(col("d_observed").cast("double") +
+          (col("f1") * (col("f1") - 1L)).cast("double") /
+            (lit(2.0d) * (col("f2").cast("double") + 1.0d)), 4))
+      .withColumn("coverage",
+        round(lit(1.0d) - col("f1").cast("double") /
+          col("n_tokens").cast("double"), 6))
+      .orderBy(col("source"))
+
   /** q253 — per-source Chao1 richness and Good–Turing coverage. */
   val q253 = GraftQuery(
-    "q253_chao1_richness", {
-      (s, d) => {
-        val counts = t(s, d, "documents")
-          .select(col("source"),
-            explode(split(normalize(col("text")), " ")).as("w"))
-          .filter(col("w") =!= "")
-          .groupBy(col("source"), col("w"))
-          .agg(count(lit(1)).as("c"))
-        counts.groupBy(col("source"))
-          .agg(sum(col("c")).as("n_tokens"),
-            count(lit(1)).as("d_observed"),
-            sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
-            sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
-          .withColumn("chao1",
-            round(col("d_observed").cast("double") +
-              (col("f1") * (col("f1") - 1L)).cast("double") /
-                (lit(2.0d) * (col("f2").cast("double") + 1.0d)), 4))
-          .withColumn("coverage",
-            round(lit(1.0d) - col("f1").cast("double") /
-              col("n_tokens").cast("double"), 6))
-          .orderBy(col("source"))
-      }
-    },
+    "q253_chao1_richness",
+    (s, d) => census(tokenCounts(t(s, d, "documents"))),
     Some(s"""
       WITH toks AS (
         SELECT source, w
