@@ -494,10 +494,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q85: the bloom gate is joinless — a codegen'd might_contain probe") {
+  test("q85: the bloom gate is joinless — a codegen'd bit-probe " +
+      "projection (element_at over the literal word array, r18)") {
     val plan = planOf(SketchQueries.q85.build(spark, sf0001))
-    assert(plan.contains("might_contain"),
-      s"bloom probe missing from plan:\n${plan.take(2000)}")
+    // the md5-60 double-hashing probe is pure Column arithmetic: the
+    // bitmap literal indexed per lane inside the scan projection
+    assert(plan.contains("element_at"),
+      s"bloom bit-probe missing from plan:\n${plan.take(2000)}")
     assert(!plan.contains("Join"),
       s"the pre-filter must not introduce any join:\n${plan.take(2000)}")
   }
@@ -758,5 +761,35 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(TokenBurstiness.q239.build(spark, sf0001))
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k fell back to a global sort/window:\n${plan.take(1500)}")
+  }
+
+  test("r18 scan-dominated tier: exchange counts stay at the " +
+      "measured census (ProfileR18Plans) and nothing leaves codegen") {
+    // measured at sf0.001: q249=1, q253=3, q254=4, q251=5, q248=5 —
+    // every shuffle PAST the first lands on a dimension frame
+    // (|sources × langs|, count-of-counts, |types × days|)
+    val bounds = Seq(McNemar.q249 -> 1, Chao1Richness.q253 -> 3,
+      DiversityIndex.q254 -> 4, JsDivergence.q251 -> 5,
+      RunsTest.q248 -> 5)
+    bounds.foreach { case (q, cap) =>
+      val df = q.build(spark, sf0001)
+      df.collect()
+      val names = executedNodes(df).map(_.getClass.getSimpleName)
+      assert(names.count(_.contains("ShuffleExchange")) <= cap,
+        s"${q.name} grew past its $cap-exchange census")
+      assert(!names.exists(_.toLowerCase.contains("python")))
+    }
+  }
+
+  test("r18 prefix-sum/grid tier: pure JVM codegen, no python, no " +
+      "corpus-side broadcast join") {
+    Seq(KendallTau.q246, KruskalWallis.q247, CliffsDelta.q250,
+      CramersV.q252, TheilsU.q255, TopkTurnover.q256).foreach { q =>
+      val df = q.build(spark, sf0001)
+      df.collect()
+      val names = executedNodes(df).map(_.getClass.getSimpleName)
+      assert(!names.exists(_.toLowerCase.contains("python")), q.name)
+      assert(names.exists(_.contains("WholeStageCodegen")), q.name)
+    }
   }
 }
