@@ -59,7 +59,7 @@ object SparkEntry {
       KendallTau.all ++ KruskalWallis.all ++ RunsTest.all ++
       McNemar.all ++ CliffsDelta.all ++ JsDivergence.all ++
       CramersV.all ++ Chao1Richness.all ++ DiversityIndex.all ++
-      TheilsU.all ++ TopkTurnover.all
+      TheilsU.all ++ TopkTurnover.all ++ RankBiasedOverlap.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -32,19 +32,46 @@ object TopkTurnover {
   /** Leaderboard size. */
   val K = 20
 
+  /** The ranked monthly top-K leaderboard (month, o_custkey, rn) —
+    * shared by q256 and X225's rank-biased overlap (q257) so the two
+    * comparisons run on the identical membership.
+    */
+  private[operators] def monthlyTop(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val rev = t(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+    val w = Window.partitionBy(col("month"))
+      .orderBy(col("rev").desc, col("o_custkey"))
+    rev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("month"), col("o_custkey"), col("rn"))
+  }
+
+  /** The DuckDB mirror of [[monthlyTop]] as a CTE block ending in
+    * `top(month, o_custkey, rn)`.
+    */
+  private[operators] def monthlyTopSql: String = s"""rev AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                 AS month,
+               o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1, 2),
+      top AS (
+        SELECT month, o_custkey, rn
+        FROM (SELECT month, o_custkey,
+                     ROW_NUMBER() OVER (PARTITION BY month
+                       ORDER BY rev DESC, o_custkey) AS rn
+              FROM rev)
+        WHERE rn <= $K)"""
+
   /** q256 — consecutive-month top-20-customer retention and Jaccard. */
   val q256 = GraftQuery(
     "q256_topk_turnover", {
       (s, d) => {
-        val rev = t(s, d, "orders")
-          .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
-            col("o_custkey"))
-          .agg(sum(dec(col("o_totalprice"))).as("rev"))
-        val w = Window.partitionBy(col("month"))
-          .orderBy(col("rev").desc, col("o_custkey"))
-        val top = rev.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= K)
-          .select(col("month"), col("o_custkey"))
+        val top = monthlyTop(s, d).select(col("month"), col("o_custkey"))
         val sizes = top.groupBy(col("month"))
           .agg(count(lit(1)).as("sz"))
         val retained = top.as("a")
@@ -69,19 +96,7 @@ object TopkTurnover {
       }
     },
     Some(s"""
-      WITH rev AS (
-        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
-                 AS month,
-               o_custkey,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
-        FROM orders GROUP BY 1, 2),
-      top AS (
-        SELECT month, o_custkey
-        FROM (SELECT month, o_custkey,
-                     ROW_NUMBER() OVER (PARTITION BY month
-                       ORDER BY rev DESC, o_custkey) AS rn
-              FROM rev)
-        WHERE rn <= $K),
+      WITH $monthlyTopSql,
       sizes AS (
         SELECT month, COUNT(*) AS sz FROM top GROUP BY month),
       ret AS (

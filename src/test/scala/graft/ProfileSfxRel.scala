@@ -254,7 +254,10 @@ object ProfileSfxRel {
       graft.operators.CliffsDelta.q250,
       graft.operators.CramersV.q252,
       graft.operators.TheilsU.q255,
-      graft.operators.TopkTurnover.q256)
+      graft.operators.TopkTurnover.q256,
+      // X225: q256's rank window + per-member literal-tail lookups on
+      // the |months × K| frame
+      graft.operators.RankBiasedOverlap.q257)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
