@@ -39,12 +39,30 @@ object BloomDedup {
   /** Lanes: k = 7 ≈ (m/n)·ln 2 at 9.6 bits/item → FPP ≈ 1%. */
   val K = 7
 
+  /** Hard capacity ceiling for this LITERAL-EMBEDDING bloom (ADVICE
+    * r18): the probe splices the whole word array into the plan as an
+    * array literal referenced by all [[K]] lanes, so the bitmap must
+    * stay plan-sized — 2^30 items ≈ 1.2 GiB of bitmap is already past
+    * the practical literal budget, and at (2^31·64)/9.6 ≈ 14.3e9 items
+    * the `(m/64).toInt` word index would overflow outright. Above this
+    * cap the right tool is a different SHAPE, not a bigger literal:
+    * hoist the words into a broadcast variable probed by a native
+    * expression, or shard one filter per ingest partition/day (the
+    * X46 incremental-index layout already gives that partitioning).
+    */
+  val MaxExpectedItems: Long = 1L << 30
+
   /** Bitmap size in bits for `n` expected items: 9.6·n rounded up to a
     * whole 64-bit word, in PURE INTEGER arithmetic (the +1 keeps m > 0
     * for an empty corpus) so the DuckDB oracle recomputes the identical
-    * m from the same COUNT(*).
+    * m from the same COUNT(*). Refuses capacities past
+    * [[MaxExpectedItems]] loudly instead of overflowing silently.
     */
   def mBits(n: Long): Long = {
+    require(n >= 0L && n <= MaxExpectedItems,
+      s"BloomDedup capacity $n outside [0, $MaxExpectedItems]: the " +
+        "bitmap is embedded as a plan literal — broadcast or shard " +
+        "the filter instead of growing it (see MaxExpectedItems)")
     val raw = (n * 96L) / 10L + 1L
     ((raw + 63L) / 64L) * 64L
   }

@@ -112,8 +112,7 @@ object CramersV {
         // origin and range, so neither is used
         val eventsPair = t(s, d, "events")
           .select(col("event_type").as("a"),
-            pmod((unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
-              .cast("long"), lit(7L)).cast("string").as("b"))
+            pmod(epochDay(col("ts")), lit(7L)).cast("string").as("b"))
         v(ordersPair, "priority_x_status")
           .unionByName(v(eventsPair, "type_x_dow"))
           .orderBy(col("pair"))

@@ -35,8 +35,7 @@ object KendallTau {
       (s, d) => {
         val daily = t(s, d, "events")
           .groupBy(col("event_type").as("g"),
-            (unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
-              .cast("long").as("day"))
+            epochDay(col("ts")).as("day"))
           .agg(count(lit(1)).as("x"))
         val paired = daily.as("a")
           .join(daily.as("b"),

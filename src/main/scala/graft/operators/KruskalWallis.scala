@@ -28,12 +28,18 @@ import Q._
   */
 object KruskalWallis {
 
-  /** χ²(0.95, df) critical values, df = 1..6, embedded as literals
-    * (the X147/X197 discipline).
+  /** χ²(0.95, df) critical values, df = 1..12, embedded as literals
+    * (the X147/X197 discipline). A grouping column with MORE than 13
+    * levels is out of this table's contract: the CASE below ends in an
+    * explicit raise_error/error() (ADVICE r18 — no silent NULL
+    * verdict), so both engines fail loudly instead of reporting
+    * `significant = NULL`. Extend the table to admit wider groupings.
     */
   private val Crit950 = Seq(3.841458820694124, 5.991464547107979,
     7.814727903251179, 9.487729036781154, 11.070497693516351,
-    12.591587243743977)
+    12.591587243743977, 14.067140449340165, 15.507313055865446,
+    16.918977604620444, 18.307038053275143, 19.675137572682488,
+    21.026069817483055)
 
   /** q247 — H test of o_totalprice across the five order priorities. */
   val q247 = GraftQuery(
@@ -56,7 +62,11 @@ object KruskalWallis {
           sum(col("t") * col("t") * col("t") - col("t")).as("ties3"))
         val critCase = Crit950.zipWithIndex
           .map { case (c, i) => s"WHEN k - 1 = ${i + 1} THEN ${c}d" }
-          .mkString("CASE ", " ", " END")
+          .mkString("CASE ",
+            " ",
+            " ELSE raise_error('kruskal_wallis: df = k - 1 exceeds the" +
+              " embedded chi-square table (df <= " +
+              s"${Crit950.size}) — extend Crit950') END")
         perGrp.join(broadcast(totals))
           // R_g = R2_g/2 → R_g²/n_g = R2_g²/(4·n_g); longs < 2^53 cast
           // exactly, the square is one shared IEEE tree
@@ -120,7 +130,9 @@ object KruskalWallis {
                  AS c_ties,
                ${Crit950.zipWithIndex.map { case (c, i) =>
                  s"WHEN k - 1 = ${i + 1} THEN $c" }
-                 .mkString("CASE ", " ", " END")} AS crit
+                 .mkString("CASE ", " ",
+                   " ELSE CAST(error('kruskal_wallis: df out of" +
+                     " table') AS DOUBLE) END")} AS crit
         FROM folded)
       SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
              round(h, 6) AS h_r,

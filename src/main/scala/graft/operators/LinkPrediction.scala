@@ -66,10 +66,13 @@ object LinkPrediction {
     val adj = e.select(col("u").as("c"), col("v").as("n"))
       .union(e.select(col("v").as("c"), col("u").as("n")))
     val deg = adj.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+    // top-|Q| hubs via orderBy+limit — a distributed
+    // TakeOrderedAndProject heap over the |nodes| degree frame, never
+    // a single-partition row_number window (the q239 precedent; the
+    // deterministic tiebreak is already in the sort key)
     val qn = deg
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("deg").desc, col("c"))))
-      .filter(col("rk") <= nQueries)
+      .orderBy(col("deg").desc, col("c"))
+      .limit(nQueries)
       .select(col("c").as("u"), col("deg").as("du"))
     // wedge u → w → v, v ≠ u; both hops keep the small side
     // broadcast-shaped (|Q|, then |Q|·d̄ rows).

@@ -48,6 +48,23 @@ object Q {
   /** Exact average: decimal sum over count, single double division. */
   def davg(c: Column): Column =
     (sum(c.cast(DecimalType(18, 2))).cast("double") / count(lit(1))).as("avg")
+
+  /** Epoch-day bucket of a timestamp — THE shared day-key idiom of the
+    * daily-series operators (q246/q248/q252/q255), mirrored in DuckDB
+    * as `CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400`.
+    * floor() (not a truncating cast) matches DuckDB's `//` floor
+    * division on negative epochs too (ADVICE r18); under the suite's
+    * UTC session the truncated midnight is an exact 86400-multiple, so
+    * the division is exact and floor == trunc for ALL post-1970 data —
+    * the floor only matters pre-1970. NOTE: day-of-week derivations
+    * (`pmod(day, 7)`, dow 0 = Thursday — the q238 convention) still
+    * assume post-1970 data: Spark's pmod is non-negative where
+    * DuckDB's % follows the dividend sign, so a pre-1970 dow needs a
+    * pmod-style oracle mirror.
+    */
+  def epochDay(ts: Column): Column =
+    floor(unix_timestamp(date_trunc("day", ts)) / lit(86400.0d))
+      .cast("long")
 }
 
 /** Session-scoped scratch root for queries whose CONTRACT includes

@@ -34,8 +34,7 @@ object RunsTest {
       (s, d) => {
         val daily = t(s, d, "events")
           .groupBy(col("event_type").as("g"),
-            (unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
-              .cast("long").as("day"))
+            epochDay(col("ts")).as("day"))
           .agg(count(lit(1)).as("x"))
         val wv = Window.partitionBy(col("g"))
           .orderBy(col("x"), col("day"))

@@ -34,8 +34,7 @@ object TheilsU {
       (s, d) => {
         val grid = t(s, d, "events")
           .select(col("event_type").as("x"),
-            pmod((unix_timestamp(date_trunc("day", col("ts"))) / 86400L)
-              .cast("long"), lit(7L)).as("y"))
+            pmod(epochDay(col("ts")), lit(7L)).as("y"))
           .groupBy(col("x"), col("y"))
           .agg(count(lit(1)).as("c"))
         def entSum(df: org.apache.spark.sql.DataFrame,
