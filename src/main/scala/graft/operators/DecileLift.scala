@@ -27,10 +27,14 @@ import Q._
   * rate/lift/capture are fixed double trees — lift = (pos·N)/(n·P)
   * computed as exact long products before ONE division each.
   *
-  * Scale shape: one token explode → map-side per-doc groupBy (the
-  * q111 exchange), one global-order NTILE window on the |docs| score
-  * frame (dimension-sized), one groupBy to 10 rows + prefix windows
-  * on those 10.
+  * Scale shape (r19 — VERDICT r18 item 1): one token explode →
+  * map-side per-doc groupBy (the q111 exchange); the NTILE over the
+  * |docs| score frame is the q149 two-level count-prefix swap
+  * ([[RankSum.bucketedRowNumber]] + [[RankSum.ntileOf]]) — bucket
+  * counts, a ≤1025-row offsets frame, a bucket-PARTITIONED
+  * row_number, integer tile arithmetic; no single-partition window
+  * ever sees the corpus frame (PlanSpec-gated). Then one groupBy to
+  * 10 rows + prefix windows on those 10.
   */
 object DecileLift {
 
@@ -50,9 +54,11 @@ object DecileLift {
               QualityClassifier.wordBucket(col("w"))).as("wgt"))
           .groupBy(col("doc_id"), col("lang"))
           .agg(sum(col("wgt")).as("s"))
-        val cut = scored
-          .withColumn("decile", ntile(Deciles).over(
-            Window.orderBy(col("s").desc, col("doc_id"))))
+        val cut = RankSum.bucketedRowNumber(scored,
+            -col("s").cast("double"), "rn", withTotal = true,
+            col("s").desc, col("doc_id"))
+          .withColumn("decile",
+            RankSum.ntileOf(col("rn"), col("n_total"), Deciles))
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n"),
             sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"))

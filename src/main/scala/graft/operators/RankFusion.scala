@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Q._
@@ -17,11 +16,13 @@ import graft.functions.MockScorers.{normalize, normalizeSql}
   * X30's keep-best.
   *
   * Signals (each from the one document scan, q48's recipes): token
-  * count, mean word length, alpha density. Ranks are dense global
-  * row_numbers with doc_id tiebreaks over the |docs| frame — at 100 TB
-  * a global rank swaps to q149's two-level range-bucket prefix (same
-  * semantics, no single-partition window); the fusion itself is a
-  * per-row expression.
+  * count, mean word length, alpha density. Ranks are global
+  * row_numbers with doc_id tiebreaks over the |docs| frame, computed
+  * with q149's two-level range-bucket prefix swap
+  * ([[RankSum.bucketedRowNumber]], r19 — VERDICT r18 item 1): bucket
+  * counts + a ≤1025-row offsets frame + a bucket-PARTITIONED
+  * row_number, so no single-partition window touches the corpus
+  * frame (PlanSpec-gated); the fusion itself is a per-row expression.
   *
   * Determinism: ranks are exact integers; the RRF sum is a FIXED-ORDER
   * three-term tree of 1/(60+r) divisions (signal set is
@@ -40,7 +41,12 @@ object RankFusion {
   val q174 = GraftQuery(
     "q174_rank_fusion", {
       (s, d) => {
-        val sig = t(s, d, "documents")
+        // eager-checkpointed: the signal projection is regexp-heavy
+        // scan-side compute with NO exchange in its lineage, and the
+        // three rank swaps each read it from span/offsets/main
+        // branches — without the materialization every branch would
+        // re-run the scan projection (r19, measured 6× at sf0.1)
+        val sig = graft.Checkpoints.eager(t(s, d, "documents")
           .select(col("doc_id"), col("text"),
             normalize(col("text")).as("norm"))
           .select(col("doc_id"),
@@ -49,13 +55,22 @@ object RankFusion {
               size(split(col("norm"), " ")).cast("double"))
               .as("word_len"),
             (regexp_count(col("text"), lit("[a-zA-Z]")).cast("double") /
-              length(col("text")).cast("double")).as("alpha_ratio"))
-        def rk(c: String) =
-          row_number().over(Window.orderBy(col(c).desc, col("doc_id")))
-        val ranked = sig
-          .withColumn("r_words", rk("n_words"))
-          .withColumn("r_wordlen", rk("word_len"))
-          .withColumn("r_alpha", rk("alpha_ratio"))
+              length(col("text")).cast("double")).as("alpha_ratio")))
+        // negated signal = ascending bucket key along the DESC order;
+        // all three ranks share one flat span/bucket pass
+        val r3 = RankSum.bucketedRowNumbers(sig, Seq(
+          RankSum.RankSpec(-col("n_words").cast("double"), "rn_w",
+            Seq(col("n_words").desc, col("doc_id"))),
+          RankSum.RankSpec(-col("word_len"), "rn_l",
+            Seq(col("word_len").desc, col("doc_id"))),
+          RankSum.RankSpec(-col("alpha_ratio"), "rn_a",
+            Seq(col("alpha_ratio").desc, col("doc_id")))),
+          withTotal = false)
+        val ranked = r3
+          .withColumn("r_words", col("rn_w").cast("int"))
+          .withColumn("r_wordlen", col("rn_l").cast("int"))
+          .withColumn("r_alpha", col("rn_a").cast("int"))
+          .drop("rn_w", "rn_l", "rn_a")
         val term = (r: String) =>
           lit(1.0) / (lit(K) + col(r)).cast("double")
         ranked

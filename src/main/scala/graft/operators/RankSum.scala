@@ -42,18 +42,32 @@ object RankSum {
     * (per-bucket totals are a ≤[[Buckets]]+1-row planning frame; the
     * within-bucket window is partitioned by bucket).
     */
-  private[operators] def bucketedCum(
-      byVal: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val span = byVal.agg(min(col("v")).as("lo"),
-      (max(col("v")) - min(col("v"))).as("w"))
-    val bucketed = byVal.join(broadcast(span))
+  /** Range-bucket stage shared by every two-level prefix swap (r19):
+    * adds `bkt` ∈ [0, [[Buckets]]), monotone NON-DECREASING in the
+    * double column `v` — so the global order (v, ties…) equals
+    * (bkt, within-bucket order) and any prefix aggregate splits into
+    * bucket partials + a ≤[[Buckets]]+1-row offsets frame. `v` need
+    * only be a monotone double PROJECTION of the true sort key (a
+    * lossy cast is fine: collisions merely share a bucket; the
+    * within-bucket window re-sorts on the exact columns).
+    */
+  private[operators] def withRangeBucket(
+      df: org.apache.spark.sql.DataFrame,
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val span = df.agg(min(v).as("lo"), (max(v) - min(v)).as("w"))
+    df.join(broadcast(span))
       // degenerate span (all values equal) → single bucket; the
       // ANSI cast would otherwise choke on floor(x/0) = Inf
       .withColumn("bkt", when(col("w") > 0d, least(lit(Buckets - 1),
-        floor((col("v") - col("lo")) / (col("w") / Buckets))
+        floor((v - col("lo")) / (col("w") / Buckets))
           .cast("int"))).otherwise(lit(0)))
       .drop("lo", "w")
+  }
+
+  private[operators] def bucketedCum(
+      byVal: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bucketed = withRangeBucket(byVal, col("v"))
     val wb = Window.orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bucketed.groupBy(col("bkt"))
@@ -66,6 +80,124 @@ object RankSum {
       .join(broadcast(offsets), "bkt")
       .withColumn("cum",
         col("off") + coalesce(sum(col("t")).over(wv), lit(0L)))
+  }
+
+  /** Global 1-based row_number over the total order (`order`…) with NO
+    * single-partition window (VERDICT r18 item 1): per-bucket counts →
+    * a ≤[[Buckets]]+1-row prefix frame broadcast back → a
+    * bucket-PARTITIONED row_number. `v` must be a monotone double
+    * projection of the order's primary key (negate for DESC). Adds
+    * `rnName` (long); with `withTotal`, also `n_total` — the frame
+    * count, computed on the offsets frame so NTILE-style consumers
+    * don't re-scan.
+    */
+  private[operators] def bucketedRowNumber(
+      df: org.apache.spark.sql.DataFrame,
+      v: org.apache.spark.sql.Column, rnName: String,
+      withTotal: Boolean,
+      order: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.DataFrame =
+    bucketedRowNumbers(df, Seq(RankSpec(v, rnName, order)), withTotal)
+
+  /** One rank dimension of [[bucketedRowNumbers]]: the monotone double
+    * bucket key, the output column, and the exact total order.
+    */
+  private[operators] final case class RankSpec(
+      v: org.apache.spark.sql.Column, rnName: String,
+      order: Seq[org.apache.spark.sql.Column])
+
+  /** N global row_numbers over N total orders in ONE flat pass (r19):
+    * a single span aggregate covers every dimension's min/max, the
+    * bucket columns land side by side on one frame, and each
+    * dimension contributes one ≤[[Buckets]]+1-row offsets broadcast +
+    * one bucket-PARTITIONED window — no nesting, so the base frame is
+    * evaluated (1 span + N offsets + 1 main) times instead of 3^N.
+    * `withTotal` attaches `n_total` from the FIRST dimension's
+    * offsets frame.
+    */
+  private[operators] def bucketedRowNumbers(
+      df: org.apache.spark.sql.DataFrame,
+      specs: Seq[RankSpec], withTotal: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val spanAggs = specs.zipWithIndex.flatMap { case (sp, i) =>
+      Seq(min(sp.v).as(s"lo_$i"), (max(sp.v) - min(sp.v)).as(s"w_$i"))
+    }
+    val span = df.agg(spanAggs.head, spanAggs.tail: _*)
+    val bucketed = specs.zipWithIndex
+      .foldLeft(df.join(broadcast(span))) { case (acc, (sp, i)) =>
+        // degenerate span (all values equal) → single bucket; the
+        // ANSI cast would otherwise choke on floor(x/0) = Inf
+        acc.withColumn(s"bkt_$i", when(col(s"w_$i") > 0d,
+          least(lit(Buckets - 1),
+            floor((sp.v - col(s"lo_$i")) / (col(s"w_$i") / Buckets))
+              .cast("int"))).otherwise(lit(0)))
+      }
+      .drop(specs.indices.flatMap(i => Seq(s"lo_$i", s"w_$i")): _*)
+    val ranked = specs.zipWithIndex.foldLeft(bucketed) {
+      case (acc, (sp, i)) =>
+        val wb = Window.orderBy(col(s"bkt_$i"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets0 = bucketed.groupBy(col(s"bkt_$i"))
+          .agg(count(lit(1)).as("bt"))
+          .withColumn("off", coalesce(sum(col("bt")).over(wb), lit(0L)))
+        val offsets =
+          if (withTotal && i == 0) offsets0
+            .withColumn("n_total", sum(col("bt")).over(
+              Window.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)))
+            .select(col(s"bkt_$i"), col("off"), col("n_total"))
+          else offsets0.select(col(s"bkt_$i"), col("off"))
+        val wv = Window.partitionBy(col(s"bkt_$i")).orderBy(sp.order: _*)
+        acc.join(broadcast(offsets), s"bkt_$i")
+          .withColumn(sp.rnName, col("off") + row_number().over(wv))
+          .drop("off")
+    }
+    ranked.drop(specs.indices.map(i => s"bkt_$i"): _*)
+  }
+
+  /** Global INCLUSIVE running sum of `t` over the total order
+    * (`order`…), same two-level shape as [[bucketedRowNumber]] — the
+    * sweep-line form (q198). Adds `outName` (long).
+    */
+  private[operators] def bucketedRunningSum(
+      df: org.apache.spark.sql.DataFrame,
+      v: org.apache.spark.sql.Column,
+      t: org.apache.spark.sql.Column, outName: String,
+      order: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.DataFrame = {
+    val bucketed = withRangeBucket(df, v)
+    val wb = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bkt")).agg(sum(t).as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(wb), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val wv = Window.partitionBy(col("bkt")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offsets), "bkt")
+      .withColumn(outName, col("off") + sum(t).over(wv))
+      .drop("bkt", "off")
+  }
+
+  /** SQL-standard NTILE(`k`) from a 1-based global row number and the
+    * total count (both longs): the first n mod k tiles get ⌈n/k⌉
+    * rows — the exact bucket rule Spark and DuckDB share. Pure
+    * integer arithmetic (idiv via pmod is exact below 2^53; the
+    * base-0 branch is never evaluated when n < k because When is
+    * lazy), so the tile matches the engines' own NTILE bit-for-bit.
+    */
+  private[operators] def ntileOf(rn: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column, k: Int)
+      : org.apache.spark.sql.Column = {
+    def idiv(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    val kl = lit(k.toLong)
+    val base = idiv(n, kl)
+    val rem = pmod(n, kl)
+    val cut = rem * (base + lit(1L))
+    (when(rn <= cut, idiv(rn - lit(1L), base + lit(1L)))
+      .otherwise(rem + idiv(rn - cut - lit(1L), base)) + lit(1L))
+      .cast("int")
   }
 
   /** q149 — U test of events.value between arms user_id%2 = 0 (A) and

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -24,12 +23,15 @@ import Q._
   * recency compares raw timestamps, and the census sums decimals
   * before the one final double cast.
   *
-  * Scale shape: one map-side groupBy orders → |customers| frame; the
-  * three NTILEs are global-order windows on that DIMENSION frame
-  * (the q187/q207 discipline — never on facts; at 100 TB the
-  * customer frame is the 1e9-row sort the warehouse already pays for
-  * any ranking, and NTILE needs only a two-level count-prefix swap
-  * like q149); final census is one map-side groupBy to ≤125 rows.
+  * Scale shape (r19 — VERDICT r18 item 1): one map-side groupBy
+  * orders → |customers| frame; each NTILE is the q149 two-level
+  * count-prefix swap ([[RankSum.bucketedRowNumber]] +
+  * [[RankSum.ntileOf]]) — per-bucket counts, a ≤1025-row offsets
+  * frame broadcast back, a bucket-PARTITIONED row_number, then
+  * integer tile arithmetic. NO single-partition window anywhere: at
+  * 100 TB the 1e9-row customer frame never funnels through one
+  * executor (PlanSpec-gated). Final census is one map-side groupBy
+  * to ≤125 rows.
   */
 object RfmSegmentation {
 
@@ -40,18 +42,33 @@ object RfmSegmentation {
     * r_q, f_q, m_q.
     */
   def scores(orders: DataFrame): DataFrame = {
-    val perCust = orders
+    // eager-checkpointed: the per-customer rollup feeds five branches
+    // (one shared span, three offsets, the main chain) — materialize
+    // once instead of re-aggregating per branch (r19)
+    val perCust = graft.Checkpoints.eager(orders
       .groupBy(col("o_custkey").as("custkey"))
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("monetary"))
-    perCust
-      .withColumn("r_q", ntile(Quantiles).over(
-        Window.orderBy(col("last_order").desc, col("custkey"))))
-      .withColumn("f_q", ntile(Quantiles).over(
-        Window.orderBy(col("n_orders").desc, col("custkey"))))
-      .withColumn("m_q", ntile(Quantiles).over(
-        Window.orderBy(col("monetary").desc, col("custkey"))))
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("monetary")))
+    // three quintiles in one flat two-level swap — v is the NEGATED
+    // metric (the bucket key must ascend along the DESC order); the
+    // exact sort re-happens inside the bucket partitions only
+    val ranked = RankSum.bucketedRowNumbers(perCust, Seq(
+      RankSum.RankSpec(-col("last_order").cast("double"), "rn_r",
+        Seq(col("last_order").desc, col("custkey"))),
+      RankSum.RankSpec(-col("n_orders").cast("double"), "rn_f",
+        Seq(col("n_orders").desc, col("custkey"))),
+      RankSum.RankSpec(-col("monetary").cast("double"), "rn_m",
+        Seq(col("monetary").desc, col("custkey")))),
+      withTotal = true)
+    ranked
+      .withColumn("r_q",
+        RankSum.ntileOf(col("rn_r"), col("n_total"), Quantiles))
+      .withColumn("f_q",
+        RankSum.ntileOf(col("rn_f"), col("n_total"), Quantiles))
+      .withColumn("m_q",
+        RankSum.ntileOf(col("rn_m"), col("n_total"), Quantiles))
+      .drop("rn_r", "rn_f", "rn_m", "n_total")
   }
 
   /** q214 — the RFM segment census (quintile 1 = best). */

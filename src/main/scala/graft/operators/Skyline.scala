@@ -26,10 +26,15 @@ import Q._
   * contract is explicit); sizes are ints. Output is the frontier
   * row set — exact.
   *
-  * Scale shape: the two windows are global-ordered, which on a
-  * dimension-sized frame (|part|) is fine; the 100 TB form is the
-  * q149 two-level swap: range-bucket by price, per-bucket running
-  * max, then a |buckets|-sized prefix of bucket maxima.
+  * Scale shape (r19 — VERDICT r18 item 1): the strictly-cheaper
+  * running max is the q149 two-level swap on the DISTINCT-price
+  * frame — range-bucket by price point, per-bucket maxima → a
+  * ≤1025-row prefix of bucket maxima, a bucket-PARTITIONED
+  * within-prefix max — so no single-partition window touches a frame
+  * that grows with |part| (PlanSpec-gated). The distinct-price frame
+  * itself is bounded by the PRICE GRID (deci-unit domain), not by
+  * |part|; the verdict join back to parts is a semi join AQE
+  * broadcasts once the frontier is planner-visibly small.
   */
 object Skyline {
 
@@ -37,17 +42,35 @@ object Skyline {
   val q187 = GraftQuery(
     "q187_skyline", {
       (s, d) => {
-        val wCheap = Window.orderBy(col("pi"))
-          .rangeBetween(Window.unboundedPreceding, -1)
-        val wSame = Window.partitionBy(col("pi"))
-        t(s, d, "part")
+        val parts = t(s, d, "part")
           .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
           .withColumn("pi",
             round(col("p_retailprice") * lit(10)).cast("long"))
-          .withColumn("mc", max(col("p_size")).over(wCheap))
-          .withColumn("ms", max(col("p_size")).over(wSame))
-          .filter((col("mc").isNull || col("p_size") > col("mc")) &&
-            col("p_size") === col("ms"))
+        // per price point: the max size at that exact price
+        val perPi = parts.groupBy(col("pi"))
+          .agg(max(col("p_size")).as("ms"))
+        // strictly-cheaper running max via the two-level swap: bucket
+        // maxima prefix (≤1025 rows) + bucket-partitioned prefix max
+        val bucketed = RankSum.withRangeBucket(perPi,
+          col("pi").cast("double"))
+        val wb = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = bucketed.groupBy(col("bkt"))
+          .agg(max(col("ms")).as("bm"))
+          .withColumn("offm", max(col("bm")).over(wb))
+          .select(col("bkt"), col("offm"))
+        val wv = Window.partitionBy(col("bkt")).orderBy(col("pi"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val frontier = bucketed.join(broadcast(offsets), "bkt")
+          .withColumn("inm", max(col("ms")).over(wv))
+          // greatest() skips NULLs: first price point of the first
+          // bucket has no cheaper predecessor at all
+          .withColumn("mc", greatest(col("offm"), col("inm")))
+          .filter(col("mc").isNull || col("ms") > col("mc"))
+          .select(col("pi"), col("ms"))
+        parts
+          .join(frontier, parts("pi") === frontier("pi") &&
+            parts("p_size") === frontier("ms"), "left_semi")
           .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
           .orderBy(col("p_partkey"))
       }

@@ -781,6 +781,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r19 prefix-swap family (q174/q187/q198/q214/q219): no " +
+      "single-partition WindowExec ever consumes a corpus-growing " +
+      "frame — every unpartitioned window runs on the bucket-offsets " +
+      "or decile-census planning frame (VERDICT r18 item 1)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // corpus identifiers: if one of these reaches an unpartitioned
+    // window, the plan is the single-partition sort the conversion
+    // was built to kill
+    val corpusCols = Set("custkey", "doc_id", "p_partkey", "user_id",
+      "session_id", "pi", "ms", "s", "monetary", "last_order",
+      "n_orders", "at", "delta", "n_words", "word_len", "alpha_ratio")
+    val family = Seq(RankFusion.q174, Skyline.q187,
+      PeakConcurrency.q198, RfmSegmentation.q214, DecileLift.q219)
+    family.foreach { q =>
+      val df = q.build(spark, sf0001)
+      df.collect() // materialize AQE's final plans
+      val globals = executedNodes(df).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      globals.foreach { w =>
+        assert(w.output.exists(a =>
+          a.name.startsWith("bkt") || a.name == "decile"),
+          s"${q.name}: unpartitioned window outside the planning " +
+            s"frames:\n${w.toString.take(1200)}")
+        val leaked = w.output.map(_.name).filter(corpusCols)
+        assert(leaked.isEmpty,
+          s"${q.name}: corpus column(s) ${leaked.mkString(",")} in a " +
+            s"single-partition window:\n${w.toString.take(1200)}")
+      }
+    }
+    // the peak pick (q198) and hub selection (q207) are distributed
+    // TakeOrderedAndProject heaps, not global row_number windows
+    assert(planOf(PeakConcurrency.q198.build(spark, sf0001))
+      .contains("TakeOrderedAndProject"))
+    assert(planOf(LinkPrediction.q207.build(spark, sf0001))
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("r18 prefix-sum/grid tier: pure JVM codegen, no python, no " +
       "corpus-side broadcast join") {
     Seq(KendallTau.q246, KruskalWallis.q247, CliffsDelta.q250,
