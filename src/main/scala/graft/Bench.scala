@@ -291,9 +291,17 @@ object Bench {
         }.toMap
     }.getOrElse(Map.empty)
     val ratesDrift = scala.collection.mutable.ListBuffer.empty[String]
+    // band tightened 1.5 → 1.35 (VERDICT r18 item 3): the r18 closing
+    // artifact shipped curation_docs_per_sec at ratio 0.697 against a
+    // flat pack (dispersion 1.711) UNADJUDICATED because 0.697 sat
+    // just inside the old ±1.5× cutoff — the epoch protocol's own
+    // "one rate moves, pack flat → adjudicate that operator" signature
+    // escaped through the band. 1.35 matches the wall-time drift
+    // tier's trigger, so a single-rate outlier now always gets its
+    // rerun + verdict instead of silently becoming the new committed.
     def rateOutOfBand(key: String, v: Double): Boolean =
       committedRate.get(key).exists(b => b > 0 && v > 0 &&
-        (v < b / 1.5 || v > b * 1.5))
+        (v < b / 1.35 || v > b * 1.35))
     def adjudicateRate(key: String, first: Double, rerun: Double): Double = {
       val base = committedRate(key)
       // the max-of-observations rule is justified only for LOW-side
@@ -303,7 +311,7 @@ object Bench {
       // rerun instead of publishing a one-off inflation as the new
       // committed rate (ADVICE r15)
       val best =
-        if (first > base * 1.5) rerun else math.max(first, rerun)
+        if (first > base * 1.35) rerun else math.max(first, rerun)
       val verdict = if (rateOutOfBand(key, best)) "persistent" else "noise"
       System.err.println(f"[bench] rate $key drifted: $first%.1f vs " +
         f"committed $base%.1f; re-measured $rerun%.1f ($verdict)")

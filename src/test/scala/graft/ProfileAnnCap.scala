@@ -95,6 +95,7 @@ object ProfileAnnCap {
       val t = (System.nanoTime() - t0) / 1e9
       println(f"[prof] n=$n $name: recall@5 $r%.4f ($t%.1f s)")
     }
+    ProfileCleanup(dst)
     spark.stop()
   }
 }

@@ -75,6 +75,7 @@ object ProfileQ168Decade {
         f"$t10%.1f s vs $t10fixed%.1f s " +
         f"(${t10fixed / t10}%.2fx)")
     }
+    ProfileCleanup(sf10)
     spark.stop()
   }
 }

@@ -206,6 +206,7 @@ object ProfileSfx {
       println(f"[prof] semdedup_cells contract ratio ${times(1) / times(0)}%.1fx " +
         f"(exponent ${math.log10(times(1) / times(0))}%.2f)")
     }
+    ProfileCleanup(dst)
     spark.stop()
   }
 }

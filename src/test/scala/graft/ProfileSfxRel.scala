@@ -384,6 +384,8 @@ object ProfileSfxRel {
       if (sys.env.get("SPARK_GRAFT_SFX100").contains("1"))
         gkRow("sf10", s"${sys.props("java.io.tmpdir")}/graft-sfx10-rel")
     }
+    ProfileCleanup(dst,
+      s"${sys.props("java.io.tmpdir")}/graft-sfx10-rel")
     spark.stop()
   }
 }

@@ -84,6 +84,8 @@ object ProfileZipfDecade {
           f"(win ${tB / tP}%.2fx, $nB pairs)")
         (tB, tP)
     }
+    ProfileCleanup(
+      Seq(1, 10).map(m => s"$tmp/graft-zipf-$m"): _*)
     val (b1, p1) = results(0); val (b10, p10) = results(1)
     println(f"[prof] zipf decade: brute ${b10 / b1}%.1fx " +
       f"(exponent ${math.log10(b10 / b1)}%.2f), prefix ${p10 / p1}%.1fx " +
