@@ -71,7 +71,11 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * q88's entry is generated AFTER the queries run (r19): its encode
+    * face replays the merge table the builder learned this session —
+    * see [[graft.operators.TextQueries.q88OracleSql]].
     */
   def oracleSql: Map[String, String] =
-    registry.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
+    registry.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap ++
+      TextQueries.q88OracleSql.map(o => "q88_bpe_tokenize" -> o.trim)
 }

@@ -413,24 +413,41 @@ object TextQueries {
     * re-tokenize every document with them — the tokenizer-training +
     * application step q86 is the kernel of, end to end. Reports the
     * real token count next to q49's whitespace estimate and the
-    * compression the merges bought. No SQL oracle (the merge loop is
-    * not SQL-expressible); BpeSpec carries the oracle: hand-verified
-    * merges on a planted corpus, losslessness, agreement of the
-    * expression with the driver-side encoder, and first-merge equality
-    * with the oracled q86 kernel. Train is eager at build time (one
+    * compression the merges bought. Train is eager at build time (one
     * vocab agg + driver loop); the returned frame's encode pass is a
     * shuffle-free projection.
-    * No-oracle: the 30-step merge LOOP is inherently iterative — each
-    * merge's pair counts depend on the previous rewrite, which plain
-    * SQL (no recursive CTE over re-tokenization) cannot express; the
-    * first iteration is exactly the oracled q86, and BpeSpec carries
-    * the hand-verified multi-step oracle.
+    *
+    * Oracle (r19 — VERDICT r18 item 6): the 30-step merge TRAIN loop
+    * stays non-SQL-expressible (each merge's pair counts depend on the
+    * previous rewrite; no recursive CTE over re-tokenization), but the
+    * ENCODE face runs on a frozen merge-rank table — so the builder
+    * registers the learned table and [[q88OracleSql]] splices it into
+    * a full DuckDB replay (the q72b move: reading the materialized
+    * state vs recomputing it is observationally identical; here the
+    * state is 30 (pair → merged) literals). The replay encodes each
+    * word as a '|'-delimited symbol string and applies the merges in
+    * RANK ORDER — equivalent to the greedy lowest-rank-present loop
+    * because a learned table's pair at rank r is built only from
+    * symbols of ranks < r, so once rank r is exhausted it can never
+    * reappear (the standard BPE-encode ordering theorem; HF/
+    * SentencePiece encode the same way). Each rank applies TWO
+    * `replace` passes: left-to-right non-overlapping string replace
+    * misses an occurrence exactly when its leading delimiter was
+    * consumed by the adjacent previous match, and those missed
+    * occurrences are pairwise isolated afterwards, so the second pass
+    * completes the set — BpeSpec pins replay ≡ [[Bpe.encodeWord]] on
+    * planted adjacent-chain fixtures and the full sf0.001 vocabulary.
+    * The one shape the replay cannot express is a SELF-pair merge
+    * (x,x), whose occurrences overlap in token space; the generator
+    * guards on it and falls back to rows-only (greppable reason in
+    * [[q88OracleSql]]).
     */
   val q88 = GraftQuery(
     "q88_bpe_tokenize",
     (s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val merges = Bpe.train(docs, nMerges = 30)
+      q88Merges = Some(merges)
       docs
         .select(col("doc_id"), normalize(col("text")).as("norm"))
         .select(col("doc_id"),
@@ -442,6 +459,58 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
     None)
+
+  /** The merge table q88's builder learned this session — the frozen
+    * state [[q88OracleSql]] replays. None until q88 runs (a
+    * SPARK_GRAFT_ONLY run that skips q88 dumps no oracle for it,
+    * keeping the rows-only fallback).
+    */
+  @volatile private var q88Merges: Option[Seq[(String, String)]] = None
+
+  /** DuckDB replay of q88's ENCODE face under the registered merge
+    * table (see q88's scaladoc for the equivalence argument).
+    * No-oracle fallback (None) when q88 has not run in this JVM, or
+    * when the learned table contains a self-pair merge (x,x) — the
+    * one shape whose token-space occurrences overlap, where
+    * left-to-right string replace and the greedy encoder can settle
+    * on different fixpoints.
+    */
+  def q88OracleSql: Option[String] = q88Merges.flatMap { merges =>
+    if (merges.exists { case (a, b) => a == b }) None
+    else {
+      val enc = merges.foldLeft("s") { case (e, (a, b)) =>
+        val pat = s"'|$a|$b|'"
+        val rep = s"'|$a$b|'"
+        s"replace(replace($e, $pat, $rep), $pat, $rep)"
+      }
+      Some(s"""
+      WITH words AS (
+        SELECT doc_id,
+               unnest(string_split(${normalizeSql("text")}, ' ')) AS w
+        FROM documents),
+      sep AS (
+        SELECT doc_id,
+               '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s
+        FROM words),
+      enc AS (SELECT doc_id, $enc AS e FROM sep),
+      perdoc AS (
+        SELECT doc_id,
+               CAST(SUM(length(e) - length(replace(e, '|', '')) - 1)
+                 AS INTEGER) AS n_tokens_bpe
+        FROM enc GROUP BY doc_id),
+      base AS (
+        SELECT doc_id,
+               CAST(len(string_split(${normalizeSql("text")}, ' '))
+                 AS INTEGER) AS n_tokens_ws,
+               CAST(len(replace(${normalizeSql("text")}, ' ', ''))
+                 AS INTEGER) AS n_chars_packed
+        FROM documents)
+      SELECT base.doc_id, n_tokens_bpe, n_tokens_ws, n_chars_packed
+      FROM base JOIN perdoc ON base.doc_id = perdoc.doc_id
+      ORDER BY base.doc_id
+      """)
+    }
+  }
 
   /** Document chunking — the RAG/embedding-pipeline step that splits
     * every document into overlapping token windows (64-token chunks,

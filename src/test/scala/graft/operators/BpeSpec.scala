@@ -106,4 +106,66 @@ class BpeSpec extends SparkSpec {
     assert(out.exists { case (_, bpe, _, chars) => bpe < chars },
       "no document compressed below character count — merges unused?")
   }
+
+  /** Scala mirror of the q88 oracle SQL's encode replay: '|'-wrapped
+    * symbols, rank-ordered merges, TWO left-to-right non-overlapping
+    * replace passes per rank (java String.replace has exactly DuckDB
+    * replace's matching semantics). Token count = '|' count − 1.
+    */
+  private def replayCount(word: String,
+      merges: Seq[(String, String)]): Int = {
+    var s = "|" + word.flatMap(c => s"$c|")
+    merges.foreach { case (a, b) =>
+      val pat = s"|$a|$b|"
+      val rep = s"|$a$b|"
+      s = s.replace(pat, rep).replace(pat, rep)
+    }
+    s.count(_ == '|') - 1
+  }
+
+  test("q88 oracle replay (rank-ordered two-pass replace) equals the " +
+      "greedy encoder on adjacent-chain fixtures and the full " +
+      "sf0.001 vocabulary") {
+    // adversarial chains: every shared-boundary configuration the
+    // two-pass argument covers (alternating chains of every parity,
+    // multi-rank cascades onto merged symbols) — all x≠y merges, the
+    // shape the oracle guard admits
+    val merges = Seq("a" -> "b", "ab" -> "c", "ab" -> "a", "x" -> "y",
+      "c" -> "xy")
+    val ranks = Bpe.ranks(merges)
+    val words = Seq("ab", "abab", "ababa", "ababab", "abababab",
+      "abc", "abcabc", "ababc", "cab", "cababc", "aba", "abaaba",
+      "xy", "xyxy", "xyxyxy", "xyxyxyxy", "xyxyx", "cxy", "cxycxy",
+      "abcxy", "axbyc", "ba", "cba", "", "q",
+      "abababababababababab", "xyxyxyxyxyxyxyxyxyxy")
+    words.foreach { w =>
+      assert(replayCount(w, merges) === Bpe.encodeWord(w, ranks).length,
+        s"replay diverges from greedy on '$w'")
+    }
+    // the guard's justification: a SELF-pair merge (x,x) has
+    // overlapping token-space occurrences, and the string replay
+    // settles on a different fixpoint than the greedy encoder on
+    // 6-chains — q88OracleSql falls back to rows-only for such tables
+    val selfPair = Seq("a" -> "b", "ab" -> "ab")
+    val selfRanks = Bpe.ranks(selfPair)
+    assert(replayCount("abababababab", selfPair) !==
+      Bpe.encodeWord("abababababab", selfRanks).length,
+      "the self-pair divergence the oracle guard exists for")
+    // the real learned table on the real vocabulary — the exact
+    // configuration the driver's DuckDB gate replays at sf0.01
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables(spark, d, "documents")
+    val learned = Bpe.train(docs, nMerges = 30)
+    assert(!learned.exists { case (a, b) => a == b },
+      "self-pair merge learned — q88OracleSql must fall back (and " +
+        "this corpus check no longer applies)")
+    val learnedRanks = Bpe.ranks(learned)
+    val vocab = Bpe.vocab(docs).select($"w").as[String].collect()
+    assert(vocab.length > 20, "fixture vocabulary unexpectedly small")
+    vocab.foreach { w =>
+      assert(replayCount(w, learned) ===
+        Bpe.encodeWord(w, learnedRanks).length,
+        s"replay diverges from greedy on corpus word '$w'")
+    }
+  }
 }
