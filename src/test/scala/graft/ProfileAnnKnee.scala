@@ -83,6 +83,33 @@ object ProfileAnnKnee {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[knee] $name%-22s recall@5 = $r%.3f  ($secs%.2f s)")
     }
+
+    // bytes-touched column (VERDICT r18 stretch 7): candidate rows
+    // measured under the really-trained quantizers, converted with
+    // each tier's own storage widths — see AnnBytesProbe's cost model
+    val nq = q.size
+    val mAuto = operators.PqAnn.autoM(n)
+    val slAuto = operators.AnnBytesProbe.autoShortlist(n)
+    Seq(0.45, 0.55, 0.60, 0.75, 1.0).foreach { f =>
+      val cand = operators.AnnBytesProbe.ivfCandidates(emb, q, nlist,
+        if (f >= 1.0) nlist else frac(f))
+      val b = operators.AnnBytesProbe.ivfBytesPerQuery(cand, nq)
+      println(f"[knee-bytes] ivf_f$f%.2f     cand/q=${cand / nq}%7d  " +
+        f"bytes/q=$b%9d")
+    }
+    Seq(("pq_auto_sl", slAuto), ("pq_sl_n4", (n / 4).toInt),
+      ("pq_sl_n2", (n / 2).toInt)).foreach { case (name, sl) =>
+      val b = operators.AnnBytesProbe.pqBytesPerQuery(n, mAuto, sl)
+      println(f"[knee-bytes] $name%-12s cand/q=${n - 1}%7d  bytes/q=$b%9d")
+    }
+    Seq(0.55, 0.70, 0.85).foreach { f =>
+      val cand = operators.AnnBytesProbe.ivfpqCandidates(emb, q,
+        frac(f), mAuto)
+      val b = operators.AnnBytesProbe.ivfpqBytesPerQuery(cand, nq,
+        mAuto, slAuto)
+      println(f"[knee-bytes] ivfpq_f$f%.2f   cand/q=${cand / nq}%7d  " +
+        f"bytes/q=$b%9d")
+    }
     spark.stop()
   }
 }
