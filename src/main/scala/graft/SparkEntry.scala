@@ -59,7 +59,12 @@ object SparkEntry {
       KendallTau.all ++ KruskalWallis.all ++ RunsTest.all ++
       McNemar.all ++ CliffsDelta.all ++ JsDivergence.all ++
       CramersV.all ++ Chao1Richness.all ++ DiversityIndex.all ++
-      TheilsU.all ++ TopkTurnover.all ++ RankBiasedOverlap.all
+      TheilsU.all ++ TopkTurnover.all ++ RankBiasedOverlap.all ++
+      CochranQ.all ++ FleissKappa.all ++ CochranArmitage.all ++
+      MantelHaenszel.all ++ HellingerDrift.all ++
+      CaptureRecapture.all ++ SeasonalIndex.all ++ FriedmanTest.all ++
+      PageTrend.all ++ KendallW.all ++ JonckheereTerpstra.all ++
+      CramerVonMises.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
