@@ -54,14 +54,17 @@ object FriedmanTest {
           .withColumn("t", count(lit(1)).over(
             Window.partitionBy(col("wk"), col("x"))))
           .withColumn("r2", lit(2L) * col("rnk") + col("t") - 1L)
+        // ONE pass over the ranked frame: the block census (n, Σr2²)
+        // folds into the per-treatment aggregation (every treatment
+        // sees all n complete blocks, so max of the per-trt distinct
+        // block counts IS n) — r19 census trimmed the second branch
         val perTrt = ranked.groupBy(col("trt"))
-          .agg(sum(col("r2")).as("r2j"), max(col("k")).as("k"))
-        val byBlock = ranked.agg(
-          countDistinct(col("wk")).as("n"),
-          sum(col("r2") * col("r2")).as("s_r2sq"))
+          .agg(sum(col("r2")).as("r2j"),
+            sum(col("r2") * col("r2")).as("r2sq"),
+            countDistinct(col("wk")).as("n_t"), max(col("k")).as("k"))
         perTrt.agg(sum(col("r2j") * col("r2j")).as("s_rj2"),
+            sum(col("r2sq")).as("s_r2sq"), max(col("n_t")).as("n"),
             max(col("k")).as("k"))
-          .join(broadcast(byBlock))
           .withColumn("num",
             (col("k") - 1L).cast("double") *
               (col("s_rj2").cast("double") -

@@ -168,7 +168,17 @@ object ProfileSfx {
       graft.operators.McNemar.q249,
       graft.operators.JsDivergence.q251,
       graft.operators.Chao1Richness.q253,
-      graft.operators.DiversityIndex.q254)
+      graft.operators.DiversityIndex.q254,
+      // r19 batch: the gate battery (q258/q259 — 1-row cell censuses
+      // after one scan), Hellinger (the q253 |source × vocab| census
+      // + one |vocab| join), capture-recapture (one fingerprint
+      // groupBy — the q40 exchange), Kendall's W (the q174 rank
+      // machinery + a 1-row decimal fold)
+      graft.operators.CochranQ.q258,
+      graft.operators.FleissKappa.q259,
+      graft.operators.HellingerDrift.q262,
+      graft.operators.CaptureRecapture.q263,
+      graft.operators.KendallW.q267)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>

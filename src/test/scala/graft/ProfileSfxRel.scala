@@ -257,7 +257,19 @@ object ProfileSfxRel {
       graft.operators.TopkTurnover.q256,
       // X225: q256's rank window + per-member literal-tail lookups on
       // the |months × K| frame
-      graft.operators.RankBiasedOverlap.q257)
+      graft.operators.RankBiasedOverlap.q257,
+      // r19 batch: CA trend and MH reduce to ≤k-row / |months|-row
+      // grids after one map-side pass; seasonal indices ride the
+      // |types × days| frame (wall-time-bounded); Friedman/Page run
+      // k-row-partition windows on |weeks × k| / |months × k|; JT and
+      // CvM ride the q149 two-level prefix over |distinct values|
+      graft.operators.CochranArmitage.q260,
+      graft.operators.MantelHaenszel.q261,
+      graft.operators.SeasonalIndex.q264,
+      graft.operators.FriedmanTest.q265,
+      graft.operators.PageTrend.q266,
+      graft.operators.JonckheereTerpstra.q268,
+      graft.operators.CramerVonMises.q269)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>

@@ -819,6 +819,29 @@ class PlanSpec extends SparkSpec {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("r19 statistics tier: exchange counts stay at the measured " +
+      "census (ProfileR19Plans) and nothing leaves codegen") {
+    // measured at sf0.001: the 1-row cell censuses (q258/q259) take
+    // one exchange; the ≤k-row grids two; every shuffle past the
+    // scan's lands on a dimension frame (|months|, |types × days|,
+    // |weeks × k|, bucket offsets, |vocab| for q262's join)
+    val bounds = Seq(CochranQ.q258 -> 1, FleissKappa.q259 -> 1,
+      CochranArmitage.q260 -> 2, MantelHaenszel.q261 -> 2,
+      HellingerDrift.q262 -> 10, CaptureRecapture.q263 -> 2,
+      SeasonalIndex.q264 -> 3, FriedmanTest.q265 -> 6,
+      PageTrend.q266 -> 5, KendallW.q267 -> 14,
+      JonckheereTerpstra.q268 -> 8, CramerVonMises.q269 -> 8)
+    bounds.foreach { case (q, cap) =>
+      val df = q.build(spark, sf0001)
+      df.collect()
+      val names = executedNodes(df).map(_.getClass.getSimpleName)
+      assert(names.count(_.contains("ShuffleExchange")) <= cap,
+        s"${q.name} grew past its $cap-exchange census")
+      assert(!names.exists(_.toLowerCase.contains("python")), q.name)
+      assert(names.exists(_.contains("WholeStageCodegen")), q.name)
+    }
+  }
+
   test("r18 prefix-sum/grid tier: pure JVM codegen, no python, no " +
       "corpus-side broadcast join") {
     Seq(KendallTau.q246, KruskalWallis.q247, CliffsDelta.q250,
