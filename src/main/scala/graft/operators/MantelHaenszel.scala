@@ -36,25 +36,34 @@ object MantelHaenszel {
   /** Fixed exposure threshold (deci-free constant). */
   val HighValue = 150000d
 
-  /** q261 — MH pooled odds ratio of (high value → fulfilled) across
-    * months.
+  /** Per-month 2×2 cell census over an orders frame — the mergeable
+    * state [[graft.streaming.MantelHaenszelStream]] maintains (cells
+    * are sums: commute + associate, the STRONG slicing contract).
     */
-  val q261 = GraftQuery(
-    "q261_mantel_haenszel", {
-      (s, d) => {
-        def c(p: org.apache.spark.sql.Column) =
-          sum(when(p, 1L).otherwise(0L))
-        val strata = t(s, d, "orders")
-          .select(date_trunc("month", col("o_orderdate")).as("mth"),
-            (col("o_totalprice") >= HighValue).as("e"),
-            (col("o_orderstatus") === "F").as("y"))
-          .groupBy(col("mth"))
-          .agg(c(col("e") && col("y")).as("a"),
-            c(col("e") && !col("y")).as("b"),
-            c(!col("e") && col("y")).as("cc"),
-            c(!col("e") && !col("y")).as("dd"),
-            count(lit(1)).as("nn"))
-          .withColumn("r",
+  def cells(orders: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def c(p: org.apache.spark.sql.Column) =
+      sum(when(p, 1L).otherwise(0L))
+    orders
+      .select(date_trunc("month", col("o_orderdate")).as("mth"),
+        (col("o_totalprice") >= HighValue).as("e"),
+        (col("o_orderstatus") === "F").as("y"))
+      .groupBy(col("mth"))
+      .agg(c(col("e") && col("y")).as("a"),
+        c(col("e") && !col("y")).as("b"),
+        c(!col("e") && col("y")).as("cc"),
+        c(!col("e") && !col("y")).as("dd"))
+  }
+
+  /** The pooled estimate + RBG CI over a cell frame — ONE tree shared
+    * by q261 and the streaming read so the two cannot drift.
+    */
+  def pooled(cellFrame: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val strata = cellFrame
+      .withColumn("nn",
+        col("a") + col("b") + col("cc") + col("dd"))
+      .withColumn("r",
             col("a").cast("double") * col("dd").cast("double") /
               col("nn").cast("double"))
           .withColumn("ss",
@@ -92,8 +101,14 @@ object MantelHaenszel {
               round(exp(log(col("or_mh")) +
                 lit(1.959964d) * sqrt(col("var_ln"))), 6) < 1.0d)
               .as("significant"))
-      }
-    },
+  }
+
+  /** q261 — MH pooled odds ratio of (high value → fulfilled) across
+    * months.
+    */
+  val q261 = GraftQuery(
+    "q261_mantel_haenszel",
+    (s, d) => pooled(cells(t(s, d, "orders"))),
     Some(s"""
       WITH strata AS (
         SELECT date_trunc('month', o_orderdate) AS mth,
