@@ -64,7 +64,9 @@ object SparkEntry {
       MantelHaenszel.all ++ HellingerDrift.all ++
       CaptureRecapture.all ++ SeasonalIndex.all ++ FriedmanTest.all ++
       PageTrend.all ++ KendallW.all ++ JonckheereTerpstra.all ++
-      CramerVonMises.all
+      CramerVonMises.all ++ Levene.all ++ CronbachAlpha.all ++
+      WilsonInterval.all ++ BowkerSymmetry.all ++ MoodMedian.all ++
+      DunnPosthoc.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
