@@ -66,7 +66,9 @@ object SparkEntry {
       PageTrend.all ++ KendallW.all ++ JonckheereTerpstra.all ++
       CramerVonMises.all ++ Levene.all ++ CronbachAlpha.all ++
       WilsonInterval.all ++ BowkerSymmetry.all ++ MoodMedian.all ++
-      DunnPosthoc.all
+      DunnPosthoc.all ++ LogRank.all ++ Kpss.all ++
+      HurstExponent.all ++ DurbinWatson.all ++ DunningKeyness.all ++
+      AndersonDarling.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
