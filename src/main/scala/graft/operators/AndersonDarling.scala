@@ -59,10 +59,13 @@ object AndersonDarling {
         val obs = t(s, d, "events")
           .select(col("value").as("v"),
             pmod(col("user_id"), lit(2L)).as("g"))
-        val byVal = obs.groupBy(col("v"))
+        // eager census: the bucket swap and the totals fold both
+        // consume it — without the checkpoint the corpus scan
+        // re-executes per consumer (the q240 discipline)
+        val byVal = graft.Checkpoints.eager(obs.groupBy(col("v"))
           .agg(sum(when(col("g") === 0L, 1L).otherwise(0L)).as("ta"),
             sum(when(col("g") === 1L, 1L).otherwise(0L)).as("tb"),
-            count(lit(1)).as("t"))
+            count(lit(1)).as("t")))
         val bucketed = RankSum.withRangeBucket(byVal, col("v"))
         val wb = Window.orderBy(col("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)

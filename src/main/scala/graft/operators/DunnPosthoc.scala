@@ -23,9 +23,11 @@ import Q._
   * CASE over m = k(k−1)/2 ∈ {1,3,6,10,15,21,28} (k ≤ 8) ending in a
   * loud raise_error/error() on both engines past the table.
   *
-  * Scale shape: identical to q247 up to the ≤k-row group frame (one
-  * census, two-level prefix swap, no single-partition window), then a
-  * ≤k²-row self-join of that planning frame. Corpus touched once.
+  * Scale shape: ONE corpus pass to an eagerly-materialized
+  * (group, value) census; the value census, two-level prefix swap
+  * (no single-partition window) and the ≤k-row group frame re-agg it,
+  * and the group frame is checkpointed before its ≤k²-row self-join
+  * (three consumers would otherwise re-execute its lineage).
   */
 object DunnPosthoc {
 
@@ -55,16 +57,23 @@ object DunnPosthoc {
         val obs = t(s, d, "orders")
           .select(col("o_orderpriority").as("grp"),
             col("o_totalprice").cast("double").as("v"))
-        val byVal = obs.groupBy(col("v")).agg(count(lit(1)).as("t"))
+        // ONE corpus pass: the (group, value) census is materialized
+        // eagerly (the q240 discipline) and the value census, rank
+        // frame and group sums all re-agg it; the ≤k-row group frame
+        // is checkpointed too because the pair self-join and the k
+        // count reference it three times
+        val grpCensus = graft.Checkpoints.eager(
+          obs.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("m")))
+        val byVal = grpCensus.groupBy(col("v"))
+          .agg(sum(col("m")).as("t"))
         val ranked = RankSum.bucketedCum(byVal)
           .withColumn("r2", lit(2L) * col("cum") + col("t") + 1L)
           .select(col("v"), col("r2"))
-        val perGrp = obs.groupBy(col("grp"), col("v"))
-          .agg(count(lit(1)).as("m"))
+        val perGrp = graft.Checkpoints.eager(grpCensus
           .join(ranked, "v")
           .groupBy(col("grp"))
           .agg(sum(col("m")).as("n_g"),
-            sum(col("m") * col("r2")).as("r2_g"))
+            sum(col("m") * col("r2")).as("r2_g")))
         val totals = byVal.agg(sum(col("t")).as("n"),
           sum(col("t") * col("t") * col("t") - col("t")).as("ties3"))
         val k = perGrp.agg(count(lit(1)).as("k"))

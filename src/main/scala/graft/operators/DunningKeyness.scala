@@ -50,8 +50,12 @@ object DunningKeyness {
           .select(col("source"),
             explode(split(normalize(col("text")), " ")).as("w"))
           .filter(col("w") =!= "")
-        val bySrcTok = toks.groupBy(col("source"), col("w"))
-          .agg(count(lit(1)).as("a"))
+        // the census is materialized eagerly so the margin re-aggs and
+        // the probe join NEVER re-run the corpus tokenize (the q240
+        // discipline — without it the explode subtree executes twice)
+        val bySrcTok = graft.Checkpoints.eager(
+          toks.groupBy(col("source"), col("w"))
+            .agg(count(lit(1)).as("a")))
         val byTok = bySrcTok.groupBy(col("w"))
           .agg(sum(col("a")).as("cw"))
           .filter(col("cw") >= MinCount)

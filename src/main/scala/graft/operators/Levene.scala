@@ -39,10 +39,12 @@ object Levene {
         val obs = t(s, d, "orders")
           .select(col("o_orderpriority").as("grp"),
             col("o_totalprice").cast("double").as("v"))
-        val means = obs.groupBy(col("grp"))
+        // eager ≤k-row means frame: its broadcast side would otherwise
+        // re-execute the first corpus pass (the q240 discipline)
+        val means = graft.Checkpoints.eager(obs.groupBy(col("grp"))
           .agg(count(lit(1)).as("n_g"),
             (sum(dec(col("v"))).cast("double") / count(lit(1)))
-              .as("mean_g"))
+              .as("mean_g")))
         val z = obs.join(broadcast(means), "grp")
           .withColumn("z", abs(col("v") - col("mean_g")))
         val perGrp = z.groupBy(col("grp"))

@@ -29,8 +29,10 @@ import Q._
   *
   * Scale shape: one corpus pass → a |users|-row min/max agg → a
   * |distinct times|-row census (bounded by the observation span in
-  * hours) → bucket partials + ≤1025-row offsets broadcasts → a 1-row
-  * decimal fold. Corpus touched once.
+  * hours), materialized eagerly because the totals fold and the
+  * bucket swap both consume it (the q240 recompute discipline) →
+  * bucket partials + ≤1025-row offsets broadcasts → a 1-row decimal
+  * fold. Corpus touched once.
   */
 object LogRank {
 
@@ -55,13 +57,14 @@ object LogRank {
           .withColumn("time",
             when(col("h_conv").isNotNull, col("h_conv") - col("h0"))
               .otherwise(col("h_last") - col("h0")))
-        val census = perUser.groupBy(col("time").as("v"))
+        val census = graft.Checkpoints.eager(perUser
+          .groupBy(col("time").as("v"))
           .agg(sum(when(col("g") === 0L && col("event") === 1L, 1L)
             .otherwise(0L)).as("d0"),
             sum(when(col("g") === 1L && col("event") === 1L, 1L)
               .otherwise(0L)).as("d1"),
             sum(when(col("g") === 0L, 1L).otherwise(0L)).as("e0"),
-            sum(when(col("g") === 1L, 1L).otherwise(0L)).as("e1"))
+            sum(when(col("g") === 1L, 1L).otherwise(0L)).as("e1")))
         val totals = census.agg(sum(col("e0")).as("tot0"),
           sum(col("e1")).as("tot1"), sum(col("d0") + col("d1"))
             .as("n_deaths"))

@@ -21,11 +21,12 @@ import Q._
   * double tree and the ≤2k terms ride DECIMAL(30,14) lanes. The
   * critical value is the shared [[ChiSqCrit]] CASE at df = k−1.
   *
-  * Scale shape: the grand median comes from the value census through
-  * the two-level bucketed prefix swap (shared [[RankSum.bucketedCum]]
-  * — NO single-partition window over the price frame); the sides
-  * pass is one broadcast join + map-side-combined agg to a ≤k-row
-  * frame. Corpus touched twice (census, sides).
+  * Scale shape: ONE corpus pass to an eagerly-materialized
+  * (group, value) census (the q240 recompute discipline — without the
+  * checkpoint the census subtree re-executes per consumer); the value
+  * census, grand median (two-level bucketed prefix swap, shared
+  * [[RankSum.bucketedCum]] — NO single-partition window over the
+  * price frame) and the k×2 sides are all re-aggs of that census.
   */
 object MoodMedian {
 
@@ -36,10 +37,19 @@ object MoodMedian {
         val obs = t(s, d, "orders")
           .select(col("o_orderpriority").as("grp"),
             (dec(col("o_totalprice")) * 100).cast("long").as("v"))
-        val byVal = obs.groupBy(col("v")).agg(count(lit(1)).as("t"))
+        // ONE corpus pass: the (group, value) census is materialized
+        // eagerly (the q240 discipline) and every downstream frame —
+        // value census, median, sides — is a re-agg of it
+        val grpCensus = graft.Checkpoints.eager(
+          obs.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("m")))
+        val byVal = grpCensus.groupBy(col("v"))
+          .agg(sum(col("m")).as("t"))
         val cum = RankSum.bucketedCum(byVal)
         val totals = byVal.agg(sum(col("t")).as("n"))
-        val med = cum.join(broadcast(totals))
+        // 1-row doubled-median frame, checkpointed: two broadcast
+        // consumers (sides, output) would otherwise re-run the prefix
+        // swap machinery per reference
+        val med = graft.Checkpoints.eager(cum.join(broadcast(totals))
           .withColumn("lo_rank", expr("(n + 1) div 2"))
           .withColumn("hi_rank", expr("n div 2") + 1L)
           .withColumn("med_part",
@@ -49,14 +59,14 @@ object MoodMedian {
               when(col("cum") < col("hi_rank") &&
                 col("cum") + col("t") >= col("hi_rank"), col("v"))
                 .otherwise(0L))
-          .agg(sum(col("med_part")).as("med2"))
-        val cells = obs.join(broadcast(med))
+          .agg(sum(col("med_part")).as("med2")))
+        val cells = grpCensus.join(broadcast(med))
           .filter(col("v") * 2L =!= col("med2"))
           .groupBy(col("grp"))
-          .agg(sum(when(col("v") * 2L > col("med2"), 1L).otherwise(0L))
-            .as("a"),
-            sum(when(col("v") * 2L < col("med2"), 1L).otherwise(0L))
-              .as("b"))
+          .agg(sum(when(col("v") * 2L > col("med2"), col("m"))
+            .otherwise(0L)).as("a"),
+            sum(when(col("v") * 2L < col("med2"), col("m"))
+              .otherwise(0L)).as("b"))
         val margins = cells.agg(sum(col("a")).as("ta"),
           sum(col("b")).as("tb"), count(lit(1)).as("k"))
         val critCase = ChiSqCrit.sparkCase("k - 1", "mood_median")

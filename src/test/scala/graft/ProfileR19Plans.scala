@@ -35,7 +35,19 @@ object ProfileR19Plans {
       graft.operators.PageTrend.q266,
       graft.operators.KendallW.q267,
       graft.operators.JonckheereTerpstra.q268,
-      graft.operators.CramerVonMises.q269)
+      graft.operators.CramerVonMises.q269,
+      graft.operators.Levene.q270,
+      graft.operators.MoodMedian.q271,
+      graft.operators.DunnPosthoc.q272,
+      graft.operators.LogRank.q273,
+      graft.operators.Kpss.q274,
+      graft.operators.HurstExponent.q275,
+      graft.operators.DurbinWatson.q276,
+      graft.operators.DunningKeyness.q277,
+      graft.operators.AndersonDarling.q278,
+      graft.operators.CronbachAlpha.q279,
+      graft.operators.BowkerSymmetry.q280,
+      graft.operators.WilsonInterval.q281)
     for (q <- qs) {
       val df = q.build(spark, d)
       df.collect()

@@ -178,7 +178,13 @@ object ProfileSfx {
       graft.operators.FleissKappa.q259,
       graft.operators.HellingerDrift.q262,
       graft.operators.CaptureRecapture.q263,
-      graft.operators.KendallW.q267)
+      graft.operators.KendallW.q267,
+      // r19 late batch: keyness/Cronbach/Wilson are one tokenize/
+      // feature scan to a census (keyness re-aggs the census for
+      // margins — never a second corpus pass)
+      graft.operators.DunningKeyness.q277,
+      graft.operators.CronbachAlpha.q279,
+      graft.operators.WilsonInterval.q281)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>

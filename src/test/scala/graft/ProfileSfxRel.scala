@@ -269,7 +269,23 @@ object ProfileSfxRel {
       graft.operators.FriedmanTest.q265,
       graft.operators.PageTrend.q266,
       graft.operators.JonckheereTerpstra.q268,
-      graft.operators.CramerVonMises.q269)
+      graft.operators.CramerVonMises.q269,
+      // r19 late batch: Levene/Mood/Dunn reduce to ≤k-row grids after
+      // broadcast-join passes (Mood/Dunn ride the q149 prefix swap
+      // over |distinct prices|); the hourly-series trio (KPSS/Hurst/
+      // DW) and Bowker live on the |types × hours| / k² frames
+      // (wall-time-bounded); log-rank folds the |users| span frame to
+      // a |distinct times| census; AD is the q269 swap with a
+      // plus-block lane
+      graft.operators.Levene.q270,
+      graft.operators.MoodMedian.q271,
+      graft.operators.DunnPosthoc.q272,
+      graft.operators.LogRank.q273,
+      graft.operators.Kpss.q274,
+      graft.operators.HurstExponent.q275,
+      graft.operators.DurbinWatson.q276,
+      graft.operators.AndersonDarling.q278,
+      graft.operators.BowkerSymmetry.q280)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>

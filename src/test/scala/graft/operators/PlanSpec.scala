@@ -842,6 +842,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r19 late statistics tier (q270-q281): exchange counts stay " +
+      "at the measured census and nothing leaves codegen") {
+    // measured at sf0.001 (ProfileR19Plans) AFTER the census-eager
+    // rewrites: the one-agg battery (q279) takes one exchange; the
+    // checkpoint-fed grids (q270-q272) four; the hourly-series trio
+    // and Bowker ride |types × hours| / k² frames (3-5); the
+    // two-level swaps (q273/q278) seven. Every exchange past the
+    // scan's lands on a census/dimension frame.
+    val bounds = Seq(Levene.q270 -> 4, MoodMedian.q271 -> 4,
+      DunnPosthoc.q272 -> 4, LogRank.q273 -> 7, Kpss.q274 -> 5,
+      HurstExponent.q275 -> 3, DurbinWatson.q276 -> 3,
+      DunningKeyness.q277 -> 5, AndersonDarling.q278 -> 7,
+      CronbachAlpha.q279 -> 1, BowkerSymmetry.q280 -> 4,
+      WilsonInterval.q281 -> 4)
+    bounds.foreach { case (q, cap) =>
+      val df = q.build(spark, sf0001)
+      df.collect()
+      val names = executedNodes(df).map(_.getClass.getSimpleName)
+      assert(names.count(_.contains("ShuffleExchange")) <= cap,
+        s"${q.name} grew past its $cap-exchange census")
+      assert(!names.exists(_.toLowerCase.contains("python")), q.name)
+      assert(names.exists(_.contains("WholeStageCodegen")), q.name)
+    }
+  }
+
   test("r18 prefix-sum/grid tier: pure JVM codegen, no python, no " +
       "corpus-side broadcast join") {
     Seq(KendallTau.q246, KruskalWallis.q247, CliffsDelta.q250,
