@@ -68,7 +68,8 @@ object SparkEntry {
       WilsonInterval.all ++ BowkerSymmetry.all ++ MoodMedian.all ++
       DunnPosthoc.all ++ LogRank.all ++ Kpss.all ++
       HurstExponent.all ++ DurbinWatson.all ++ DunningKeyness.all ++
-      AndersonDarling.all
+      AndersonDarling.all ++ JarqueBera.all ++ Bartlett.all ++
+      BreslowDay.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
