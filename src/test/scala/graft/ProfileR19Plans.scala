@@ -47,7 +47,10 @@ object ProfileR19Plans {
       graft.operators.AndersonDarling.q278,
       graft.operators.CronbachAlpha.q279,
       graft.operators.BowkerSymmetry.q280,
-      graft.operators.WilsonInterval.q281)
+      graft.operators.WilsonInterval.q281,
+      graft.operators.JarqueBera.q282,
+      graft.operators.Bartlett.q283,
+      graft.operators.BreslowDay.q284)
     for (q <- qs) {
       val df = q.build(spark, d)
       df.collect()

@@ -285,7 +285,13 @@ object ProfileSfxRel {
       graft.operators.HurstExponent.q275,
       graft.operators.DurbinWatson.q276,
       graft.operators.AndersonDarling.q278,
-      graft.operators.BowkerSymmetry.q280)
+      graft.operators.BowkerSymmetry.q280,
+      // X251-X253: JB is the Levene two-pass on (orders, k-row
+      // means); Bartlett one map-side agg; BD the |months| census +
+      // 1-row psi broadcast
+      graft.operators.JarqueBera.q282,
+      graft.operators.Bartlett.q283,
+      graft.operators.BreslowDay.q284)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>

@@ -855,7 +855,8 @@ class PlanSpec extends SparkSpec {
       HurstExponent.q275 -> 3, DurbinWatson.q276 -> 3,
       DunningKeyness.q277 -> 5, AndersonDarling.q278 -> 7,
       CronbachAlpha.q279 -> 1, BowkerSymmetry.q280 -> 4,
-      WilsonInterval.q281 -> 4)
+      WilsonInterval.q281 -> 4, JarqueBera.q282 -> 2,
+      Bartlett.q283 -> 2, BreslowDay.q284 -> 2)
     bounds.foreach { case (q, cap) =>
       val df = q.build(spark, sf0001)
       df.collect()
