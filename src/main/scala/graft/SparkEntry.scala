@@ -69,7 +69,8 @@ object SparkEntry {
       DunnPosthoc.all ++ LogRank.all ++ Kpss.all ++
       HurstExponent.all ++ DurbinWatson.all ++ DunningKeyness.all ++
       AndersonDarling.all ++ JarqueBera.all ++ Bartlett.all ++
-      BreslowDay.all
+      BreslowDay.all ++ TukeyHsd.all ++ AnsariBradley.all ++
+      KaplanMeier.all ++ MarkovEntropy.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

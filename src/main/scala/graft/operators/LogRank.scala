@@ -39,53 +39,75 @@ object LogRank {
   /** χ²(0.95, 1). */
   private val Crit = 3.841458820694124d
 
+  /** Per-user (arm, time, event) conversion spans — arm = user
+    * parity, event = 1 iff a purchase exists, time measured from
+    * first activity, censoring at last activity. Shared with
+    * [[KaplanMeier]] (q287) so the A/B test and the curves it gates
+    * read the SAME spans.
+    */
+  def spans(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hour = floor(unix_timestamp(date_trunc("hour", col("ts")))
+      / lit(3600.0d)).cast("long")
+    events
+      .select(pmod(col("user_id"), lit(2L)).as("g"),
+        col("user_id"), hour.as("h"), col("event_type"))
+      .groupBy(col("g"), col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h_last"),
+        min(when(col("event_type") === "purchase", col("h")))
+          .as("h_conv"))
+      .withColumn("event",
+        when(col("h_conv").isNotNull, 1L).otherwise(0L))
+      .withColumn("time",
+        when(col("h_conv").isNotNull, col("h_conv") - col("h0"))
+          .otherwise(col("h_last") - col("h0")))
+  }
+
+  /** Eager |distinct times| census of deaths/endpoints per arm. */
+  def timeCensus(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.Checkpoints.eager(spans(events)
+      .groupBy(col("time").as("v"))
+      .agg(sum(when(col("g") === 0L && col("event") === 1L, 1L)
+        .otherwise(0L)).as("d0"),
+        sum(when(col("g") === 1L && col("event") === 1L, 1L)
+          .otherwise(0L)).as("d1"),
+        sum(when(col("g") === 0L, 1L).otherwise(0L)).as("e0"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("e1")))
+
+  /** Census + per-arm risk sets (tot_g − endpoints strictly before v,
+    * the two-level bucketed swap) + tot0/tot1/n_deaths columns.
+    */
+  def withRisk(census: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val totals = census.agg(sum(col("e0")).as("tot0"),
+      sum(col("e1")).as("tot1"), sum(col("d0") + col("d1"))
+        .as("n_deaths"))
+    val bucketed = RankSum.withRangeBucket(census,
+      col("v").cast("double"))
+    val wb = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bkt"))
+      .agg(sum(col("e0")).as("b0"), sum(col("e1")).as("b1"))
+      .select(col("bkt"),
+        coalesce(sum(col("b0")).over(wb), lit(0L)).as("off0"),
+        coalesce(sum(col("b1")).over(wb), lit(0L)).as("off1"))
+    val wv = Window.partitionBy(col("bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), "bkt")
+      .join(broadcast(totals))
+      // at risk in arm g at time v: tot_g − endpoints before v
+      .withColumn("r0", col("tot0") - col("off0") -
+        coalesce(sum(col("e0")).over(wv), lit(0L)))
+      .withColumn("r1", col("tot1") - col("off1") -
+        coalesce(sum(col("e1")).over(wv), lit(0L)))
+  }
+
   /** q273 — conversion-time curves, even vs odd user ids. */
   val q273 = GraftQuery(
     "q273_logrank_conversion", {
       (s, d) => {
-        val hour = floor(unix_timestamp(date_trunc("hour", col("ts")))
-          / lit(3600.0d)).cast("long")
-        val perUser = t(s, d, "events")
-          .select(pmod(col("user_id"), lit(2L)).as("g"),
-            col("user_id"), hour.as("h"), col("event_type"))
-          .groupBy(col("g"), col("user_id"))
-          .agg(min(col("h")).as("h0"), max(col("h")).as("h_last"),
-            min(when(col("event_type") === "purchase", col("h")))
-              .as("h_conv"))
-          .withColumn("event",
-            when(col("h_conv").isNotNull, 1L).otherwise(0L))
-          .withColumn("time",
-            when(col("h_conv").isNotNull, col("h_conv") - col("h0"))
-              .otherwise(col("h_last") - col("h0")))
-        val census = graft.Checkpoints.eager(perUser
-          .groupBy(col("time").as("v"))
-          .agg(sum(when(col("g") === 0L && col("event") === 1L, 1L)
-            .otherwise(0L)).as("d0"),
-            sum(when(col("g") === 1L && col("event") === 1L, 1L)
-              .otherwise(0L)).as("d1"),
-            sum(when(col("g") === 0L, 1L).otherwise(0L)).as("e0"),
-            sum(when(col("g") === 1L, 1L).otherwise(0L)).as("e1")))
-        val totals = census.agg(sum(col("e0")).as("tot0"),
-          sum(col("e1")).as("tot1"), sum(col("d0") + col("d1"))
-            .as("n_deaths"))
-        val bucketed = RankSum.withRangeBucket(census,
-          col("v").cast("double"))
-        val wb = Window.orderBy(col("bkt"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = bucketed.groupBy(col("bkt"))
-          .agg(sum(col("e0")).as("b0"), sum(col("e1")).as("b1"))
-          .select(col("bkt"),
-            coalesce(sum(col("b0")).over(wb), lit(0L)).as("off0"),
-            coalesce(sum(col("b1")).over(wb), lit(0L)).as("off1"))
-        val wv = Window.partitionBy(col("bkt")).orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val risky = bucketed.join(broadcast(offsets), "bkt")
-          .join(broadcast(totals))
-          // at risk in arm g at time v: tot_g − endpoints before v
-          .withColumn("r0", col("tot0") - col("off0") -
-            coalesce(sum(col("e0")).over(wv), lit(0L)))
-          .withColumn("r1", col("tot1") - col("off1") -
-            coalesce(sum(col("e1")).over(wv), lit(0L)))
+        val risky = withRisk(timeCensus(t(s, d, "events")))
           .filter(col("d0") + col("d1") > 0L)
         val nt = (col("r0") + col("r1")).cast("double")
         val dt = (col("d0") + col("d1")).cast("double")

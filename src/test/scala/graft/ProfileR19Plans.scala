@@ -50,7 +50,11 @@ object ProfileR19Plans {
       graft.operators.WilsonInterval.q281,
       graft.operators.JarqueBera.q282,
       graft.operators.Bartlett.q283,
-      graft.operators.BreslowDay.q284)
+      graft.operators.BreslowDay.q284,
+      graft.operators.TukeyHsd.q285,
+      graft.operators.AnsariBradley.q286,
+      graft.operators.KaplanMeier.q287,
+      graft.operators.MarkovEntropy.q288)
     for (q <- qs) {
       val df = q.build(spark, d)
       df.collect()

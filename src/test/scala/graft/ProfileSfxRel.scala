@@ -291,7 +291,13 @@ object ProfileSfxRel {
       // 1-row psi broadcast
       graft.operators.JarqueBera.q282,
       graft.operators.Bartlett.q283,
-      graft.operators.BreslowDay.q284)
+      graft.operators.BreslowDay.q284,
+      // X254-X257: Tukey on the eager |types × 7| census; AB/KM ride
+      // the q269/q273 census+swap machinery; entropy on ≤k² cells
+      graft.operators.TukeyHsd.q285,
+      graft.operators.AnsariBradley.q286,
+      graft.operators.KaplanMeier.q287,
+      graft.operators.MarkovEntropy.q288)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>

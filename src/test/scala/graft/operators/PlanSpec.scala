@@ -856,7 +856,9 @@ class PlanSpec extends SparkSpec {
       DunningKeyness.q277 -> 5, AndersonDarling.q278 -> 7,
       CronbachAlpha.q279 -> 1, BowkerSymmetry.q280 -> 4,
       WilsonInterval.q281 -> 4, JarqueBera.q282 -> 2,
-      Bartlett.q283 -> 2, BreslowDay.q284 -> 2)
+      Bartlett.q283 -> 2, BreslowDay.q284 -> 2, TukeyHsd.q285 -> 2,
+      AnsariBradley.q286 -> 7, KaplanMeier.q287 -> 8,
+      MarkovEntropy.q288 -> 4)
     bounds.foreach { case (q, cap) =>
       val df = q.build(spark, sf0001)
       df.collect()
