@@ -54,7 +54,9 @@ object ProfileR19Plans {
       graft.operators.TukeyHsd.q285,
       graft.operators.AnsariBradley.q286,
       graft.operators.KaplanMeier.q287,
-      graft.operators.MarkovEntropy.q288)
+      graft.operators.MarkovEntropy.q288,
+      graft.operators.KuiperTest.q289,
+      graft.operators.BrunnerMunzel.q290)
     for (q <- qs) {
       val df = q.build(spark, d)
       df.collect()

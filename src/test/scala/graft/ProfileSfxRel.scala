@@ -297,7 +297,10 @@ object ProfileSfxRel {
       graft.operators.TukeyHsd.q285,
       graft.operators.AnsariBradley.q286,
       graft.operators.KaplanMeier.q287,
-      graft.operators.MarkovEntropy.q288)
+      graft.operators.MarkovEntropy.q288,
+      // X258-X259: both ride the q269/q278 census+swap machinery
+      graft.operators.KuiperTest.q289,
+      graft.operators.BrunnerMunzel.q290)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>
