@@ -61,7 +61,7 @@ object SparkEntry {
     Kpss.all, HurstExponent.all, DurbinWatson.all, DunningKeyness.all,
     AndersonDarling.all, JarqueBera.all, Bartlett.all, BreslowDay.all,
     TukeyHsd.all, AnsariBradley.all, KaplanMeier.all, MarkovEntropy.all,
-    KuiperTest.all, BrunnerMunzel.all).flatten
+    KuiperTest.all, BrunnerMunzel.all, WelchAnova.all).flatten
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

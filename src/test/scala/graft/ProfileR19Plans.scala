@@ -56,7 +56,8 @@ object ProfileR19Plans {
       graft.operators.KaplanMeier.q287,
       graft.operators.MarkovEntropy.q288,
       graft.operators.KuiperTest.q289,
-      graft.operators.BrunnerMunzel.q290)
+      graft.operators.BrunnerMunzel.q290,
+      graft.operators.WelchAnova.q291)
     for (q <- qs) {
       val df = q.build(spark, d)
       df.collect()

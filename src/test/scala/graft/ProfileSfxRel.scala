@@ -300,7 +300,9 @@ object ProfileSfxRel {
       graft.operators.MarkovEntropy.q288,
       // X258-X259: both ride the q269/q278 census+swap machinery
       graft.operators.KuiperTest.q289,
-      graft.operators.BrunnerMunzel.q290)
+      graft.operators.BrunnerMunzel.q290,
+      // X260: the q283 one-pass moment shape + eager k-row frame
+      graft.operators.WelchAnova.q291)
 
     def minOf(reps: Int)(f: => Unit): Double =
       (1 to reps).map { _ =>

@@ -859,7 +859,7 @@ class PlanSpec extends SparkSpec {
       Bartlett.q283 -> 2, BreslowDay.q284 -> 2, TukeyHsd.q285 -> 2,
       AnsariBradley.q286 -> 7, KaplanMeier.q287 -> 8,
       MarkovEntropy.q288 -> 4, KuiperTest.q289 -> 7,
-      BrunnerMunzel.q290 -> 6)
+      BrunnerMunzel.q290 -> 6, WelchAnova.q291 -> 2)
     bounds.foreach { case (q, cap) =>
       val df = q.build(spark, sf0001)
       df.collect()
