@@ -60,7 +60,14 @@ object ApproxTriangles {
         val baskets = t(s, d, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
           .distinct()
-        val e = TriangleCount.undirectedEdges(baskets)
+        // r19 optimization: `e` is consumed twice — the sampled→orient
+        // path (inside its own checkpoint job) and the final
+        // n_edges census — and the checkpoint boundary defeats
+        // exchange reuse between the two, so the Σ|basket|² self-join
+        // + distinct executed TWICE. Materialize it once; both
+        // consumers read the (2-long-per-row) edge frame.
+        val e = graft.Checkpoints.eager(
+          TriangleCount.undirectedEdges(baskets))
         val sampled = e.filter(kept(col("u"), col("v")))
         val o = graft.Checkpoints.eager(TriangleCount.orient(sampled))
         val triS = TriangleCount.triangles(o)

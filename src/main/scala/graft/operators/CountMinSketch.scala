@@ -70,10 +70,16 @@ object CountMinSketch {
     */
   def calibrate(keys: DataFrame, topKeys: Int = TopKeys): DataFrame = {
     val counters = sketch(keys)
+    // r19 optimization (the q239/q207 precedent): the former global
+    // row_number window ranked EVERY distinct key on a single
+    // partition — a |keys|-growing frame — then kept 50. limit()
+    // compiles to the distributed TakeOrderedAndProject heap, and the
+    // window ranks only the ≤topKeys survivors; ranks are identical
+    // because the ordering (exact_cnt desc, k) is total.
     val exact = keys.groupBy(col("k")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("k")).limit(topKeys)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("exact_cnt").desc, col("k"))))
-      .filter(col("rk") <= topKeys)
     val probes = exact.select(col("k"), col("exact_cnt"), col("rk"),
       explode(array((0 until Depth).map { r =>
         struct(lit(r).as("r"),

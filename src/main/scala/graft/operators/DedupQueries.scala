@@ -82,8 +82,17 @@ object DedupQueries {
     * Kept as the exact baseline [[PpJoin.jaccardPairs]] prunes and the
     * A/B ProfileJaccard measures against.
     */
-  private[graft] def bruteJaccardPairs(shingles: DataFrame,
+  private[graft] def bruteJaccardPairs(shingles0: DataFrame,
       tau: Double): DataFrame = {
+      // r19 optimization: the shingle frame feeds the per-doc size
+      // aggregation AND both sides of the co-occurrence self-join.
+      // The self-join's two identical shingle-keyed exchanges are
+      // planner-deduped (ReusedExchange), but the doc_id-keyed sizes
+      // aggregation is not — the normalize + explode + distinct
+      // shingle derivation executed twice. Checkpoint it once (the
+      // same discipline MinHashDedup.nearDuplicates applies to the
+      // same frame).
+      val shingles = graft.Checkpoints.eager(shingles0)
       val sizes = shingles.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_sh"))
       val a = shingles.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -299,7 +308,11 @@ object DedupQueries {
     "q81_dedup_keep_best",
     (s, d) => {
       val comp = ConnectedComponents.labels(jaccardPairs(s, d))
-      val scored = t(s, d, "documents")
+      // r19 optimization: scored feeds BOTH the cluster-size groupBy
+      // and the keep-rule window — un-materialized, the documents join
+      // + normalize + quality text pass executed once per consumer.
+      // The checkpointed frame is three narrow columns.
+      val scored = graft.Checkpoints.eager(t(s, d, "documents")
         .join(comp, col("doc_id") === col("id"))
         .withColumn("norm", normalize(col("text")))
         .withColumn("n_words", size(split(col("norm"), " ")))
@@ -308,7 +321,7 @@ object DedupQueries {
             .cast("double") / length(col("text")), 4))
         .withColumn("quality",
           TextFeatures.quality(col("n_words"), col("punct_ratio")))
-        .select(col("doc_id"), col("comp"), col("quality"))
+        .select(col("doc_id"), col("comp"), col("quality")))
       val sized = scored.groupBy(col("comp"))
         .agg(count(lit(1)).as("cluster_size"))
       val w = Window.partitionBy(col("comp"))
@@ -713,6 +726,12 @@ object DedupQueries {
     // FIRST projection so text never rides a shuffle for the report
     // path — the only join text enters is the shingle-side survivor
     // join (the one exchange the q87 contract allows)
+    // r19 note (measured, left alone): checkpointing this frame to
+    // collapse its two consumers (survivor aggregation + meta join)
+    // measured FLAT at sf0.1 (3.40 → 3.44 s A/B) — the native
+    // WordFingerprint pass is cheap enough that the materialization
+    // cost cancels the saved pass. Kept the original two-consumer
+    // plan.
     val feats = docs
       .select(col("doc_id"), col("source"),
         normalize(col("text")).as("norm"))

@@ -74,13 +74,19 @@ object Hits {
         var hubs = edges.select(col("o")).distinct()
           .select(col("o"), lit(Mass / nOrders).as("score"))
         var auth: DataFrame = null
-        (1 to Rounds).foreach { _ =>
+        (1 to Rounds).foreach { r =>
           auth = graft.Checkpoints.eager(normalize(
             edges.join(hubs, Seq("o"))
               .groupBy(col("p")).agg(sum(col("score")).as("raw")), "p"))
-          hubs = graft.Checkpoints.eager(normalize(
-            edges.join(auth.withColumnRenamed("score", "a"), Seq("p"))
-              .groupBy(col("o")).agg(sum(col("a")).as("raw")), "o"))
+          // the output reads only `auth`: the final round's hub half
+          // (one edge join + groupBy + normalize + checkpoint) feeds
+          // nothing downstream, so it is skipped — auth after round
+          // `Rounds` is bit-identical either way (r19 optimization,
+          // guide §1.2 "don't compute things you throw away")
+          if (r < Rounds)
+            hubs = graft.Checkpoints.eager(normalize(
+              edges.join(auth.withColumnRenamed("score", "a"), Seq("p"))
+                .groupBy(col("o")).agg(sum(col("a")).as("raw")), "o"))
         }
         auth
           .join(edges.groupBy(col("p")).agg(count(lit(1)).as("n_orders")),

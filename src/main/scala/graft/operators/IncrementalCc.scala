@@ -59,9 +59,26 @@ object IncrementalCc {
 
   /** Merge one pair batch into the cluster state — exactly-once by
     * batch id (the X98 contract).
+    *
+    * r19 optimization (guide §1.2): the previous form ran TWO closures
+    * per merge — `partials(delta)` closed the delta alone, then
+    * `combine` closed state ∪ starred-delta. One closure over
+    * state ∪ raw delta reaches the same connectivity (closing, then
+    * re-closing a union, is idempotent in the connectivity algebra),
+    * and `labels` is min-label over components, so the committed
+    * certificate is BIT-IDENTICAL at every batch boundary — only the
+    * work halves. The per-merge edge bound is unchanged:
+    * |state stars| + |delta pairs|, never the accumulated pair
+    * history. `partials`/`combine` remain the mergeable-summaries
+    * algebra for callers that combine two certificates directly.
     */
   def mergeOnce(delta: DataFrame, path: String, batchId: Long): Unit =
-    MaterializedAgg.mergeOnceAs(delta, path, batchId, partials, combine)
+    MaterializedAgg.foldOnceAs(delta, path, batchId, {
+      case (None, d) => partials(d)
+      case (Some(state), d) =>
+        stars(ConnectedComponents.labels(
+          state.unionByName(d.select(col("doc_a"), col("doc_b")))))
+    })
 
   /** Wire a pair stream (doc_a, doc_b columns) into the cluster-state
     * maintenance loop — the deployment shape: the same foreachBatch +

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Q._
@@ -41,18 +40,29 @@ object LabelPropagation {
 
   val TopCommunities = 100
 
-  /** One synchronous vote round: labels (node, lbl) → new labels. */
-  def step(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("dst"))
-      .orderBy(col("c").desc, col("lbl"))
+  /** One synchronous vote round: labels (node, lbl) → new labels.
+    *
+    * The per-dst winner is picked by a hash aggregate
+    * `min(struct(-c, lbl))` instead of the former
+    * `row_number() OVER (PARTITION BY dst ORDER BY c DESC, lbl)` +
+    * `rn = 1` filter: lexicographic struct-min IS the (votes desc,
+    * smallest label) total tie-break (labels are non-negative node
+    * ids, counts ≥ 1, so the negation never overflows), and the
+    * aggregate replaces a per-round shuffle+SORT+WindowExec over the
+    * vote frame with a partial-aggregating, codegen HashAggregate —
+    * the same exchange count, no sort (r19 optimization, guide §2.3
+    * "aggregate before you shuffle" / §4 expression choice). Verified
+    * bit-identical to the window form by the q192 oracle hash and
+    * LabelPropagationSpec's planted-oscillator replay.
+    */
+  def step(edges: DataFrame, labels: DataFrame): DataFrame =
     edges
       .join(labels.withColumnRenamed("node", "src"), Seq("src"))
       .groupBy(col("dst"), col("lbl"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("dst").as("node"), col("lbl"))
-  }
+      .groupBy(col("dst"))
+      .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("w"))
+      .select(col("dst").as("node"), col("w.l").as("lbl"))
 
   /** q192 — 3-round LPA over the co-purchase graph: the largest
     * communities plus the global community count.

@@ -53,19 +53,26 @@ object MmrDiversify {
       .withColumn("nrm", sqrt(sqn(col("emb"))))
     val q = e.filter(col("vec_id") === queryId)
       .select(col("emb").as("qemb"), col("nrm").as("qnrm"))
-    val cand = e.filter(col("vec_id") =!= queryId)
+    // r19 optimization: `cand` (corpus relevance scan → top-Shortlist)
+    // is consumed by BOTH pairSim sides, the rank-1 pick, and every
+    // greedy step's anti-join; `pairSim` by every step. Un-materialized,
+    // each of the K unioned picks embedded the full corpus-scan subtree
+    // again (the embeddings table was scanned once per consumer).
+    // Checkpointing the ≤Shortlist-row candidate frame and the
+    // ≤Shortlist²-row pair frame makes the corpus scan run ONCE.
+    val cand = graft.Checkpoints.eager(e.filter(col("vec_id") =!= queryId)
       .join(broadcast(q))
       .withColumn("rel", dot(col("qemb"), col("emb")) /
         (col("qnrm") * col("nrm")))
       .orderBy(col("rel").desc, col("vec_id")).limit(Shortlist)
-      .select(col("vec_id"), col("rel"), col("emb"), col("nrm"))
+      .select(col("vec_id"), col("rel"), col("emb"), col("nrm")))
     val a = cand.select(col("vec_id").as("i"), col("emb").as("ea"),
       col("nrm").as("na"))
     val b = cand.select(col("vec_id").as("j"), col("emb").as("eb"),
       col("nrm").as("nb"))
-    val pairSim = a.join(b, col("i") =!= col("j"))
+    val pairSim = graft.Checkpoints.eager(a.join(b, col("i") =!= col("j"))
       .withColumn("sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-      .select(col("i"), col("j"), col("sim"))
+      .select(col("i"), col("j"), col("sim")))
 
     var sel = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
       .select(col("vec_id"), lit(1).as("sel_rank"), col("rel").as("mmr"))

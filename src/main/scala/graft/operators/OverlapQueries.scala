@@ -48,6 +48,12 @@ object OverlapQueries {
   val q123 = GraftQuery(
     "q123_containment_pairs",
     (s, d) => {
+      // r19 note (measured, left alone): the bruteJaccardPairs-style
+      // shingle checkpoint measured FLAT here (1.83 → 1.81 s A/B at
+      // sf0.1) — unlike the Jaccard family, q123 has no post-pair
+      // consumers re-deriving the frame, so the planner's exchange
+      // reuse already covers the self-join and only the sizes
+      // aggregation re-derives. Kept the original plan.
       val sh = MinHashDedup.shingles(t(s, d, "documents"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))

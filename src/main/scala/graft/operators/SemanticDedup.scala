@@ -94,10 +94,17 @@ object SemanticDedup {
         VectorFunctions.nearestCentroidId(col("unit"), centroids, cells, dim))
       .select(col("uid"), col("cell"), col("unit"))
 
-    val withDist = unitized
+    // eager-checkpointed ONCE (r19 optimization, the q240/census
+    // discipline): this frame is consumed three ways — both sides of
+    // the cell self-join below and the final keep-rule join back by id
+    // — and the self-join's ReusedExchange dedupe does not extend to
+    // the id-keyed third consumer, so without the materialization the
+    // unitize + nearest-centroid assignment pass (the |corpus| × cells
+    // × dim flop face) re-executed per consumer.
+    val withDist = graft.Checkpoints.eager(unitized
       .join(broadcast(centroidFrame(spark, centroids, cells, dim)), "cell")
       .withColumn("cdist", dist2(col("unit"), col("centroid")))
-      .select(col("uid"), col("cell"), col("unit"), col("cdist"))
+      .select(col("uid"), col("cell"), col("unit"), col("cdist")))
 
     // the cell-bounded quadratic face: both sides shuffle on cell, pair
     // candidates are |cell|² not |corpus|²

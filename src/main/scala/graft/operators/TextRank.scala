@@ -75,8 +75,17 @@ object TextRank {
     (s, d) => {
       val e = edges(t(s, d, "documents"))
       val deg = e.groupBy(col("u")).agg(sum(col("cnt")).as("wdeg"))
+      // r19 note (measured, then deliberately left alone): the former
+      // persist() here was dead code — unpersist ran in the builder
+      // before any action, so no execution ever read the cache — and
+      // the plan is ALREADY single-pass: the five iteration joins
+      // carry identical ew subtrees and Spark's ReusedExchange
+      // materializes the exchange once. Both materialization variants
+      // were measured SLOWER at sf0.1 (plain eagerCheckpoint 2.10 s,
+      // repartition(u)+checkpoint 2.70 s, vs 1.84 s as-is): the
+      // checkpoint copy costs more than the planner-level reuse it
+      // replaces. Dropped the dead persist, kept the reuse plan.
       val ew = e.join(deg, "u")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var sc = deg.select(col("u").as("w"), lit(1000000L).as("s"))
       var t0 = 0
       while (t0 < Iters) {
@@ -99,7 +108,6 @@ object TextRank {
             .orderBy(col("score_mu").desc, col("word"))))
         .select(col("rank"), col("word"), col("score_mu"), col("score"))
         .orderBy(col("rank"))
-      ew.unpersist(blocking = false)
       out
     },
     Some {
