@@ -42,12 +42,13 @@ object EquiDepthHistogram {
   def histogram(li: DataFrame, approx: Boolean): DataFrame = {
     val quantiles = (1 until K).map(i => i.toDouble / K)
     val vals = li.select(col("v"))
-    val boundExpr =
+    val bounds =
       if (approx)
-        s"approx_percentile(v, array(${quantiles.mkString(", ")}), 10000)"
-      else s"percentile(v, array(${quantiles.mkString(", ")}))"
-    val bounds = vals.agg(expr(boundExpr).as("bs"),
-      min(col("v")).as("lo0"), max(col("v")).as("hiK"))
+        vals.agg(expr(
+          s"approx_percentile(v, array(${quantiles.mkString(", ")}), " +
+            "10000)").as("bs"),
+          min(col("v")).as("lo0"), max(col("v")).as("hiK"))
+      else exactBounds(vals, quantiles)
     vals.join(broadcast(bounds))
       .withColumn("bucket",
         (size(filter(col("bs"), b => col("v") > b)) + 1))
@@ -60,6 +61,69 @@ object EquiDepthHistogram {
           .otherwise(element_at(col("bs"), col("bucket")))), 2)
           .as("hi_r"))
       .orderBy(col("bucket"))
+  }
+
+  /** Exact interpolated percentile vector WITHOUT the linear
+    * `percentile` aggregate buffer (r19 optimization, guide §2/§5):
+    * Spark's exact `percentile` merges a value→count map of every
+    * distinct value onto one final-aggregation task and sorts it
+    * there — the single-task memory wall the r12 decade probe
+    * measured (52 s / exponent 0.98 at 60M rows). This form computes
+    * the same order statistics distributively: global row numbers via
+    * the two-level bucketed prefix swap (no single-partition
+    * anything), then for each requested quantile the floor/ceil
+    * order-statistic rows are picked and combined with EXACTLY
+    * Spark's interpolation arithmetic — position = q·(n−1),
+    * `(higher − position) · lowerVal + (position − lower) · higherVal`
+    * (Percentile.getPercentile's op order) — so the boundary vector
+    * is bit-identical to the aggregate's and the q148 oracle hash is
+    * unchanged. Ties are safe: row_number among equal values is
+    * arbitrary but every tied row carries the same `v`, and the
+    * order statistic reads only `v`.
+    */
+  private[operators] def exactBounds(vals: DataFrame,
+      quantiles: Seq[Double]): DataFrame = {
+    val ranked = RankSum.bucketedRowNumber(
+      vals, col("v").cast("double"), "rn", withTotal = true, col("v"))
+    // one row per needed order statistic: for each quantile, the
+    // 1-based floor and ceil positions of q·(n−1)
+    val wantedCols = Seq(col("v"), col("rn")) ++
+      quantiles.zipWithIndex.map { case (q, i) =>
+        val pos = lit(q) * (col("n_total") - 1L).cast("double")
+        struct(floor(pos).cast("long").as("lo"),
+          ceil(pos).cast("long").as("hi"), pos.as("pos"))
+          .as(s"p_$i")
+      }
+    val wanted = ranked.select(wantedCols: _*)
+    val picked = wanted.filter(
+      quantiles.indices
+        .map(i => col("rn") === col(s"p_$i.lo") + 1L ||
+          col("rn") === col(s"p_$i.hi") + 1L)
+        .reduce(_ || _))
+    // ≤ 2·|quantiles| rows fold to one row; the interpolation tree
+    // mirrors Percentile.getPercentile term for term
+    val terms = quantiles.indices.flatMap { i =>
+      Seq(
+        max(when(col("rn") === col(s"p_$i.lo") + 1L, col("v")))
+          .as(s"lov_$i"),
+        max(when(col("rn") === col(s"p_$i.hi") + 1L, col("v")))
+          .as(s"hiv_$i"),
+        max(col(s"p_$i.pos")).as(s"pos_$i"),
+        max(col(s"p_$i.lo")).as(s"lo_$i"),
+        max(col(s"p_$i.hi")).as(s"hi_$i"))
+    }
+    val folded = picked.agg(terms.head, terms.tail: _*)
+    val bs = array(quantiles.indices.map { i =>
+      when(col(s"hi_$i") === col(s"lo_$i"), col(s"lov_$i"))
+        .when(col(s"hiv_$i") === col(s"lov_$i"), col(s"lov_$i"))
+        .otherwise(
+          (col(s"hi_$i").cast("double") - col(s"pos_$i")) *
+            col(s"lov_$i") +
+            (col(s"pos_$i") - col(s"lo_$i").cast("double")) *
+              col(s"hiv_$i"))
+    }: _*)
+    val span = vals.agg(min(col("v")).as("lo0"), max(col("v")).as("hiK"))
+    folded.select(bs.as("bs")).join(broadcast(span))
   }
 
   /** q148 — 10-bucket equi-depth histogram of l_extendedprice. */

@@ -219,9 +219,16 @@ object OverlapQueries {
         concat(slice(col("ws"), -w, w),
           slice(col("ws"), lit(1), size(col("ws")) - w)).as("ws"))
       val all = base.unionByName(planted)
-      val edged = all.select(col("doc_id"), size(col("ws")).as("n_words"),
-        md5(concat_ws(" ", slice(col("ws"), lit(1), lit(w)))).as("head_h"),
-        md5(concat_ws(" ", slice(col("ws"), -w, w))).as("tail_h"))
+      // r19 optimization: the self-join's two sides project DIFFERENT
+      // digest columns onto the join key (tail_h vs head_h), so their
+      // exchanges are not identical and ReusedExchange cannot dedupe —
+      // the normalize + split + planted-twin construction executed once
+      // per side. Checkpoint the (doc_id, n_words, 2×digest) frame so
+      // the text pass runs once.
+      val edged = graft.Checkpoints.eager(
+        all.select(col("doc_id"), size(col("ws")).as("n_words"),
+          md5(concat_ws(" ", slice(col("ws"), lit(1), lit(w)))).as("head_h"),
+          md5(concat_ws(" ", slice(col("ws"), -w, w))).as("tail_h")))
       edged.select(col("doc_id").as("doc_a"), col("n_words").as("n_a"),
           col("tail_h").as("h"))
         .join(edged.select(col("doc_id").as("doc_b"),

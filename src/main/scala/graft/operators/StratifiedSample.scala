@@ -67,7 +67,21 @@ object StratifiedSample {
     val keyed = rows.withColumn("h",
       expr("cast(conv(substring(md5(concat(cast(k1 as string), ':', " +
         "cast(k2 as string), ':samp')), 1, 15), 16, 10) as bigint)"))
-    keyed.join(broadcast(alloc), Seq("g1", "g2"))
+    // r19 optimization: the former per-stratum row_number window
+    // sorted every stratum's FULL row set to keep quota ≤ n rows
+    // (WindowGroupLimit cannot fire on a data-dependent `rk <= quota`
+    // bound). Cap each stratum to its top-n first through the native
+    // TopKPerGroup heap operator (n ≥ every quota since Σquota = n) —
+    // per-partition k-row heaps, no full sort — then rank the ≤n
+    // survivors per stratum and apply the exact quota. The kept rows
+    // and their ranks are identical: ranking a prefix-closed superset
+    // preserves the prefix's row_numbers under the same total order.
+    val capped = graft.plans.TopK.perGroup(
+      keyed.join(broadcast(alloc), Seq("g1", "g2")),
+      groupCols = Seq(col("g1"), col("g2")),
+      orderCols = Seq(col("h"), col("k1"), col("k2")),
+      k = n.toInt)
+    capped
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("g1"), col("g2"))
           .orderBy(col("h"), col("k1"), col("k2"))))
