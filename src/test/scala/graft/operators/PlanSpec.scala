@@ -791,9 +791,13 @@ class PlanSpec extends SparkSpec {
     // was built to kill
     val corpusCols = Set("custkey", "doc_id", "p_partkey", "user_id",
       "session_id", "pi", "ms", "s", "monetary", "last_order",
-      "n_orders", "at", "delta", "n_words", "word_len", "alpha_ratio")
+      "n_orders", "at", "delta", "n_words", "word_len", "alpha_ratio",
+      "partkey", "rev")
+    // q216 (ABC prefix swap) and q148 (distributed exact percentile)
+    // joined the family in the r19 optimization round — same contract
     val family = Seq(RankFusion.q174, Skyline.q187,
-      PeakConcurrency.q198, RfmSegmentation.q214, DecileLift.q219)
+      PeakConcurrency.q198, RfmSegmentation.q214, DecileLift.q219,
+      AbcClassification.q216, EquiDepthHistogram.q148)
     family.foreach { q =>
       val df = q.build(spark, sf0001)
       df.collect() // materialize AQE's final plans
@@ -817,6 +821,10 @@ class PlanSpec extends SparkSpec {
       .contains("TakeOrderedAndProject"))
     assert(planOf(LinkPrediction.q207.build(spark, sf0001))
       .contains("TakeOrderedAndProject"))
+    // q212's per-stratum cut runs through the native bounded-heap
+    // operator, never a full per-stratum sort of the corpus (r19)
+    assert(planOf(StratifiedSample.q212.build(spark, sf0001))
+      .contains("TopKPerGroup"))
   }
 
   test("r19 statistics tier: exchange counts stay at the measured " +
