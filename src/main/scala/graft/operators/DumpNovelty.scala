@@ -43,6 +43,12 @@ object DumpNovelty {
       // through for an empty substring ("abc" → ""); try_cast funnels
       // every non-conforming shape into the one contract error below
       val ordCol = expr("try_cast(substring(source, 4, 10) AS int)")
+      // r19 note (measured, left alone): checkpointing this frame for
+      // its two consumers measured SLOWER at sf0.1 (1.42 → 1.62 s A/B)
+      // — the trailing `.distinct()` ends in an exchange that is
+      // byte-identical under both consumers, so ReusedExchange already
+      // dedupes the shingle+md5 pass and the checkpoint only added a
+      // copy. Kept the reuse plan.
       val bySrc = MinHashDedup.shingles(docs)
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
         .select(when(ordCol.isNotNull, ordCol)

@@ -101,7 +101,12 @@ object KmvSketch {
         .join(docs, "doc_id")
         .select(col("source"), h60(col("shingle")).as("h"))
         .distinct()
-      val sk = sketch(srcSh)
+      // r19 optimization: the ≤K-rows-per-source sketch frame is
+      // consumed FIVE ways (the source census, both union-sketch
+      // sides, both common-hash join sides) and its lineage is the
+      // full shingle explode + two-level bottom-k — checkpoint the
+      // tiny frame so that pipeline runs once.
+      val sk = graft.Checkpoints.eager(sketch(srcSh))
 
       val srcs = sk.select(col("source")).distinct()
       val pairs = srcs.select(col("source").as("src_a"))
