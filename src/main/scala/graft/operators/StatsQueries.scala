@@ -39,21 +39,44 @@ object StatsQueries {
     * means. Scale shape: the map-side combine collapses each
     * partition to ≤ R partial rows before the one shuffle (R rows
     * total); the order-statistics window runs on the R-row frame.
+    *
+    * r19 optimization (guide §2.3 "aggregate before you shuffle",
+    * taken to its limit): the LCG input depends on the event row ONLY
+    * through g = pmod(event_id·R, 10⁶) — and because R = 100 divides
+    * 10⁶, g has at most 10⁴ distinct values. Every event in residue
+    * class g draws the SAME weight w(g, rep) for every replicate, so
+    *   Σ_rows value·w  =  Σ_g w(g,rep) · Σ_{rows in g} value
+    *   Σ_rows w        =  Σ_g w(g,rep) · |rows in g|
+    * exactly: decimal addition is order-free and w is an integer, so
+    * the per-replicate sums (and therefore the means, ranks and CI)
+    * are bit-identical to the row-level explode. The corpus-sized
+    * stage shrinks from R·|events| generated rows (the explode) to ONE
+    * map-side-combinable hash aggregate into ≤10⁴ groups; the R-fold
+    * replicate expansion then runs over the ≤10⁴-row group frame
+    * (≤10⁶ tiny rows, corpus-independent). A replicate is absent from
+    * repMeans exactly when all its weights are zero — the same
+    * condition in both forms, since w never varies within a class.
     */
   val q140 = GraftQuery(
     "q140_bootstrap_ci", {
       (s, d) => {
         val ev = t(s, d, "events").select(col("event_id"), col("value"))
-        val weighted = ev
-          .select(col("event_id"), col("value"),
+        // pre-mod before the LCG multiply: (id·R + rep) can reach
+        // ~1e15 at petabyte row counts and ·1103515245 would overflow
+        // long (caught LIVE by the sf10 decade probe at id ~1e8);
+        // reducing to the 10^6 grid first bounds the product at
+        // ~1.1e15 for ANY id. Applied here at the class key so the
+        // per-(g, rep) LCG below matches the per-(row, rep) original:
+        // pmod(id·R + rep, 10⁶) = pmod(pmod(id·R, 10⁶) + rep, 10⁶).
+        val byClass = ev
+          .groupBy(pmod(col("event_id") * Reps, lit(1000000L)).as("g"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("sval"),
+            count(lit(1)).as("cnt"))
+        val weighted = byClass
+          .select(col("g"), col("sval"), col("cnt"),
             explode(sequence(lit(0), lit(Reps - 1))).as("rep"))
-          // pre-mod before the LCG multiply: (id·R + rep) can reach
-          // ~1e15 at petabyte row counts and ·1103515245 would overflow
-          // long (caught LIVE by the sf10 decade probe at id ~1e8);
-          // reducing to the 10^6 grid first bounds the product at
-          // ~1.1e15 for ANY id
           .withColumn("u", pmod(
-            pmod(col("event_id") * Reps + col("rep"), lit(1000000L))
+            pmod(col("g") + col("rep"), lit(1000000L))
               * 1103515245L + 12345L,
             lit(1000000L)))
           .withColumn("w",
@@ -64,9 +87,13 @@ object StatsQueries {
               .when(col("u") < PoissonCdf(4), 4L)
               .otherwise(5L))
           .filter(col("w") > 0)
+        // w ∈ [1,5] ⇒ decimal(1,0): sval(28,2)·w → decimal(30,2),
+        // summed → decimal(38,2), the SAME final type (and exact
+        // value) the row-level sum of value(18,2)·w produced.
         val repMeans = weighted.groupBy(col("rep"))
-          .agg((sum(col("value").cast("decimal(18,2)") * col("w"))
-            .cast("double") / sum(col("w")).cast("double")).as("m"))
+          .agg((sum(col("sval") * col("w").cast("decimal(1,0)"))
+            .cast("double") /
+            sum(col("cnt") * col("w")).cast("double")).as("m"))
         val wr = Window.orderBy(col("m"), col("rep"))
         val ranked = repMeans.withColumn("rk", row_number().over(wr))
         // 95% CI: order statistics 3 and 98 of 100 replicate means

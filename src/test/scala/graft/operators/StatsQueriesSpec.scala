@@ -51,6 +51,63 @@ class StatsQueriesSpec extends AnyFunSuite with SparkSpec {
       s"CI must tighten with n: ${width(a)} -> ${width(b)}")
   }
 
+  test("bootstrap regroup: the class-level aggregation (r19) replays " +
+      "the row-level explode form bit-for-bit") {
+    // The r19 rewrite groups events by g = pmod(id·R, 1e6) before the
+    // R-fold replicate expansion. Pin the identity against the
+    // original per-(row, rep) explode on a frame built to stress it:
+    // ids that COLLIDE in the residue grid (g repeats across rows,
+    // including one ~1e8 id exercising the pre-mod overflow guard)
+    // and cent-valued amounts exercising decimal exactness.
+    val rows = Seq(7L, 10007L, 100000007L, 13L, 20013L, 42L, 99L,
+      5000L, 1000099L).zipWithIndex.map { case (id, i) =>
+      (id, ts(i % 24), 1L, "view", 10.01 * (i + 1) + 0.07) }
+    val d = evDir(rows)
+    val ev = spark.read.parquet(s"$d/events.parquet")
+      .select(col("event_id"), col("value"))
+    def weights(c: org.apache.spark.sql.Column) = {
+      val u = pmod(c * 1103515245L + 12345L, lit(1000000L))
+      when(u < 367879L, 0L).when(u < 735759L, 1L)
+        .when(u < 919699L, 2L).when(u < 980958L, 3L)
+        .when(u < 996286L, 4L).otherwise(5L)
+    }
+    // reference: the pre-r19 row-level form, verbatim
+    val rowLevel = ev
+      .select(col("event_id"), col("value"),
+        explode(sequence(lit(0), lit(99))).as("rep"))
+      .withColumn("w", weights(
+        pmod(col("event_id") * 100 + col("rep"), lit(1000000L))))
+      .filter(col("w") > 0)
+      .groupBy(col("rep"))
+      .agg((sum(col("value").cast("decimal(18,2)") * col("w"))
+        .cast("double") / sum(col("w")).cast("double")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // the shipped class-level form
+    val classLevel = ev
+      .groupBy(pmod(col("event_id") * 100, lit(1000000L)).as("g"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("sval"),
+        count(lit(1)).as("cnt"))
+      .select(col("g"), col("sval"), col("cnt"),
+        explode(sequence(lit(0), lit(99))).as("rep"))
+      .withColumn("w", weights(pmod(col("g") + col("rep"), lit(1000000L))))
+      .filter(col("w") > 0)
+      .groupBy(col("rep"))
+      .agg((sum(col("sval") * col("w").cast("decimal(1,0)"))
+        .cast("double") /
+        sum(col("cnt") * col("w")).cast("double")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(classLevel.keySet === rowLevel.keySet,
+      "replicate presence must match (a rep is absent iff all its " +
+        "weights are zero, in both forms)")
+    for ((rep, m) <- rowLevel)
+      assert(java.lang.Double.doubleToLongBits(classLevel(rep)) ===
+        java.lang.Double.doubleToLongBits(m),
+        s"rep $rep mean must be bit-identical")
+    // residue collisions actually exercised: fewer classes than rows
+    assert(ev.select(pmod(col("event_id") * 100, lit(1000000L)))
+      .distinct().count() < rows.size)
+  }
+
   test("CUSUM: a planted rate shift alarms at the shifted hours and " +
       "a flat rate never alarms") {
     // 10 flat hours at 10 events/hour
