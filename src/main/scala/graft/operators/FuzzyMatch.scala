@@ -43,7 +43,24 @@ object FuzzyMatch {
         val p = t(s, d, "part")
           .select(col("p_partkey"), col("p_brand"), col("p_type"),
             col("p_name"))
-        p.as("a")
+        // r19 optimization (guide §2.5/§3.3): the probe side of this
+        // blocked face must carry the FACE's parallelism, not the
+        // input's. |part| fits one 128 MB scan split, so the broadcast
+        // join evaluated the whole Σ_block k² kernel face in ONE task
+        // (measured 2.69 s solo at sf0.1, ~2.7M kernel calls on one
+        // core). Repartitioning the probe side by p_partkey
+        // (deterministic, evenly spread, scale-adaptive via
+        // spark.sql.shuffle.partitions) costs one |part|-row exchange —
+        // negligible against the k² face at any scale — and spreads
+        // the kernel across the session's cores. Build side unchanged
+        // (still broadcast). Identical output rows. The partition count
+        // is pinned (REPARTITION_BY_NUM) because AQE sizes partitions
+        // by SHUFFLE BYTES — 20 k probe rows coalesce right back to one
+        // partition even though each row fans out k-fold in the join
+        // (measured: the unpinned form stayed at 2.7 s solo).
+        p.repartition(
+            s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("p_partkey")).as("a")
           .join(p.as("b"),
             col("a.p_brand") === col("b.p_brand") &&
               col("a.p_type") === col("b.p_type") &&

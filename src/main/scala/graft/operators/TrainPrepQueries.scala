@@ -26,11 +26,28 @@ object TrainPrepQueries {
   val q62 = GraftQuery(
     "q62_trainprep_pipeline",
     (s, d) => {
+      // r19 optimization (guide §2.5, §1.2): (a) the whole
+      // langid+quality+fingerprint projection is per-row CPU riding
+      // the scan stage, and the single-row-group input pins that
+      // stage to ONE task (measured 2.1 s of 2.4 s total in one task
+      // at sf0.1) — Tables.parallelized spreads it across cores and
+      // is the identity at production sizes, preserving the "text
+      // never shuffles" shape exactly where it matters; (b) the
+      // quality/langid gate is checkpointed BELOW the filter:
+      // PushDownPredicates substitutes aliases into pushed predicates
+      // regardless of cost, so filtering directly on
+      // `predicted`/`quality` re-inlined the whole normalize+langScores
+      // regex tree ~5× into a scan-stage Filter (seen in the executed
+      // plan) while the projection recomputed it all again above. The
+      // eager checkpoint (6 small columns, text/norm dropped) is a
+      // pushdown barrier: every regex runs exactly once per row.
+      // A/B: 2.40 → 0.98 s solo at sf0.1; bit-identical output
+      // (oracle-gated at sf0.001/0.01/0.1).
       val base = TextFeatures.withLangScores(
-        t(s, d, "documents")
+        graft.sources.Tables.parallelized(s, d, "documents", "doc_id")
           .select(col("doc_id"), col("text"), col("lang"),
             normalize(col("text")).as("norm")), col("norm"))
-      val feats = base
+      val feats = graft.Checkpoints.eager(base
         .withColumn("predicted", TextFeatures.predicted)
         .withColumn("n_words", size(split(col("norm"), " ")))
         .withColumn("punct_ratio",
@@ -40,6 +57,8 @@ object TrainPrepQueries {
           TextFeatures.quality(col("n_words"), col("punct_ratio")))
         .withColumn("fingerprint", graft.functions.expressions
           .WordFingerprint(split(col("norm"), " ")))
+        .select(col("doc_id"), col("predicted"), col("lang"),
+          col("quality"), col("n_words"), col("fingerprint")))
         .filter(col("predicted") =!= "und" && col("quality") >= 0.3)
       val deduped = feats
         .groupBy(col("fingerprint"))

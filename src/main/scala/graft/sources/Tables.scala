@@ -32,6 +32,40 @@ object Tables {
     else df
   }
 
+  /** Parallelism-starved-scan guard (r19, guide §2.5 "one huge
+    * unsplittable file ... repartition immediately after the read"):
+    * the test generator writes each table as ONE parquet row group, so
+    * at bench scale every scan is one task regardless of
+    * `spark.sql.files.maxPartitionBytes` — and any CPU-heavy per-row
+    * pipeline above it (normalize/shingle/regex/fingerprint) runs on
+    * one core. When — and only when — the file cannot supply the
+    * session's parallelism by splits (bytes < maxPartitionBytes ×
+    * defaultParallelism), hash-repartition on `key` right after the
+    * read (deterministic, retry-stable; REPARTITION_BY_NUM so AQE's
+    * byte-based coalescing cannot fold the tiny-but-hot exchange back
+    * to one partition). At production sizes the condition is false and
+    * this is the identity: no payload ever shuffles that didn't need
+    * to. Callers opt in per pipeline — only where per-row CPU, not
+    * bytes, is the cost (a blanket exchange would tax every cheap
+    * scan in the suite).
+    */
+  def parallelized(s: SparkSession, dir: String, name: String,
+      key: String): DataFrame = {
+    val df = apply(s, dir, name)
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Throwable => Long.MaxValue }
+    val maxSplit = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(s.conf.get(
+        "spark.sql.files.maxPartitionBytes", "128m"))
+    val cores = s.sparkContext.defaultParallelism
+    if (bytes >= maxSplit * cores) df
+    else df.repartition(cores, org.apache.spark.sql.functions.col(key))
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
